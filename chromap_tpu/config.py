@@ -1,0 +1,107 @@
+"""Configuration dataclasses (analog of index_parameters.h /
+mapping_parameters.h) and preset application."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+
+@dataclass
+class IndexConfig:
+    kmer_size: int = 17
+    window_size: int = 7
+    reference_file_path: str = ""
+    index_output_file_path: str = ""
+
+
+@dataclass
+class MappingConfig:
+    error_threshold: int = 8
+    match_score: int = 1
+    mismatch_penalty: int = 4
+    gap_open_penalties: List[int] = field(default_factory=lambda: [6, 6])
+    gap_extension_penalties: List[int] = field(default_factory=lambda: [1, 1])
+    min_num_seeds_required_for_mapping: int = 2
+    max_seed_frequencies: List[int] = field(default_factory=lambda: [500, 1000])
+
+    cache_size: int = 4000003
+    cache_update_param: float = 0.01
+    debug_cache: bool = False
+    frip_est_params: str = "-1.0996;4.2391;3.0164e-05;-2.1087e-04;-5.5825e-05"
+    output_num_uniq_cache_slots: bool = True
+    k_for_minhash: int = 250
+
+    max_num_best_mappings: int = 1
+    max_insert_size: int = 1000
+    mapq_threshold: int = 30
+    num_threads: int = 1
+    min_read_length: int = 30
+    barcode_correction_error_threshold: int = 1
+    barcode_correction_probability_threshold: float = 0.9
+    multi_mapping_allocation_distance: int = 0
+    multi_mapping_allocation_seed: int = 11
+    drop_repetitive_reads: int = 500000
+
+    trim_adapters: bool = False
+    remove_pcr_duplicates: bool = False
+    remove_pcr_duplicates_at_bulk_level: bool = True
+    is_bulk_data: bool = True
+    allocate_multi_mappings: bool = False
+    only_output_unique_mappings: bool = True
+    output_mappings_not_in_whitelist: bool = False
+    tn5_shift: bool = False
+    split_alignment: bool = False
+    output_format: str = "bed"  # bed | tagalign | paf | sam | pairs
+    low_memory_mode: bool = False
+
+    reference_file_path: str = ""
+    index_file_path: str = ""
+    read_file1_paths: List[str] = field(default_factory=list)
+    read_file2_paths: List[str] = field(default_factory=list)
+    barcode_file_paths: List[str] = field(default_factory=list)
+    barcode_whitelist_file_path: str = ""
+    read_format: str = ""
+    mapping_output_file_path: str = ""
+    custom_rid_order_file_path: str = ""
+    pairs_flipping_custom_rid_order_file_path: str = ""
+    barcode_translate_table_file_path: str = ""
+    summary_metadata_file_path: str = ""
+    skip_barcode_check: bool = False
+
+    # TPU execution knobs (no analog in the reference)
+    use_device: bool = False          # route hot kernels through JAX/Pallas
+    device_batch_size: int = 500000   # reads per device dispatch
+    read_batch_size: int = 500000
+
+    def num_vpu_lanes(self) -> int:
+        if self.error_threshold < 8:
+            return 8
+        if self.error_threshold < 16:
+            return 4
+        return 0
+
+
+def apply_preset(cfg: MappingConfig, preset: str) -> None:
+    """Presets per chromap_driver.cc:247-275."""
+    if preset == "atac":
+        cfg.max_insert_size = 2000
+        cfg.trim_adapters = True
+        cfg.remove_pcr_duplicates = True
+        cfg.remove_pcr_duplicates_at_bulk_level = False
+        cfg.tn5_shift = True
+        cfg.output_format = "bed"
+        cfg.low_memory_mode = True
+    elif preset == "chip":
+        cfg.max_insert_size = 2000
+        cfg.remove_pcr_duplicates = True
+        cfg.low_memory_mode = True
+        cfg.output_format = "bed"
+    elif preset == "hic":
+        cfg.error_threshold = 4
+        cfg.mapq_threshold = 1
+        cfg.split_alignment = True
+        cfg.low_memory_mode = True
+        cfg.output_format = "pairs"
+    else:
+        raise ValueError(f"Unrecognized preset parameters {preset}")

@@ -1,0 +1,393 @@
+"""End-to-end mapping pipelines (analog of chromap.h MapSingleEndReads /
+MapPairedEndReads).
+
+The host pipeline streams read batches, runs seeding -> verification ->
+selection per read, accumulates per-rid records, then post-processes
+(Tn5 / dedup / allocation) and writes output. The device (TPU) path routes
+the batch hot loops (minimizers, index probe, Myers) through JAX/Pallas and
+falls back to this exact host path per-read where capacities overflow.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .config import IndexConfig, MappingConfig
+from .index.index import MinimizerIndex, build_index
+from .index.minimizers import generate_minimizers
+from .io.fastx import (FastxReader, MultiFileFastxStream, SequenceRecord,
+                       load_all_sequences)
+from .io.seqformat import ReadFormat
+from .io.writers import MappingFileWriter
+from .mapping.candidates import CandidateGenerator, ReadSeedState
+from .mapping.generate import DraftMappingGenerator
+from .mapping.postprocess import (allocate_multi_mappings, apply_tn5_shift,
+                                  remove_pcr_duplicates, sort_mappings)
+from .mapping.rng import MT19937
+from .mapping.select import (BestMappingSelector, PairContext,
+                             PairedVerifyState)
+from .utils import generate_seed_from_codes
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr)
+
+
+def construct_index(cfg: IndexConfig) -> None:
+    t0 = time.time()
+    records = load_all_sequences(cfg.reference_file_path)
+    log(f"Loaded all sequences in {time.time() - t0:.2f}s, "
+        f"number of sequences: {len(records)}.")
+    idx = build_index([r.codes() for r in records], cfg.kmer_size,
+                      cfg.window_size)
+    log(idx.statistics_string(len(records),
+                              sum(r.length for r in records)))
+    idx.save(cfg.index_output_file_path)
+    log(f"Saved index in {time.time() - t0:.2f}s.")
+
+
+def trim_adapter_paired(rec1: SequenceRecord, rec2: SequenceRecord,
+                        min_read_length: int) -> None:
+    """Adapter trimming by read-pair overlap merge (chromap.cc:176-289)."""
+    raw1, raw2 = bytes(rec1.seq), bytes(rec2.seq)
+    swapped = len(raw1) > len(raw2)
+    read1 = raw2 if swapped else raw1
+    negative_read2 = (rec1 if swapped else rec2).negative()
+    read1_length = min(len(raw1), len(raw2))
+    read2_length = max(len(raw1), len(raw2))
+
+    min_overlap_length = min_read_length
+    seed_length = min_overlap_length // 2
+    error_threshold_for_merging = 1
+
+    for si in range(error_threshold_for_merging + 1):
+        seed = read1[si * seed_length: (si + 1) * seed_length]
+        if len(seed) < seed_length:
+            break
+        seed_start_position = negative_read2.find(seed)
+        while seed_start_position != -1:
+            before_ok = seed_start_position >= si * seed_length
+            overlap_ok = (read2_length - seed_start_position
+                          + seed_length * si) >= min_overlap_length
+            if not (before_ok and overlap_ok):
+                seed_start_position = negative_read2.find(
+                    seed, seed_start_position + 1)
+                continue
+            can_merge = True
+            num_errors = 0
+            for i in range(seed_length * si):
+                if (negative_read2[seed_start_position - si * seed_length + i]
+                        != read1[i]):
+                    num_errors += 1
+                if num_errors > error_threshold_for_merging:
+                    can_merge = False
+                    break
+            if can_merge:
+                i = seed_length
+                while (i + seed_start_position < read2_length
+                       and si * seed_length + i < read1_length):
+                    if (negative_read2[seed_start_position + i]
+                            != read1[si * seed_length + i]):
+                        num_errors += 1
+                    if num_errors > error_threshold_for_merging:
+                        can_merge = False
+                        break
+                    i += 1
+            if can_merge:
+                overlap_length = (read2_length - seed_start_position
+                                  + si * seed_length)
+                read2_offset = 0
+                if overlap_length > read1_length:
+                    read2_offset = overlap_length - read1_length
+                    overlap_length = read1_length
+                if not swapped:
+                    rec1.trim_to(overlap_length)
+                    rec2.trim_to(overlap_length + read2_offset)
+                else:
+                    rec1.trim_to(overlap_length + read2_offset)
+                    rec2.trim_to(overlap_length)
+                return
+            seed_start_position = negative_read2.find(
+                seed, seed_start_position + 1)
+
+
+class MappingPipeline:
+    def __init__(self, cfg: MappingConfig):
+        self.cfg = cfg
+        self.read_format = (ReadFormat.parse(cfg.read_format)
+                            if cfg.read_format else ReadFormat())
+
+        t0 = time.time()
+        self.reference = load_all_sequences(cfg.reference_file_path)
+        self.custom_rid_rank: Optional[List[int]] = None
+        if cfg.custom_rid_order_file_path:
+            self.custom_rid_rank = self._load_rid_ranks(
+                cfg.custom_rid_order_file_path)
+            reordered: List[SequenceRecord] = list(self.reference)
+            for i, rec in enumerate(self.reference):
+                reordered[self.custom_rid_rank[i]] = rec
+            self.reference = reordered
+        self.ref_names = [r.name for r in self.reference]
+        self.ref_seqs = [bytes(r.seq) for r in self.reference]
+        self.ref_lengths = [r.length for r in self.reference]
+        log(f"Loaded all sequences in {time.time() - t0:.2f}s, "
+            f"number of sequences: {len(self.reference)}.")
+
+        self.pairs_custom_rid_rank: Optional[List[int]] = None
+        if cfg.output_format == "pairs":
+            if cfg.pairs_flipping_custom_rid_order_file_path:
+                self.pairs_custom_rid_rank = self._load_rid_ranks(
+                    cfg.pairs_flipping_custom_rid_order_file_path)
+            else:
+                self.pairs_custom_rid_rank = list(range(len(self.reference)))
+
+        self.index = MinimizerIndex.load(cfg.index_file_path)
+        log(f"Kmer size: {self.index.kmer_size}, "
+            f"window size: {self.index.window_size}.")
+
+        self.candidate_generator = CandidateGenerator(
+            self.index, cfg.error_threshold,
+            cfg.min_num_seeds_required_for_mapping,
+            tuple(cfg.max_seed_frequencies))
+        self.draft_generator = DraftMappingGenerator(
+            cfg.error_threshold, cfg.split_alignment, cfg.output_format)
+        self.selector = BestMappingSelector(cfg, self.ref_seqs,
+                                            self.ref_lengths,
+                                            self.pairs_custom_rid_rank)
+
+        # stats (chromap.h:202-206)
+        self.num_reads = 0
+        self.num_candidates = 0
+        self.num_mappings = 0
+        self.num_mapped_reads = 0
+        self.num_uniquely_mapped_reads = 0
+
+        self.mappings_on_refs: List[List[object]] = [
+            [] for _ in self.reference]
+
+    def _load_rid_ranks(self, path: str) -> List[int]:
+        """Custom chromosome order file -> rank per current rid
+        (chromap.cc:867-914)."""
+        with open(path, "rb") as f:
+            ordered_names = [line.split()[0] for line in f if line.strip()]
+        name_to_rid = {r.name: i for i, r in enumerate(self.reference)}
+        ranks = [-1] * len(self.reference)
+        next_rank = 0
+        for name in ordered_names:
+            if name in name_to_rid:
+                ranks[name_to_rid[name]] = next_rank
+                next_rank += 1
+        for rid in range(len(self.reference)):
+            if ranks[rid] == -1:
+                ranks[rid] = next_rank
+                next_rank += 1
+        return ranks
+
+    # ------------------------------ single-end ------------------------------
+
+    def map_single_end(self) -> None:
+        cfg = self.cfg
+        writer = MappingFileWriter(cfg, self.ref_names, self.ref_lengths,
+                                   pairs_custom_rid_rank=self.pairs_custom_rid_rank)
+        writer.output_header()
+
+        k = self.index.kmer_size
+        w = self.index.window_size
+        stream = MultiFileFastxStream(cfg.read_file1_paths, self.read_format.r1)
+
+        def emit(rid: int, record: object) -> None:
+            self.mappings_on_refs[rid].append(record)
+
+        t_map = time.time()
+        while True:
+            batch = stream.read_batch(cfg.read_batch_size)
+            if not batch:
+                break
+            self.num_reads += len(batch)
+            for rec in batch:
+                if rec.length < cfg.min_read_length:
+                    continue
+                self._map_one_single_end(rec, k, w, emit)
+            log(f"Mapped {len(batch)} reads.")
+        log(f"Mapped all reads in {time.time() - t_map:.2f}s.")
+        self._output_stats()
+        self._postprocess_and_write(writer)
+        writer.close()
+
+    def _map_one_single_end(self, rec: SequenceRecord, k: int, w: int,
+                            emit) -> None:
+        cfg = self.cfg
+        seed_state = ReadSeedState()
+        seed_state.minimizers = generate_minimizers(rec.codes(), 0, k, w)
+        if not seed_state.minimizers:
+            return
+        self.candidate_generator.generate(seed_state)
+        if seed_state.num_candidates() == 0:
+            return
+        self.num_candidates += seed_state.num_candidates()
+        read = bytes(rec.seq)
+        negative_read = rec.negative()
+        vs = self.draft_generator.generate(read, negative_read, seed_state,
+                                           self.ref_seqs, self.ref_lengths)
+        if vs.num_draft_mappings() == 0:
+            return
+        self.selector.select_single_end(
+            rec.read_id, rec.name, read, negative_read,
+            bytes(rec.qual) if rec.qual else None, 0, False, seed_state, vs,
+            emit)
+        self.num_mappings += min(vs.num_best_mappings,
+                                 cfg.max_num_best_mappings)
+        self.num_mapped_reads += 1
+        if vs.num_best_mappings == 1:
+            self.num_uniquely_mapped_reads += 1
+
+    # ------------------------------ paired-end ------------------------------
+
+    def map_paired_end(self) -> None:
+        cfg = self.cfg
+        writer = MappingFileWriter(cfg, self.ref_names, self.ref_lengths,
+                                   pairs_custom_rid_rank=self.pairs_custom_rid_rank)
+        writer.output_header()
+
+        k = self.index.kmer_size
+        w = self.index.window_size
+        stream1 = MultiFileFastxStream(cfg.read_file1_paths, self.read_format.r1)
+        stream2 = MultiFileFastxStream(cfg.read_file2_paths, self.read_format.r2)
+
+        def emit(rid: int, record: object) -> None:
+            self.mappings_on_refs[rid].append(record)
+
+        generator = MT19937(11)
+        t_map = time.time()
+        while True:
+            batch1 = stream1.read_batch(cfg.read_batch_size)
+            batch2 = stream2.read_batch(cfg.read_batch_size)
+            if len(batch1) != len(batch2):
+                raise RuntimeError("Numbers of reads and barcodes don't match!")
+            if not batch1:
+                break
+            self.num_reads += 2 * len(batch1)
+            for rec1, rec2 in zip(batch1, batch2):
+                self._map_one_paired_end(rec1, rec2, k, w, generator, emit)
+            log(f"Mapped {len(batch1)} read pairs.")
+        log(f"Mapped all reads in {time.time() - t_map:.2f}s.")
+        self._output_stats()
+        self._postprocess_and_write(writer)
+        writer.close()
+
+    def _map_one_paired_end(self, rec1: SequenceRecord, rec2: SequenceRecord,
+                            k: int, w: int, generator: MT19937, emit) -> None:
+        cfg = self.cfg
+        if (rec1.length < cfg.min_read_length
+                or rec2.length < cfg.min_read_length):
+            return
+        rec1.prepare_negative()
+        rec2.prepare_negative()
+        if cfg.trim_adapters:
+            trim_adapter_paired(rec1, rec2, cfg.min_read_length)
+
+        seed1 = ReadSeedState()
+        seed2 = ReadSeedState()
+        seed1.minimizers = generate_minimizers(rec1.codes(), 0, k, w)
+        seed2.minimizers = generate_minimizers(rec2.codes(), 0, k, w)
+        if not seed1.minimizers or not seed2.minimizers:
+            return
+
+        self.candidate_generator.generate(seed1)
+        self.candidate_generator.generate(seed2)
+        n1 = seed1.num_candidates()
+        n2 = seed2.num_candidates()
+
+        supplement_result = 0
+        if not cfg.split_alignment:
+            supplement_result = self.candidate_generator.supplement_candidates(
+                2 * cfg.max_insert_size, seed1, seed2)
+            n1 = seed1.num_candidates()
+            n2 = seed2.num_candidates()
+
+        if n1 > 0 and n2 > 0 and not cfg.split_alignment:
+            self.candidate_generator.reduce_candidates_paired(
+                cfg.max_insert_size, seed1, seed2)
+            n1 = seed1.num_candidates()
+            n2 = seed2.num_candidates()
+
+        if n1 == 0 or n2 == 0:
+            return
+        self.num_candidates += n1 + n2
+
+        read1 = bytes(rec1.seq)
+        read2 = bytes(rec2.seq)
+        negative_read1 = rec1.negative()
+        negative_read2 = rec2.negative()
+
+        vs1 = self.draft_generator.generate(read1, negative_read1, seed1,
+                                            self.ref_seqs, self.ref_lengths)
+        vs2 = self.draft_generator.generate(read2, negative_read2, seed2,
+                                            self.ref_seqs, self.ref_lengths)
+        if vs1.num_draft_mappings() == 0 or vs2.num_draft_mappings() == 0:
+            return
+
+        if not cfg.split_alignment:
+            vs1.positive_mappings.sort(key=lambda m: m.position)
+            vs1.negative_mappings.sort(key=lambda m: m.position)
+            vs2.positive_mappings.sort(key=lambda m: m.position)
+            vs2.negative_mappings.sort(key=lambda m: m.position)
+
+        force_mapq = -1
+        if supplement_result != 0:
+            force_mapq = 0
+
+        ctx = PairContext(
+            read_id=rec1.read_id, read1_name=rec1.name, read2_name=rec2.name,
+            read1=read1, read2=read2, negative_read1=negative_read1,
+            negative_read2=negative_read2, read1_length=rec1.length,
+            read2_length=rec2.length,
+            qual1=bytes(rec1.qual) if rec1.qual else None,
+            qual2=bytes(rec2.qual) if rec2.qual else None,
+            barcode_key=0, has_barcode=False, seed1=seed1, seed2=seed2,
+            vs1=vs1, vs2=vs2)
+        pe_state = PairedVerifyState(vs1=vs1, vs2=vs2)
+        self.selector.select_paired_end(ctx, pe_state, generator, force_mapq,
+                                        emit)
+
+        if pe_state.num_best_mappings == 1:
+            self.num_uniquely_mapped_reads += 2
+        self.num_mappings += 2 * min(pe_state.num_best_mappings,
+                                     self.cfg.max_num_best_mappings)
+        if pe_state.num_best_mappings > 0:
+            self.num_mapped_reads += 2
+
+    # --------------------------- shared post steps ---------------------------
+
+    def _output_stats(self) -> None:
+        log(f"Number of reads: {self.num_reads}.")
+        log(f"Number of mapped reads: {self.num_mapped_reads}.")
+        log(f"Number of uniquely mapped reads: "
+            f"{self.num_uniquely_mapped_reads}.")
+        log(f"Number of reads have multi-mappings: "
+            f"{self.num_mapped_reads - self.num_uniquely_mapped_reads}.")
+        log(f"Number of candidates: {self.num_candidates}.")
+        log(f"Number of mappings: {self.num_mappings}.")
+
+    def _postprocess_and_write(self, writer: MappingFileWriter) -> None:
+        cfg = self.cfg
+        if cfg.tn5_shift:
+            n = apply_tn5_shift(self.mappings_on_refs)
+            log(f"# shifted mappings: {n}.")
+        if cfg.remove_pcr_duplicates:
+            n = remove_pcr_duplicates(self.mappings_on_refs)
+            log(f"{n} mappings left after deduplication.")
+        else:
+            sort_mappings(self.mappings_on_refs)
+        if cfg.allocate_multi_mappings:
+            allocate_multi_mappings(self.mappings_on_refs,
+                                    cfg.multi_mapping_allocation_distance,
+                                    cfg.multi_mapping_allocation_seed)
+            sort_mappings(self.mappings_on_refs)
+        writer.output_mappings(self.mappings_on_refs)
+        log(f"Number of output mappings (passed filters): "
+            f"{writer.num_mappings_passing_filters}")
