@@ -1,0 +1,450 @@
+"""Batched mapping pipeline: vectorized seeding + device verification with
+exact per-read fallback.
+
+This path handles the bulk non-split formats (BED/TagAlign/PAF). Reads that
+trigger sequential-only seeding behavior (tie minimizers, cluster split
+conditions, mate-rescue supplementation, high-frequency retry) are remapped
+through the exact per-read path, so batch output is bit-identical to the
+reference pipeline.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Tuple
+
+import numpy as np
+
+from ..config import MappingConfig
+from ..index.index import MinimizerIndex
+from ..io.fastx import SequenceRecord
+from ..mapping.candidates import Candidate, CandidateGenerator, ReadSeedState
+from ..mapping.generate import DraftMappingGenerator, VerifyState
+from ..mapping.rng import MT19937
+from ..mapping.select import BestMappingSelector, PairContext, PairedVerifyState
+from ..ops.minimizer_vector import (BatchMinimizers,
+                                    batch_extract_minimizer_arrays)
+from ..utils import encode_sequence
+from .seeding import BatchCandidates, BatchSeeder
+from .verify import gather_pattern_codes, myers_batch, replay_read
+
+U32 = 0xFFFFFFFF
+
+
+class BatchMapper:
+    def __init__(self, cfg: MappingConfig, index: MinimizerIndex,
+                 reference_seqs: List[bytes], ref_lengths: List[int],
+                 selector: BestMappingSelector,
+                 candidate_generator: CandidateGenerator,
+                 draft_generator: DraftMappingGenerator):
+        self.cfg = cfg
+        self.index = index
+        self.ref_lengths = ref_lengths
+        self.selector = selector
+        self.candidate_generator = candidate_generator
+        self.draft_generator = draft_generator
+        self.seeder = BatchSeeder(index, cfg.error_threshold,
+                                  cfg.min_num_seeds_required_for_mapping,
+                                  tuple(cfg.max_seed_frequencies))
+        # concatenated reference codes for vectorized pattern gathers
+        self.ref_offsets = np.zeros(len(reference_seqs) + 1, dtype=np.int64)
+        np.cumsum(ref_lengths, out=self.ref_offsets[1:])
+        self.ref_codes = np.concatenate(
+            [encode_sequence(s) for s in reference_seqs]) \
+            if reference_seqs else np.empty(0, np.uint8)
+        self.ref_lengths_arr = np.asarray(ref_lengths, dtype=np.int64)
+
+        self.stats_num_candidates = 0
+        self.stats_num_mappings = 0
+        self.stats_num_mapped_reads = 0
+        self.stats_num_uniquely_mapped = 0
+
+    # ------------------------------------------------------------------
+    def _candidates_from_arrays(self, bc: BatchCandidates,
+                                i: int) -> Tuple[List[Candidate], List[Candidate]]:
+        ps, pn = int(bc.pos_starts[i]), int(bc.pos_nums[i])
+        ns, nn = int(bc.neg_starts[i]), int(bc.neg_nums[i])
+        pos = [Candidate(int(bc.pos_positions[j]), int(bc.pos_counts[j]))
+               for j in range(ps, ps + pn)]
+        neg = [Candidate(int(bc.neg_positions[j]), int(bc.neg_counts[j]))
+               for j in range(ns, ns + nn)]
+        return pos, neg
+
+    def _needs_supplement(self, bc: BatchCandidates, bm: BatchMinimizers,
+                          i: int) -> bool:
+        """augment_flag: no candidate supported by >= half the minimizers
+        (candidate_processor.cc:135-155)."""
+        half = int(bm.counts[i]) // 2
+        ps, pn = int(bc.pos_starts[i]), int(bc.pos_nums[i])
+        for j in range(ps, ps + pn):
+            if bc.pos_counts[j] >= half:
+                return False
+        ns, nn = int(bc.neg_starts[i]), int(bc.neg_nums[i])
+        for j in range(ns, ns + nn):
+            if bc.neg_counts[j] >= half:
+                return False
+        return True
+
+    # ------------------------------------------------------------------
+    def map_pairs(self, batch1: List[SequenceRecord],
+                  batch2: List[SequenceRecord], generator: MT19937,
+                  emit: Callable[[int, object], None],
+                  trim: bool) -> None:
+        from ..pipeline import trim_adapter_paired
+
+        cfg = self.cfg
+        n_pairs = len(batch1)
+        active: List[int] = []
+        for i, (r1, r2) in enumerate(zip(batch1, batch2)):
+            if (r1.length < cfg.min_read_length
+                    or r2.length < cfg.min_read_length):
+                continue
+            r1.prepare_negative()
+            r2.prepare_negative()
+            if trim:
+                trim_adapter_paired(r1, r2, cfg.min_read_length)
+            active.append(i)
+        if not active:
+            return
+
+        reads1 = [batch1[i].codes() for i in active]
+        reads2 = [batch2[i].codes() for i in active]
+        k = self.index.kmer_size
+        w = self.index.window_size
+        bm1 = batch_extract_minimizer_arrays(reads1, k, w)
+        bm2 = batch_extract_minimizer_arrays(reads2, k, w)
+        bc1 = self.seeder.generate(bm1, len(active))
+        bc2 = self.seeder.generate(bm2, len(active))
+
+        # classify pairs: batch-eligible vs exact fallback
+        seed_states: List[Optional[Tuple[ReadSeedState, ReadSeedState]]] = []
+        fallback_flags = np.zeros(len(active), dtype=bool)
+        for a in range(len(active)):
+            if bm1.counts[a] == 0 or bm2.counts[a] == 0:
+                seed_states.append(None)
+                continue
+            if bc1.needs_fallback[a] or bc2.needs_fallback[a]:
+                fallback_flags[a] = True
+                seed_states.append(None)
+                continue
+            n1 = bc1.pos_nums[a] + bc1.neg_nums[a]
+            n2 = bc2.pos_nums[a] + bc2.neg_nums[a]
+            if not cfg.split_alignment:
+                sup1 = self._needs_supplement(bc1, bm1, a) and n2 > 0
+                sup2 = self._needs_supplement(bc2, bm2, a) and n1 > 0
+                if sup1 or sup2:
+                    fallback_flags[a] = True
+                    seed_states.append(None)
+                    continue
+            s1 = ReadSeedState()
+            s2 = ReadSeedState()
+            s1.positive_candidates, s1.negative_candidates = \
+                self._candidates_from_arrays(bc1, a)
+            s2.positive_candidates, s2.negative_candidates = \
+                self._candidates_from_arrays(bc2, a)
+            s1.repetitive_seed_length = int(bc1.repetitive_seed_length[a])
+            s2.repetitive_seed_length = int(bc2.repetitive_seed_length[a])
+            if n1 > 0 and n2 > 0 and not cfg.split_alignment:
+                self.candidate_generator.reduce_candidates_paired(
+                    cfg.max_insert_size, s1, s2)
+            if s1.num_candidates() == 0 or s2.num_candidates() == 0:
+                seed_states.append(None)
+                continue
+            seed_states.append((s1, s2))
+
+        # exact fallback for flagged pairs (including rng consumption order:
+        # the reference consumes the thread rng in pair order, so process
+        # everything in pair order below)
+        # candidate verification for batch-eligible pairs
+        self._verify_and_select(active, batch1, batch2, bm1, bm2, seed_states,
+                                fallback_flags, generator, emit)
+
+    # ------------------------------------------------------------------
+    def _verify_and_select(self, active, batch1, batch2, bm1, bm2,
+                           seed_states, fallback_flags, generator, emit):
+        cfg = self.cfg
+        e = cfg.error_threshold
+
+        # Collect verification work: for each eligible pair, both ends, both
+        # strands, candidates in sorted (count desc, position) order.
+        work_patterns: List[np.ndarray] = []
+        work_texts: List[np.ndarray] = []
+        work_meta: List[Tuple[int, int, int, int]] = []  # (a, end, strandneg, ci)
+        per_read_cands: dict = {}
+
+        text_cache: dict = {}
+
+        for a, ss in enumerate(seed_states):
+            if ss is None:
+                continue
+            for end, (state, rec) in enumerate(
+                    ((ss[0], batch1[active[a]]), (ss[1], batch2[active[a]]))):
+                read_length = rec.length
+                state.positive_candidates.sort(key=Candidate.sort_key)
+                state.negative_candidates.sort(key=Candidate.sort_key)
+                codes = rec.codes()
+                neg_codes = encode_sequence(rec.negative())
+                for strandneg, cands in ((0, state.positive_candidates),
+                                         (1, state.negative_candidates)):
+                    arr_pos = np.array([c.position for c in cands],
+                                       dtype=np.uint64)
+                    arr_cnt = np.array([c.count for c in cands], dtype=np.int64)
+                    rids = (arr_pos >> np.uint64(32)).astype(np.int64)
+                    pos = (arr_pos & np.uint64(U32)).astype(np.int64)
+                    if strandneg:
+                        pos = pos - read_length + 1
+                        pos = pos & U32
+                    ref_len = self.ref_lengths_arr[
+                        np.minimum(rids, len(self.ref_lengths_arr) - 1)]
+                    valid = ((rids < len(self.ref_lengths_arr))
+                             & (pos >= e) & (pos < ref_len)
+                             & (pos + read_length + e < ref_len))
+                    per_read_cands[(a, end, strandneg)] = (arr_pos, arr_cnt,
+                                                          valid, pos, rids,
+                                                          read_length)
+
+        # shortcut detection must run per read before building work: the
+        # all-minimizer single-candidate shortcut skips verification
+        shortcut: dict = {}
+        for a, ss in enumerate(seed_states):
+            if ss is None:
+                continue
+            for end, state in enumerate(ss):
+                num_minimizers = int((bm1 if end == 0 else bm2).counts[a])
+                vs = VerifyState()
+                vs.min_num_errors = e + 1
+                vs.second_min_num_errors = e + 1
+                rec = (batch1 if end == 0 else batch2)[active[a]]
+                if not cfg.split_alignment and self._try_shortcut(
+                        state, num_minimizers, rec.length, a, end, vs,
+                        per_read_cands):
+                    shortcut[(a, end)] = vs
+                else:
+                    shortcut[(a, end)] = None
+
+        for (a, end, strandneg), (arr_pos, arr_cnt, valid, pos, rids,
+                                  read_length) in per_read_cands.items():
+            if shortcut.get((a, end)) is not None:
+                continue
+            rec = (batch1 if end == 0 else batch2)[active[a]]
+            key = (a, end, strandneg)
+            if strandneg:
+                text = text_cache.get((a, end, 1))
+                if text is None:
+                    text = encode_sequence(rec.negative())
+                    text_cache[(a, end, 1)] = text
+            else:
+                text = text_cache.get((a, end, 0))
+                if text is None:
+                    text = rec.codes()
+                    text_cache[(a, end, 0)] = text
+            for ci in range(len(arr_pos)):
+                if not valid[ci]:
+                    continue
+                work_meta.append((a, end, strandneg, ci))
+                start = self.ref_offsets[rids[ci]] + pos[ci] - e
+                work_patterns.append(
+                    self.ref_codes[start:start + read_length + 2 * e])
+                work_texts.append(text)
+
+        if work_meta:
+            lengths = {len(t) for t in work_texts}
+            # bucket by read length
+            results_err = np.empty(len(work_meta), dtype=np.int32)
+            results_end = np.empty(len(work_meta), dtype=np.int32)
+            meta_arr = np.arange(len(work_meta))
+            tl = np.array([len(t) for t in work_texts])
+            for L in lengths:
+                rows = np.flatnonzero(tl == L)
+                pats = np.stack([work_patterns[r] for r in rows])
+                txts = np.stack([work_texts[r] for r in rows])
+                err, endp = myers_batch(pats, txts, e, cfg.use_device)
+                results_err[rows] = err
+                results_end[rows] = endp
+
+        # replay per read-end and assemble VerifyStates
+        vs_map: dict = {}
+        work_by_read: dict = {}
+        for wi, (a, end, strandneg, ci) in enumerate(work_meta):
+            work_by_read.setdefault((a, end, strandneg), []).append((ci, wi))
+
+        num_lanes = cfg.num_vpu_lanes()
+        for a, ss in enumerate(seed_states):
+            if ss is None:
+                continue
+            for end, state in enumerate(ss):
+                vs = shortcut.get((a, end))
+                if vs is not None:
+                    vs_map[(a, end)] = vs
+                    continue
+                vs = VerifyState()
+                vs.min_num_errors = e + 1
+                vs.second_min_num_errors = e + 1
+                for strandneg in (0, 1):
+                    key = (a, end, strandneg)
+                    if key not in per_read_cands:
+                        continue
+                    (arr_pos, arr_cnt, valid, pos, rids,
+                     read_length) = per_read_cands[key]
+                    n = len(arr_pos)
+                    errors = np.full(n, e + 1, dtype=np.int32)
+                    ends = np.zeros(n, dtype=np.int32)
+                    for (ci, wi) in work_by_read.get(key, []):
+                        errors[ci] = results_err[wi]
+                        ends[ci] = results_end[wi]
+                    replay_read(vs, e, num_lanes, bool(strandneg),
+                                read_length, arr_pos, arr_cnt, valid,
+                                errors, ends)
+                vs_map[(a, end)] = vs
+
+        # selection in pair order, with exact fallback interleaved so the
+        # shared mt19937 stream is consumed in the reference's order
+        for a, i in enumerate(active):
+            rec1 = batch1[i]
+            rec2 = batch2[i]
+            if fallback_flags[a]:
+                self._map_pair_exact(rec1, rec2, generator, emit)
+                continue
+            ss = seed_states[a]
+            if ss is None:
+                continue
+            vs1 = vs_map[(a, 0)]
+            vs2 = vs_map[(a, 1)]
+            if vs1.num_draft_mappings() == 0 or vs2.num_draft_mappings() == 0:
+                self.stats_num_candidates += (ss[0].num_candidates()
+                                              + ss[1].num_candidates())
+                continue
+            self.stats_num_candidates += (ss[0].num_candidates()
+                                          + ss[1].num_candidates())
+            if not cfg.split_alignment:
+                vs1.positive_mappings.sort(key=lambda m: m.position)
+                vs1.negative_mappings.sort(key=lambda m: m.position)
+                vs2.positive_mappings.sort(key=lambda m: m.position)
+                vs2.negative_mappings.sort(key=lambda m: m.position)
+            ctx = PairContext(
+                read_id=rec1.read_id, read1_name=rec1.name,
+                read2_name=rec2.name, read1=bytes(rec1.seq),
+                read2=bytes(rec2.seq), negative_read1=rec1.negative(),
+                negative_read2=rec2.negative(), read1_length=rec1.length,
+                read2_length=rec2.length,
+                qual1=bytes(rec1.qual) if rec1.qual else None,
+                qual2=bytes(rec2.qual) if rec2.qual else None,
+                barcode_key=0, has_barcode=False, seed1=ss[0], seed2=ss[1],
+                vs1=vs1, vs2=vs2)
+            pe_state = PairedVerifyState(vs1=vs1, vs2=vs2)
+            self.selector.select_paired_end(ctx, pe_state, generator,
+                                            -1, emit)
+            if pe_state.num_best_mappings == 1:
+                self.stats_num_uniquely_mapped += 2
+            self.stats_num_mappings += 2 * min(pe_state.num_best_mappings,
+                                               cfg.max_num_best_mappings)
+            if pe_state.num_best_mappings > 0:
+                self.stats_num_mapped_reads += 2
+
+    def _try_shortcut(self, state: ReadSeedState, num_minimizers: int,
+                      read_length: int, a: int, end: int, vs: VerifyState,
+                      per_read_cands: dict) -> bool:
+        """All-minimizer single-candidate shortcut (dmg.cc:72-157)."""
+        from ..mapping.generate import DraftMapping
+
+        if state.num_candidates() != 1:
+            return False
+        hit_negative = False
+        num_hits = 0
+        cand = None
+        for c in state.positive_candidates:
+            if c.count == num_minimizers:
+                cand = c
+                num_hits += 1
+        for c in state.negative_candidates:
+            if c.count == num_minimizers:
+                cand = c
+                hit_negative = True
+                num_hits += 1
+        if num_hits != 1:
+            return False
+        vs.min_num_errors = 0
+        vs.num_best_mappings = 1
+        vs.num_second_best_mappings = 0
+        rid = cand.rid
+        position = cand.ref_position
+        if hit_negative:
+            position = (position - read_length + 1) & U32
+        e = self.cfg.error_threshold
+        ref_len = self.ref_lengths[rid] if rid < len(self.ref_lengths) else 0
+        if (position < e or position >= ref_len
+                or position + read_length + e >= ref_len):
+            return False
+        if hit_negative:
+            vs.negative_mappings.append(DraftMapping(0, cand.position))
+        else:
+            vs.positive_mappings.append(
+                DraftMapping(0, cand.position + read_length - 1))
+        return True
+
+    def _map_pair_exact(self, rec1: SequenceRecord, rec2: SequenceRecord,
+                        generator: MT19937, emit) -> None:
+        """Exact per-read path for fallback pairs (same as slow pipeline)."""
+        cfg = self.cfg
+        from ..index.minimizers import generate_minimizers
+
+        k = self.index.kmer_size
+        w = self.index.window_size
+        seed1 = ReadSeedState()
+        seed2 = ReadSeedState()
+        seed1.minimizers = generate_minimizers(rec1.codes(), 0, k, w)
+        seed2.minimizers = generate_minimizers(rec2.codes(), 0, k, w)
+        if not seed1.minimizers or not seed2.minimizers:
+            return
+        self.candidate_generator.generate(seed1)
+        self.candidate_generator.generate(seed2)
+        n1 = seed1.num_candidates()
+        n2 = seed2.num_candidates()
+        supplement_result = 0
+        if not cfg.split_alignment:
+            supplement_result = self.candidate_generator.supplement_candidates(
+                2 * cfg.max_insert_size, seed1, seed2)
+            n1 = seed1.num_candidates()
+            n2 = seed2.num_candidates()
+        if n1 > 0 and n2 > 0 and not cfg.split_alignment:
+            self.candidate_generator.reduce_candidates_paired(
+                cfg.max_insert_size, seed1, seed2)
+            n1 = seed1.num_candidates()
+            n2 = seed2.num_candidates()
+        if n1 == 0 or n2 == 0:
+            return
+        self.stats_num_candidates += n1 + n2
+        read1 = bytes(rec1.seq)
+        read2 = bytes(rec2.seq)
+        negative_read1 = rec1.negative()
+        negative_read2 = rec2.negative()
+        ref_seqs = self.selector.reference_seqs
+        vs1 = self.draft_generator.generate(read1, negative_read1, seed1,
+                                            ref_seqs, self.ref_lengths)
+        vs2 = self.draft_generator.generate(read2, negative_read2, seed2,
+                                            ref_seqs, self.ref_lengths)
+        if vs1.num_draft_mappings() == 0 or vs2.num_draft_mappings() == 0:
+            return
+        if not cfg.split_alignment:
+            vs1.positive_mappings.sort(key=lambda m: m.position)
+            vs1.negative_mappings.sort(key=lambda m: m.position)
+            vs2.positive_mappings.sort(key=lambda m: m.position)
+            vs2.negative_mappings.sort(key=lambda m: m.position)
+        force_mapq = 0 if supplement_result != 0 else -1
+        ctx = PairContext(
+            read_id=rec1.read_id, read1_name=rec1.name, read2_name=rec2.name,
+            read1=read1, read2=read2, negative_read1=negative_read1,
+            negative_read2=negative_read2, read1_length=rec1.length,
+            read2_length=rec2.length,
+            qual1=bytes(rec1.qual) if rec1.qual else None,
+            qual2=bytes(rec2.qual) if rec2.qual else None,
+            barcode_key=0, has_barcode=False, seed1=seed1, seed2=seed2,
+            vs1=vs1, vs2=vs2)
+        pe_state = PairedVerifyState(vs1=vs1, vs2=vs2)
+        self.selector.select_paired_end(ctx, pe_state, generator, force_mapq,
+                                        emit)
+        if pe_state.num_best_mappings == 1:
+            self.stats_num_uniquely_mapped += 2
+        self.stats_num_mappings += 2 * min(pe_state.num_best_mappings,
+                                           cfg.max_num_best_mappings)
+        if pe_state.num_best_mappings > 0:
+            self.stats_num_mapped_reads += 2

@@ -83,6 +83,9 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU execution
     p.add_argument("--device", action="store_true",
                    help="route hot kernels through JAX/Pallas on TPU")
+    p.add_argument("--engine", type=str, default="auto",
+                   choices=["auto", "batch", "per_read"],
+                   help="mapping engine selection")
     return p
 
 
@@ -226,6 +229,7 @@ def parse_args_and_run(argv: Optional[List[str]] = None) -> int:
     if args.output_mappings_not_in_whitelist:
         cfg.output_mappings_not_in_whitelist = True
     cfg.use_device = args.device
+    cfg.engine = args.engine
 
     from .pipeline import MappingPipeline
     pipeline = MappingPipeline(cfg)

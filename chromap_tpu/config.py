@@ -73,6 +73,20 @@ class MappingConfig:
     use_device: bool = False          # route hot kernels through JAX/Pallas
     device_batch_size: int = 500000   # reads per device dispatch
     read_batch_size: int = 500000
+    # engine: "auto" picks the batched path for bulk non-split formats,
+    # "per_read" forces the exact sequential path, "batch" forces batching
+    engine: str = "auto"
+
+    def batch_engine_eligible(self, paired: bool) -> bool:
+        if self.engine == "per_read":
+            return False
+        if self.split_alignment or self.output_format == "sam":
+            return False
+        if not self.is_bulk_data:
+            return False
+        if self.error_threshold >= 16:
+            return False
+        return True
 
     def num_vpu_lanes(self) -> int:
         if self.error_threshold < 8:

@@ -21,6 +21,22 @@ from ..utils import hash64_np
 
 UMAX = 0xFFFFFFFFFFFFFFFF
 
+# Reusable uint64 buffer arena: on this host, first-touch page faults on
+# fresh large allocations dominate genome-scale runs, so scratch buffers are
+# recycled across calls (keyed by length).
+_ARENA: dict = {}
+
+
+def _arena_take(n: int) -> np.ndarray:
+    bucket = _ARENA.get(n)
+    if bucket:
+        return bucket.pop()
+    return np.empty(n, dtype=np.uint64)
+
+
+def _arena_give(arr: np.ndarray) -> None:
+    _ARENA.setdefault(len(arr), []).append(arr)
+
 
 def kmer_hashes(codes: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Per-position canonical kmer hash.
@@ -39,38 +55,70 @@ def kmer_hashes(codes: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray, np.n
                 np.zeros(n, dtype=np.uint8), np.zeros(n, dtype=bool))
 
     valid_base = codes < 4
-    # unambiguous run length ending at each position
-    run = np.zeros(n, dtype=np.int64)
-    acc = 0
-    invalid_idx = np.flatnonzero(~valid_base)
-    # run[p] = p - last_invalid_at_or_before(p)
-    last_invalid = np.full(n, -1, dtype=np.int64)
-    if len(invalid_idx) > 0:
-        fill = np.zeros(n, dtype=np.int64)
-        fill[invalid_idx] = 1
-        # index of most recent invalid position <= p
-        cummax = np.maximum.accumulate(np.where(fill > 0, np.arange(n), -1))
-        last_invalid = cummax
+    last_invalid = np.maximum.accumulate(
+        np.where(~valid_base, np.arange(n), -1))
     run = np.arange(n) - last_invalid
-    del acc
 
-    # Rolling fwd/rc registers ignoring invalid bases (register persists on N,
-    # matching the reference; only positions with run >= k are valid anyway).
+    # Packed kmer values via binary doubling: V_m[p] = value of the m bases
+    # ending at p; V_{m1+m2}[p] = V_{m1}[p-m2] << (2*m2) | V_{m2}[p]. N bases
+    # contribute 0 here, but positions whose kmer spans an N have run < k and
+    # are masked invalid below (matching the reference's register persistence
+    # across Ns -- only run >= k positions are ever read).
     b = np.where(valid_base, codes, 0).astype(np.uint64)
-    fwd = np.zeros(n, dtype=np.uint64)
-    rc = np.zeros(n, dtype=np.uint64)
-    # windows of the last k *characters* are correct wherever run >= k,
-    # because by then all register content comes from valid bases.
-    from numpy.lib.stride_tricks import sliding_window_view
-    win = sliding_window_view(b, k)  # (n-k+1, k)
-    powers_fwd = (np.uint64(2) * np.arange(k - 1, -1, -1, dtype=np.uint64))
-    powers_rc = (np.uint64(2) * np.arange(k, dtype=np.uint64))
+    brc = np.where(valid_base, codes ^ 3, 3).astype(np.uint64)
+
+    scratch = _arena_take(n)
+
+    def combine(v1: np.ndarray, m1: int, v2: np.ndarray, m2: int,
+                reverse: bool, out: np.ndarray = None) -> np.ndarray:
+        """Window value for [p-m1-m2+1 .. p]: earlier part v1 (length m1,
+        taken at p-m2), later part v2 (length m2, taken at p)."""
+        if out is None:
+            out = _arena_take(n)
+        t = scratch[m2:]
+        if reverse:
+            np.left_shift(v2[m2:], np.uint64(2 * m1), out=t)
+            np.bitwise_or(t, v1[:-m2], out=out[m2:])
+        else:
+            np.left_shift(v1[:-m2], np.uint64(2 * m2), out=t)
+            np.bitwise_or(t, v2[m2:], out=out[m2:])
+        out[:m2] = v2[:m2]  # garbage prefix; masked by run < k
+        return out
+
+    def packed_values(vals: np.ndarray, reverse: bool) -> np.ndarray:
+        needed = {1 << b for b in range(k.bit_length()) if k & (1 << b)}
+        pieces = {1: vals}
+        m = 1
+        while m * 2 <= k:
+            recycled = None
+            if m > 1 and m not in needed:
+                recycled = pieces.pop(m)
+                pieces[2 * m] = combine(recycled, m, recycled, m, reverse,
+                                        out=recycled)
+            else:
+                pieces[2 * m] = combine(pieces[m], m, pieces[m], m, reverse)
+            m *= 2
+        acc = None
+        acc_len = 0
+        for bit in reversed(range(k.bit_length())):
+            p = 1 << bit
+            if k & p:
+                if acc is None:
+                    acc, acc_len = pieces.pop(p), p
+                    if acc is vals:  # k == 1 edge case
+                        acc = acc.copy()
+                else:
+                    acc = combine(acc, acc_len, pieces[p], p, reverse, out=acc)
+                    acc_len += p
+        for arr in pieces.values():
+            if arr is not vals:
+                _arena_give(arr)
+        np.bitwise_and(acc, mask, out=acc)
+        return acc
+
     with np.errstate(over="ignore"):
-        fwd_win = (win << powers_fwd[None, :]).sum(axis=1, dtype=np.uint64) & mask
-        rc_win = ((np.uint64(3) ^ win) << powers_rc[None, :]).sum(
-            axis=1, dtype=np.uint64) & mask
-    fwd[k - 1:] = fwd_win
-    rc[k - 1:] = rc_win
+        fwd = packed_values(b, reverse=False)
+        rc = packed_values(brc, reverse=True)
 
     kmer_valid = run >= k
     symmetric = (fwd == rc) & kmer_valid
@@ -86,28 +134,26 @@ def kmer_hashes(codes: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray, np.n
     return h, strand, symmetric
 
 
-def generate_minimizers(codes: np.ndarray, sequence_index: int, k: int,
-                        w: int) -> List[Tuple[int, int]]:
-    """Exact oracle. Returns list of (hash, hit) in emission order.
+def run_state_machine(hashes: np.ndarray, strands: np.ndarray,
+                      symmetric: np.ndarray, valid_base: np.ndarray,
+                      start: int, end: int, sequence_index: int, k: int,
+                      w: int, initial_unambiguous_length: int = 0,
+                      emit_final_flush: bool = True) -> List[Tuple[int, int]]:
+    """Exact emission state machine over precomputed per-position hashes.
 
-    hit = (sequence_index << 33) | (end_position << 1) | strand.
+    Iterates positions [start, end); pass initial_unambiguous_length =
+    run-length ending at start-1 when starting mid-sequence (used by the
+    vectorized path's tie-region fallback).
     """
-    n = len(codes)
-    hashes, strands, symmetric = kmer_hashes(codes, k)
-    run_valid = None  # computed inside kmer_hashes
-
-    # recompute run lengths (unambiguous_length in the reference)
-    valid_base = codes < 4
     out: List[Tuple[int, int]] = []
-
     buffer = [(UMAX, UMAX)] * w
     min_seed = (UMAX, UMAX)
     min_position = 0
     position_in_buffer = 0
-    unambiguous_length = 0
+    unambiguous_length = initial_unambiguous_length
     seq_hi = sequence_index << 33
 
-    for p in range(n):
+    for p in range(start, end):
         if valid_base[p]:
             if symmetric[p]:
                 # symmetric kmer: does not occupy a window slot
@@ -163,9 +209,22 @@ def generate_minimizers(codes: np.ndarray, sequence_index: int, k: int,
         if position_in_buffer == w:
             position_in_buffer = 0
 
-    if min_seed[0] != UMAX:
+    if emit_final_flush and min_seed[0] != UMAX:
         out.append(min_seed)
     return out
+
+
+def generate_minimizers(codes: np.ndarray, sequence_index: int, k: int,
+                        w: int) -> List[Tuple[int, int]]:
+    """Exact oracle. Returns list of (hash, hit) in emission order.
+
+    hit = (sequence_index << 33) | (end_position << 1) | strand.
+    """
+    n = len(codes)
+    hashes, strands, symmetric = kmer_hashes(codes, k)
+    valid_base = codes < 4
+    return run_state_machine(hashes, strands, symmetric, valid_base, 0, n,
+                             sequence_index, k, w)
 
 
 def generate_minimizers_arrays(codes: np.ndarray, sequence_index: int, k: int,

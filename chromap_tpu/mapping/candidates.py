@@ -188,8 +188,9 @@ class CandidateGenerator:
                     or (minimizer_count >= num_minimizers
                         and cur_pos > ((best_local_hit + e) & U32))):
                 if minimizer_count >= num_seeds_required:
+                    # uint8 assignment wraps mod 256 in the reference
                     candidates.append(Candidate(position=best_local_hit,
-                                                count=min(best_equal_count, 255)))
+                                                count=best_equal_count & 0xFF))
                 minimizer_count = 1
                 equal_count = 1
                 best_equal_count = 1

@@ -261,6 +261,14 @@ class MappingPipeline:
         def emit(rid: int, record: object) -> None:
             self.mappings_on_refs[rid].append(record)
 
+        batch_mapper = None
+        if cfg.batch_engine_eligible(paired=True):
+            from .batch.pipeline import BatchMapper
+            batch_mapper = BatchMapper(cfg, self.index, self.ref_seqs,
+                                       self.ref_lengths, self.selector,
+                                       self.candidate_generator,
+                                       self.draft_generator)
+
         generator = MT19937(11)
         t_map = time.time()
         while True:
@@ -271,9 +279,19 @@ class MappingPipeline:
             if not batch1:
                 break
             self.num_reads += 2 * len(batch1)
-            for rec1, rec2 in zip(batch1, batch2):
-                self._map_one_paired_end(rec1, rec2, k, w, generator, emit)
+            if batch_mapper is not None:
+                batch_mapper.map_pairs(batch1, batch2, generator, emit,
+                                       trim=cfg.trim_adapters)
+            else:
+                for rec1, rec2 in zip(batch1, batch2):
+                    self._map_one_paired_end(rec1, rec2, k, w, generator, emit)
             log(f"Mapped {len(batch1)} read pairs.")
+        if batch_mapper is not None:
+            self.num_candidates += batch_mapper.stats_num_candidates
+            self.num_mappings += batch_mapper.stats_num_mappings
+            self.num_mapped_reads += batch_mapper.stats_num_mapped_reads
+            self.num_uniquely_mapped_reads += \
+                batch_mapper.stats_num_uniquely_mapped
         log(f"Mapped all reads in {time.time() - t_map:.2f}s.")
         self._output_stats()
         self._postprocess_and_write(writer)

@@ -66,16 +66,35 @@ def hash64(key: int, mask: int) -> int:
 
 
 def hash64_np(keys: np.ndarray, mask: np.uint64) -> np.ndarray:
-    """Vectorized hash64 over uint64 arrays."""
+    """Vectorized hash64 over uint64 arrays (in-place temporaries to stay
+    memory-bandwidth friendly on genome-scale inputs)."""
+    u = np.uint64
     with np.errstate(over="ignore"):
-        k = keys.astype(np.uint64)
-        k = (~k + (k << np.uint64(21))) & mask
-        k = k ^ (k >> np.uint64(24))
-        k = (k + (k << np.uint64(3)) + (k << np.uint64(8))) & mask
-        k = k ^ (k >> np.uint64(14))
-        k = (k + (k << np.uint64(2)) + (k << np.uint64(4))) & mask
-        k = k ^ (k >> np.uint64(28))
-        k = (k + (k << np.uint64(31))) & mask
+        k = keys.astype(np.uint64, copy=True)
+        t = np.left_shift(k, u(21))
+        np.subtract(t, k, out=t)
+        np.subtract(t, u(1), out=t)          # (~k + (k<<21)) == (k<<21) - k - 1
+        np.bitwise_and(t, mask, out=t)
+        k, t = t, k
+        np.right_shift(k, u(24), out=t)
+        np.bitwise_xor(k, t, out=k)
+        np.left_shift(k, u(3), out=t)
+        np.add(t, k, out=t)
+        np.left_shift(k, u(8), out=k)
+        np.add(k, t, out=k)
+        np.bitwise_and(k, mask, out=k)
+        np.right_shift(k, u(14), out=t)
+        np.bitwise_xor(k, t, out=k)
+        np.left_shift(k, u(2), out=t)
+        np.add(t, k, out=t)
+        np.left_shift(k, u(4), out=k)
+        np.add(k, t, out=k)
+        np.bitwise_and(k, mask, out=k)
+        np.right_shift(k, u(28), out=t)
+        np.bitwise_xor(k, t, out=k)
+        np.left_shift(k, u(31), out=t)
+        np.add(k, t, out=k)
+        np.bitwise_and(k, mask, out=k)
     return k
 
 

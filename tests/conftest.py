@@ -2,8 +2,12 @@ import os
 import pathlib
 
 # Device tests run on a virtual 8-device CPU mesh; set before JAX import.
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Note: this environment pins JAX_PLATFORMS=axon via sitecustomize, so the
+# override must go through JAX_PLATFORM_NAME (which the plugin honors).
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8")
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import pytest
 
