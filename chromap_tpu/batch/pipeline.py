@@ -118,6 +118,7 @@ class BatchMapper:
         # classify pairs: batch-eligible vs exact fallback
         seed_states: List[Optional[Tuple[ReadSeedState, ReadSeedState]]] = []
         fallback_flags = np.zeros(len(active), dtype=bool)
+        force_mapqs = np.full(len(active), -1, dtype=np.int64)
         for a in range(len(active)):
             if bm1.counts[a] == 0 or bm2.counts[a] == 0:
                 seed_states.append(None)
@@ -128,13 +129,6 @@ class BatchMapper:
                 continue
             n1 = bc1.pos_nums[a] + bc1.neg_nums[a]
             n2 = bc2.pos_nums[a] + bc2.neg_nums[a]
-            if not cfg.split_alignment:
-                sup1 = self._needs_supplement(bc1, bm1, a) and n2 > 0
-                sup2 = self._needs_supplement(bc2, bm2, a) and n1 > 0
-                if sup1 or sup2:
-                    fallback_flags[a] = True
-                    seed_states.append(None)
-                    continue
             s1 = ReadSeedState()
             s2 = ReadSeedState()
             s1.positive_candidates, s1.negative_candidates = \
@@ -143,6 +137,19 @@ class BatchMapper:
                 self._candidates_from_arrays(bc2, a)
             s1.repetitive_seed_length = int(bc1.repetitive_seed_length[a])
             s2.repetitive_seed_length = int(bc2.repetitive_seed_length[a])
+            if not cfg.split_alignment:
+                sup1 = self._needs_supplement(bc1, bm1, a) and n2 > 0
+                sup2 = self._needs_supplement(bc2, bm2, a) and n1 > 0
+                if sup1 or sup2:
+                    # mate rescue in place; minimizer lists needed
+                    s1.minimizers = bm1.read_minimizers(a)
+                    s2.minimizers = bm2.read_minimizers(a)
+                    result = self.candidate_generator.supplement_candidates(
+                        2 * cfg.max_insert_size, s1, s2)
+                    if result != 0:
+                        force_mapqs[a] = 0
+                    n1 = s1.num_candidates()
+                    n2 = s2.num_candidates()
             if n1 > 0 and n2 > 0 and not cfg.split_alignment:
                 self.candidate_generator.reduce_candidates_paired(
                     cfg.max_insert_size, s1, s2)
@@ -151,16 +158,16 @@ class BatchMapper:
                 continue
             seed_states.append((s1, s2))
 
-        # exact fallback for flagged pairs (including rng consumption order:
-        # the reference consumes the thread rng in pair order, so process
-        # everything in pair order below)
-        # candidate verification for batch-eligible pairs
+        # candidate verification for batch-eligible pairs; exact fallback
+        # is interleaved in pair order so the shared mt19937 stream is
+        # consumed in the reference's order
         self._verify_and_select(active, batch1, batch2, bm1, bm2, seed_states,
-                                fallback_flags, generator, emit)
+                                fallback_flags, force_mapqs, generator, emit)
 
     # ------------------------------------------------------------------
     def _verify_and_select(self, active, batch1, batch2, bm1, bm2,
-                           seed_states, fallback_flags, generator, emit):
+                           seed_states, fallback_flags, force_mapqs,
+                           generator, emit):
         cfg = self.cfg
         e = cfg.error_threshold
 
@@ -332,7 +339,7 @@ class BatchMapper:
                 vs1=vs1, vs2=vs2)
             pe_state = PairedVerifyState(vs1=vs1, vs2=vs2)
             self.selector.select_paired_end(ctx, pe_state, generator,
-                                            -1, emit)
+                                            int(force_mapqs[a]), emit)
             if pe_state.num_best_mappings == 1:
                 self.stats_num_uniquely_mapped += 2
             self.stats_num_mappings += 2 * min(pe_state.num_best_mappings,

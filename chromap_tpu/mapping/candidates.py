@@ -292,6 +292,7 @@ class CandidateGenerator:
         rep = RepetitiveSeedAccumulator(k, index.window_size)
         hits: List[int] = []
         want_same = not strand_negative  # kPositive wants same-strand hits
+        want_bit = None  # computed per minimizer below
         for (mhash, read_hit) in minimizers:
             occ = index.lookup(mhash)
             if occ is None:
@@ -304,13 +305,20 @@ class CandidateGenerator:
                     hits.append(_candidate_position_from_hits(k, ref_hit, read_hit))
                 continue
             num_occ = len(occ)
+            occ_cand = (occ >> np.uint64(1)).astype(np.int64)
+            if want_same:
+                strand_ok = (occ & np.uint64(1)) == np.uint64(read_hit & 1)
+            else:
+                strand_ok = (occ & np.uint64(1)) != np.uint64(read_hit & 1)
             prev_l = 0
             for (bstart, bend) in merged:
-                # binary search over occurrence "candidate positions" (hit>>1)
+                # the reference's manual binary search: its final midpoint m
+                # can land one entry *before* the boundary start, and the
+                # collection scans forward from m -- reproduced exactly
                 lo, m, hi = prev_l, 0, num_occ - 1
                 while lo <= hi:
                     m = (lo + hi) // 2
-                    cand_pos = int(occ[m]) >> 1
+                    cand_pos = int(occ_cand[m])
                     if cand_pos < bstart:
                         lo = m + 1
                     elif cand_pos > bstart:
@@ -318,13 +326,17 @@ class CandidateGenerator:
                     else:
                         break
                 prev_l = m
-                for oi in range(m, num_occ):
-                    ref_hit = int(occ[oi])
-                    if (ref_hit >> 1) > bend:
-                        break
-                    on_same = (ref_hit & 1) == (read_hit & 1)
-                    if on_same == want_same:
-                        hits.append(_candidate_position_from_hits(k, ref_hit, read_hit))
+                end = int(np.searchsorted(occ_cand[m:], bend, side="right")) + m
+                sel = np.flatnonzero(strand_ok[m:end]) + m
+                if len(sel):
+                    ref_pos = occ_cand[sel] & U32
+                    if want_same:
+                        starts = (ref_pos - read_pos) & U32
+                    else:
+                        starts = (ref_pos + read_pos - k + 1) & U32
+                    rids = (occ[sel] >> np.uint64(33)).astype(np.int64)
+                    cands = (rids << 32) | starts
+                    hits.extend(int(c) for c in cands)
             if num_occ >= f0:
                 rep.update(read_pos)
         hits.sort()

@@ -1,0 +1,56 @@
+"""Deterministic read/genome simulator shared by tests and bench.
+
+The fixed seed makes outputs reproducible; the committed goldens in
+tests/golden/sim_* were produced by the reference chromap binary
+(0.3.3-r521) on exactly these files.
+"""
+
+import numpy as np
+
+COMP = dict(zip(b"ACGTN", b"TGCAN"))
+
+
+def rc(s: bytes) -> bytes:
+    return bytes(COMP[c] for c in reversed(s))
+
+
+def write_simulated_dataset(out_dir: str, num_pairs: int = 5000,
+                            seed: int = 123, read_length: int = 100,
+                            genome_core: int = 300_000) -> None:
+    import os
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 4, genome_core)
+    genome = np.concatenate([base,
+                             base[genome_core // 3: genome_core // 3
+                                  + genome_core * 2 // 15],
+                             rng.integers(0, 4, genome_core // 3)])
+    garr = np.frombuffer(b"ACGT", dtype=np.uint8)[genome].copy()
+    for p in rng.integers(0, len(garr), 30):
+        garr[p] = ord("N")
+    with open(f"{out_dir}/ref.fa", "wb") as f:
+        f.write(b">chr1\n")
+        for i in range(0, len(garr), 70):
+            f.write(garr[i:i + 70].tobytes() + b"\n")
+
+    L = read_length
+    with open(f"{out_dir}/r1.fq", "wb") as r1f, \
+            open(f"{out_dir}/r2.fq", "wb") as r2f:
+        for i in range(num_pairs):
+            frag = int(rng.integers(150, 500))
+            p = int(rng.integers(0, len(garr) - frag))
+            fseq = garr[p:p + frag].tobytes()
+            s1 = bytearray(fseq[:L])
+            s2 = bytearray(rc(fseq)[:L])
+            for s in (s1, s2):
+                for _ in range(rng.integers(0, 7)):
+                    s[rng.integers(0, L)] = b"ACGT"[rng.integers(0, 4)]
+                if rng.random() < 0.15:
+                    q = int(rng.integers(10, L - 10))
+                    del s[q]
+                    s.append(b"ACGT"[rng.integers(0, 4)])
+            qual = bytes(33 + rng.integers(20, 40, L).astype(np.uint8))
+            r1f.write(b"@sim." + str(i).encode() + b"/1\n" + bytes(s1)
+                      + b"\n+\n" + qual + b"\n")
+            r2f.write(b"@sim." + str(i).encode() + b"/2\n" + bytes(s2)
+                      + b"\n+\n" + qual + b"\n")

@@ -1,0 +1,48 @@
+"""Parity on a 5000-pair simulated dataset (indels, repeats, Ns) against
+goldens produced by the reference chromap binary, for both engines.
+
+Covers: mate rescue supplementation, paired candidate reduction, SIMD-group
+verification order, PCR dedup, mt19937 reservoir sampling (-n 3) and
+discrete_distribution multi-mapping allocation.
+"""
+
+import subprocess
+import sys
+
+import pytest
+
+from .simulate import write_simulated_dataset
+
+
+@pytest.fixture(scope="module")
+def sim_data(tmp_path_factory):
+    d = tmp_path_factory.mktemp("sim")
+    write_simulated_dataset(str(d))
+    args = [sys.executable, "-m", "chromap_tpu.cli", "-i",
+            "-r", f"{d}/ref.fa", "-o", f"{d}/index"]
+    subprocess.run(args, check=True, capture_output=True)
+    return d
+
+
+CASES = [
+    ("sim_default.bed", [], ["batch", "per_read"]),
+    ("sim_chip.bed", ["-l", "2000", "--remove-pcr-duplicates"], ["batch"]),
+    ("sim_n3.bed", ["-n", "3", "-q", "0"], ["batch"]),
+    ("sim_alloc.bed", ["--allocate-multi-mappings", "-q", "0"], ["batch"]),
+]
+
+
+@pytest.mark.parametrize("golden,extra,engines", CASES,
+                         ids=[c[0] for c in CASES])
+def test_sim_parity(golden, extra, engines, sim_data, golden_dir, tmp_path):
+    for engine in engines:
+        out = tmp_path / f"{engine}_{golden}"
+        args = [sys.executable, "-m", "chromap_tpu.cli",
+                "--engine", engine,
+                "-x", f"{sim_data}/index", "-r", f"{sim_data}/ref.fa",
+                "-1", f"{sim_data}/r1.fq", "-2", f"{sim_data}/r2.fq",
+                "-o", str(out)] + extra
+        result = subprocess.run(args, capture_output=True, text=True)
+        assert result.returncode == 0, result.stderr
+        assert out.read_bytes() == (golden_dir / golden).read_bytes(), \
+            f"{golden} differs under engine={engine}"
