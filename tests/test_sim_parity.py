@@ -10,8 +10,9 @@ import subprocess
 import sys
 
 import pytest
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
 
-from .simulate import write_simulated_dataset
+from simulate import write_simulated_dataset
 
 
 @pytest.fixture(scope="module")
