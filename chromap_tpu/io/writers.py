@@ -44,12 +44,8 @@ class MappingFileWriter:
                                                      self.cell_barcode_length)
         if self.cell_barcode_length == 0:
             return b"N"
-        # decode 2-bit packed barcode back to ASCII
-        out = bytearray()
-        for i in range(self.cell_barcode_length):
-            shift = 2 * (self.cell_barcode_length - 1 - i)
-            out.append(b"ACGT"[(barcode >> shift) & 3])
-        return bytes(out)
+        from ..barcode.translate import seed_to_sequence
+        return seed_to_sequence(barcode, self.cell_barcode_length)
 
     # ------------------------------ header ------------------------------
 
@@ -75,6 +71,8 @@ class MappingFileWriter:
     # --------------------------- bulk output ----------------------------
 
     def output_mappings(self, mappings_on_refs: List[List[object]]) -> None:
+        from ..summary import DUP, LOWMAPQ, MAPPED
+
         threshold = self.cfg.mapq_threshold
         for rid, lst in enumerate(mappings_on_refs):
             for m in lst:
@@ -82,14 +80,14 @@ class MappingFileWriter:
                     self.append_mapping(rid, m)
                     self.num_mappings_passing_filters += 1
                     if self.summary is not None:
-                        self.summary.update_count(m.barcode if hasattr(m, "barcode") else 0,
-                                                  "dup", m.num_dups - 1)
+                        self.summary.update_count(getattr(m, "barcode", 0),
+                                                  DUP, m.num_dups - 1)
                 elif self.summary is not None:
                     self.summary.update_count(getattr(m, "barcode", 0),
-                                              "lowmapq", m.num_dups)
+                                              LOWMAPQ, m.num_dups)
                 if self.summary is not None:
                     self.summary.update_count(getattr(m, "barcode", 0),
-                                              "mapped", m.num_dups)
+                                              MAPPED, m.num_dups)
 
     # -------------------------- per-record append -----------------------
 

@@ -150,6 +150,61 @@ def banded_distance_batch(patterns: np.ndarray, texts: np.ndarray,
     return (np.asarray(errors[:n]), np.asarray(endpos[:n]))
 
 
+@functools.partial(jax.jit, static_argnames=("e", "read_length"))
+def myers_jnp(patterns_T: jax.Array, texts_T: jax.Array, e: int,
+              read_length: int) -> Tuple[jax.Array, jax.Array]:
+    """Pure-jnp Myers batch (no Pallas): same math as the kernel, runs on
+    any backend; used by the CPU-mesh dryrun and as a portable fallback.
+
+    patterns_T: (L+2e, N) int32 codes; texts_T: (L, N)."""
+    L = read_length
+    n = patterns_T.shape[1]
+    highest = jnp.int32(1 << (2 * e))
+    zeros = jnp.zeros((n,), jnp.int32)
+
+    def set_highest(peq, row):
+        return [jnp.where(row == c, peq[c] | highest, peq[c])
+                for c in range(5)]
+
+    peq = [zeros] * 5
+    for i in range(2 * e):
+        peq = set_highest(peq, patterns_T[i])
+        peq = [p >> 1 for p in peq]
+
+    def step(carry, xs):
+        vp, vn, num_err, p0, p1, p2, p3, p4 = carry
+        prow, trow = xs
+        peq = set_highest([p0, p1, p2, p3, p4], prow)
+        x = jnp.where(trow == 0, peq[0],
+            jnp.where(trow == 1, peq[1],
+            jnp.where(trow == 2, peq[2],
+            jnp.where(trow == 3, peq[3], peq[4]))))
+        x = x | vn
+        d0 = ((vp + (x & vp)) ^ vp) | x
+        hn = vp & d0
+        hp = vn | ~(vp | d0)
+        x2 = (d0 >> 1) & _M31
+        vn_new = x2 & hp
+        vp_new = hn | ~(x2 | hp)
+        num_err = num_err + 1 - (d0 & 1)
+        peq = [(p >> 1) & _M31 for p in peq]
+        return (vp_new, vn_new, num_err) + tuple(peq), None
+
+    init = (zeros, zeros, zeros) + tuple(peq)
+    (vp, vn, num_err, *_), _ = jax.lax.scan(
+        step, init, (patterns_T[2 * e:2 * e + L], texts_T[:L]))
+
+    band_start = L - 1
+    min_err = num_err
+    end_pos = jnp.full((n,), band_start, jnp.int32)
+    for i in range(2 * e):
+        num_err = num_err + ((vp >> i) & 1) - ((vn >> i) & 1)
+        better = (num_err < min_err) | ((num_err == min_err) & (i + 1 == e))
+        end_pos = jnp.where(better, band_start + 1 + i, end_pos)
+        min_err = jnp.minimum(min_err, num_err)
+    return min_err, end_pos
+
+
 def banded_distance_batch_numpy(patterns: np.ndarray, texts: np.ndarray,
                                 e: int) -> Tuple[np.ndarray, np.ndarray]:
     """Vectorized numpy implementation (uint32 exact) for testing and CPU

@@ -149,6 +149,38 @@ class MappingPipeline:
         log(f"Kmer size: {self.index.kmer_size}, "
             f"window size: {self.index.window_size}.")
 
+        # ---- single-cell barcode subsystem (chromap.h:754-761) ----
+        self.barcode_length = 0
+        self.whitelist = None
+        self.translator = None
+        self.summary = None
+        self.kminhash_per_barcode = {}
+        self.num_barcode_in_whitelist = 0
+        self.num_corrected_barcode = 0
+        if not cfg.is_bulk_data:
+            from .barcode.whitelist import (BarcodeWhitelist,
+                                            sample_barcode_length)
+            self.barcode_length = sample_barcode_length(
+                cfg.barcode_file_paths[0], self.read_format.bc)
+            if cfg.barcode_whitelist_file_path:
+                self.whitelist = BarcodeWhitelist(self.barcode_length)
+                n = self.whitelist.load(cfg.barcode_whitelist_file_path)
+                log(f"Loaded {n} barcodes.")
+                self.whitelist.compute_abundance(
+                    cfg.barcode_file_paths, self.read_format.bc,
+                    max_num_samples=20_000_000,
+                    batch_size=cfg.read_batch_size,
+                    skip_barcode_check=cfg.skip_barcode_check)
+                log(f"Computed barcode abundance using "
+                    f"{self.whitelist.num_sample_barcodes} barcodes.")
+        if cfg.barcode_translate_table_file_path:
+            from .barcode.translate import BarcodeTranslator
+            self.translator = BarcodeTranslator(
+                cfg.barcode_translate_table_file_path)
+        if cfg.summary_metadata_file_path:
+            from .summary import SummaryMetadata
+            self.summary = SummaryMetadata(self.barcode_length or 16)
+
         self.candidate_generator = CandidateGenerator(
             self.index, cfg.error_threshold,
             cfg.min_num_seeds_required_for_mapping,
@@ -189,15 +221,38 @@ class MappingPipeline:
 
     # ------------------------------ single-end ------------------------------
 
+    def _make_writer(self) -> MappingFileWriter:
+        return MappingFileWriter(
+            self.cfg, self.ref_names, self.ref_lengths,
+            cell_barcode_length=self.barcode_length,
+            barcode_translator=self.translator,
+            pairs_custom_rid_rank=self.pairs_custom_rid_rank,
+            summary=self.summary)
+
+    def _process_barcode(self, rec_bc) -> Tuple[bool, int]:
+        """Correct the barcode (mutating it) and return (whitelisted, key)."""
+        cfg = self.cfg
+        whitelisted = True
+        if self.whitelist is not None:
+            stats = [self.num_barcode_in_whitelist, self.num_corrected_barcode]
+            whitelisted = self.whitelist.correct_barcode(
+                rec_bc, cfg.barcode_correction_error_threshold,
+                cfg.barcode_correction_probability_threshold, stats)
+            self.num_barcode_in_whitelist, self.num_corrected_barcode = stats
+        key = generate_seed_from_codes(rec_bc.codes(), 0, self.barcode_length)
+        return whitelisted, key
+
     def map_single_end(self) -> None:
         cfg = self.cfg
-        writer = MappingFileWriter(cfg, self.ref_names, self.ref_lengths,
-                                   pairs_custom_rid_rank=self.pairs_custom_rid_rank)
+        writer = self._make_writer()
         writer.output_header()
 
         k = self.index.kmer_size
         w = self.index.window_size
         stream = MultiFileFastxStream(cfg.read_file1_paths, self.read_format.r1)
+        stream_bc = (MultiFileFastxStream(cfg.barcode_file_paths,
+                                          self.read_format.bc)
+                     if not cfg.is_bulk_data else None)
 
         def emit(rid: int, record: object) -> None:
             self.mappings_on_refs[rid].append(record)
@@ -205,21 +260,45 @@ class MappingPipeline:
         t_map = time.time()
         while True:
             batch = stream.read_batch(cfg.read_batch_size)
+            batch_bc = (stream_bc.read_batch(cfg.read_batch_size)
+                        if stream_bc else None)
+            if batch_bc is not None and len(batch_bc) != len(batch):
+                raise RuntimeError("Numbers of reads and barcodes don't match!")
             if not batch:
                 break
             self.num_reads += len(batch)
-            for rec in batch:
+            from .summary import TOTAL
+            nonwhitelist_count = 0
+            for bi, rec in enumerate(batch):
+                barcode_key = 0
+                whitelisted = True
+                if batch_bc is not None:
+                    whitelisted, barcode_key = self._process_barcode(
+                        batch_bc[bi])
+                if not (whitelisted or cfg.output_mappings_not_in_whitelist):
+                    nonwhitelist_count += 1
+                    continue
+                if self.summary is not None and batch_bc is not None:
+                    self.summary.update_count(barcode_key, TOTAL, 1)
                 if rec.length < cfg.min_read_length:
                     continue
-                self._map_one_single_end(rec, k, w, emit)
+                self._map_one_single_end(rec, k, w, emit, barcode_key,
+                                         batch_bc is not None)
+            if self.summary is not None:
+                if cfg.is_bulk_data:
+                    self.summary.update_count(0, TOTAL, len(batch))
+                else:
+                    self.summary.update_nonwhitelist(TOTAL, nonwhitelist_count)
             log(f"Mapped {len(batch)} reads.")
         log(f"Mapped all reads in {time.time() - t_map:.2f}s.")
         self._output_stats()
         self._postprocess_and_write(writer)
+        self._output_summary()
         writer.close()
 
     def _map_one_single_end(self, rec: SequenceRecord, k: int, w: int,
-                            emit) -> None:
+                            emit, barcode_key: int = 0,
+                            has_barcode: bool = False) -> None:
         cfg = self.cfg
         seed_state = ReadSeedState()
         seed_state.minimizers = generate_minimizers(rec.codes(), 0, k, w)
@@ -237,8 +316,8 @@ class MappingPipeline:
             return
         self.selector.select_single_end(
             rec.read_id, rec.name, read, negative_read,
-            bytes(rec.qual) if rec.qual else None, 0, False, seed_state, vs,
-            emit)
+            bytes(rec.qual) if rec.qual else None, barcode_key, has_barcode,
+            seed_state, vs, emit)
         self.num_mappings += min(vs.num_best_mappings,
                                  cfg.max_num_best_mappings)
         self.num_mapped_reads += 1
@@ -249,14 +328,16 @@ class MappingPipeline:
 
     def map_paired_end(self) -> None:
         cfg = self.cfg
-        writer = MappingFileWriter(cfg, self.ref_names, self.ref_lengths,
-                                   pairs_custom_rid_rank=self.pairs_custom_rid_rank)
+        writer = self._make_writer()
         writer.output_header()
 
         k = self.index.kmer_size
         w = self.index.window_size
         stream1 = MultiFileFastxStream(cfg.read_file1_paths, self.read_format.r1)
         stream2 = MultiFileFastxStream(cfg.read_file2_paths, self.read_format.r2)
+        stream_bc = (MultiFileFastxStream(cfg.barcode_file_paths,
+                                          self.read_format.bc)
+                     if not cfg.is_bulk_data else None)
 
         def emit(rid: int, record: object) -> None:
             self.mappings_on_refs[rid].append(record)
@@ -274,7 +355,10 @@ class MappingPipeline:
         while True:
             batch1 = stream1.read_batch(cfg.read_batch_size)
             batch2 = stream2.read_batch(cfg.read_batch_size)
-            if len(batch1) != len(batch2):
+            batch_bc = (stream_bc.read_batch(cfg.read_batch_size)
+                        if stream_bc else None)
+            if len(batch1) != len(batch2) or (
+                    batch_bc is not None and len(batch_bc) != len(batch1)):
                 raise RuntimeError("Numbers of reads and barcodes don't match!")
             if not batch1:
                 break
@@ -283,8 +367,29 @@ class MappingPipeline:
                 batch_mapper.map_pairs(batch1, batch2, generator, emit,
                                        trim=cfg.trim_adapters)
             else:
-                for rec1, rec2 in zip(batch1, batch2):
-                    self._map_one_paired_end(rec1, rec2, k, w, generator, emit)
+                from .summary import TOTAL
+                nonwhitelist_count = 0
+                for bi, (rec1, rec2) in enumerate(zip(batch1, batch2)):
+                    barcode_key = 0
+                    whitelisted = True
+                    if batch_bc is not None:
+                        whitelisted, barcode_key = self._process_barcode(
+                            batch_bc[bi])
+                    if not (whitelisted
+                            or cfg.output_mappings_not_in_whitelist):
+                        nonwhitelist_count += 1
+                        continue
+                    if self.summary is not None and batch_bc is not None:
+                        self.summary.update_count(barcode_key, TOTAL, 1)
+                    self._map_one_paired_end(rec1, rec2, k, w, generator,
+                                             emit, barcode_key,
+                                             batch_bc is not None)
+                if self.summary is not None:
+                    if cfg.is_bulk_data:
+                        self.summary.update_count(0, TOTAL, len(batch1))
+                    else:
+                        self.summary.update_nonwhitelist(TOTAL,
+                                                         nonwhitelist_count)
             log(f"Mapped {len(batch1)} read pairs.")
         if batch_mapper is not None:
             self.num_candidates += batch_mapper.stats_num_candidates
@@ -294,11 +399,19 @@ class MappingPipeline:
                 batch_mapper.stats_num_uniquely_mapped
         log(f"Mapped all reads in {time.time() - t_map:.2f}s.")
         self._output_stats()
+        if not cfg.is_bulk_data:
+            log(f"Number of barcodes in whitelist: "
+                f"{self.num_barcode_in_whitelist}.")
+            log(f"Number of corrected barcodes: "
+                f"{self.num_corrected_barcode}.")
         self._postprocess_and_write(writer)
+        self._output_summary()
         writer.close()
 
     def _map_one_paired_end(self, rec1: SequenceRecord, rec2: SequenceRecord,
-                            k: int, w: int, generator: MT19937, emit) -> None:
+                            k: int, w: int, generator: MT19937, emit,
+                            barcode_key: int = 0,
+                            has_barcode: bool = False) -> None:
         cfg = self.cfg
         if (rec1.length < cfg.min_read_length
                 or rec2.length < cfg.min_read_length):
@@ -366,8 +479,8 @@ class MappingPipeline:
             read2_length=rec2.length,
             qual1=bytes(rec1.qual) if rec1.qual else None,
             qual2=bytes(rec2.qual) if rec2.qual else None,
-            barcode_key=0, has_barcode=False, seed1=seed1, seed2=seed2,
-            vs1=vs1, vs2=vs2)
+            barcode_key=barcode_key, has_barcode=has_barcode,
+            seed1=seed1, seed2=seed2, vs1=vs1, vs2=vs2)
         pe_state = PairedVerifyState(vs1=vs1, vs2=vs2)
         self.selector.select_paired_end(ctx, pe_state, generator, force_mapq,
                                         emit)
@@ -409,3 +522,26 @@ class MappingPipeline:
         writer.output_mappings(self.mappings_on_refs)
         log(f"Number of output mappings (passed filters): "
             f"{writer.num_mappings_passing_filters}")
+
+    def _output_summary(self) -> None:
+        cfg = self.cfg
+        if self.summary is None:
+            return
+        from .summary import CARDINALITY, parse_frip_est_params
+        if cfg.output_format == "sam" and not cfg.is_bulk_data:
+            pass
+        if cfg.output_format == "sam":
+            self.summary.adjust_paired_end_overcount()
+        output_cache_slots = (cfg.output_num_uniq_cache_slots
+                              and bool(cfg.summary_metadata_file_path))
+        if output_cache_slots:
+            for barcode, sketch in self.kminhash_per_barcode.items():
+                self.summary.update_count(barcode, CARDINALITY,
+                                          sketch.compute_cardinality())
+        self.summary.output(
+            cfg.summary_metadata_file_path,
+            has_whitelist=(bool(cfg.barcode_whitelist_file_path)
+                           and not cfg.output_mappings_not_in_whitelist),
+            coeffs=parse_frip_est_params(cfg.frip_est_params),
+            with_cache_slots=output_cache_slots,
+            translator=self.translator)

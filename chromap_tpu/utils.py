@@ -98,6 +98,22 @@ def hash64_np(keys: np.ndarray, mask: np.uint64) -> np.ndarray:
     return k
 
 
+def hash64_jnp(keys):
+    """hash64 over uint32 jnp arrays within a 32-bit mask (device helper;
+    the full 2k-bit variant runs in uint64 on host)."""
+    import jax.numpy as jnp
+    mask = jnp.uint32(0xFFFFFFFF)
+    k = keys.astype(jnp.uint32)
+    k = (~k + (k << 21)) & mask
+    k = k ^ (k >> 24)
+    k = (k + (k << 3) + (k << 8)) & mask
+    k = k ^ (k >> 14)
+    k = (k + (k << 2) + (k << 4)) & mask
+    k = k ^ (k >> 28)
+    k = (k + (k << 31)) & mask
+    return k
+
+
 def generate_seed_from_codes(codes: np.ndarray, start: int, seed_length: int) -> int:
     """2-bit pack `seed_length` bases starting at `start`; N and out-of-range
     bases contribute 0 (i.e. 'A'). Mirrors utils.h:111-129."""
