@@ -57,6 +57,10 @@ class BatchMapper:
         self.stats_num_mappings = 0
         self.stats_num_mapped_reads = 0
         self.stats_num_uniquely_mapped = 0
+        self.stats_cache_hits_batch = 0
+        self._cache = None
+        self._cache_update_threshold = 0
+        self._fallback_history = {}
 
     # ------------------------------------------------------------------
     def _candidates_from_arrays(self, bc: BatchCandidates,
@@ -84,11 +88,23 @@ class BatchMapper:
                 return False
         return True
 
+    def _candidates_need_supplement(self, state: ReadSeedState,
+                                    bm: BatchMinimizers, i: int) -> bool:
+        half = int(bm.counts[i]) // 2
+        for c in state.positive_candidates:
+            if c.count >= half:
+                return False
+        for c in state.negative_candidates:
+            if c.count >= half:
+                return False
+        return True
+
     # ------------------------------------------------------------------
     def map_pairs(self, batch1: List[SequenceRecord],
                   batch2: List[SequenceRecord], generator: MT19937,
                   emit: Callable[[int, object], None],
-                  trim: bool) -> None:
+                  trim: bool, cache=None,
+                  cache_update_threshold: int = 0) -> None:
         from ..pipeline import trim_adapter_paired
 
         cfg = self.cfg
@@ -115,31 +131,67 @@ class BatchMapper:
         bc1 = self.seeder.generate(bm1, len(active))
         bc2 = self.seeder.generate(bm2, len(active))
 
+        def cache_query(bm: BatchMinimizers, a: int, read_len: int):
+            if cache is None or bm.counts[a] == 0:
+                return -1, None, None, 0
+            s = int(bm.starts[a])
+            c = int(bm.counts[a])
+            return cache.query(bm.hashes[s:s + c], bm.hits[s:s + c], read_len)
+
         # classify pairs: batch-eligible vs exact fallback
         seed_states: List[Optional[Tuple[ReadSeedState, ReadSeedState]]] = []
         fallback_flags = np.zeros(len(active), dtype=bool)
         force_mapqs = np.full(len(active), -1, dtype=np.int64)
+        history: List[Tuple[int, tuple]] = []  # (pair order preserved)
         for a in range(len(active)):
+            i = active[a]
             if bm1.counts[a] == 0 or bm2.counts[a] == 0:
                 seed_states.append(None)
                 continue
-            if bc1.needs_fallback[a] or bc2.needs_fallback[a]:
+            q1, cpos1, cneg1, crep1 = cache_query(bm1, a, batch1[i].length)
+            q2, cpos2, cneg2, crep2 = cache_query(bm2, a, batch2[i].length)
+            if (q1 == -1 and bc1.needs_fallback[a]) \
+                    or (q2 == -1 and bc2.needs_fallback[a]):
+                # the exact path re-queries the cache itself and does its own
+                # hit counting / history recording
                 fallback_flags[a] = True
                 seed_states.append(None)
                 continue
-            n1 = bc1.pos_nums[a] + bc1.neg_nums[a]
-            n2 = bc2.pos_nums[a] + bc2.neg_nums[a]
+            if q1 >= 0 or q2 >= 0:
+                self.stats_cache_hits_batch += 1
             s1 = ReadSeedState()
             s2 = ReadSeedState()
-            s1.positive_candidates, s1.negative_candidates = \
-                self._candidates_from_arrays(bc1, a)
-            s2.positive_candidates, s2.negative_candidates = \
-                self._candidates_from_arrays(bc2, a)
-            s1.repetitive_seed_length = int(bc1.repetitive_seed_length[a])
-            s2.repetitive_seed_length = int(bc2.repetitive_seed_length[a])
+            if q1 >= 0:
+                s1.positive_candidates = cpos1
+                s1.negative_candidates = cneg1
+                s1.repetitive_seed_length = crep1
+            else:
+                s1.positive_candidates, s1.negative_candidates = \
+                    self._candidates_from_arrays(bc1, a)
+                s1.repetitive_seed_length = int(bc1.repetitive_seed_length[a])
+            if q2 >= 0:
+                s2.positive_candidates = cpos2
+                s2.negative_candidates = cneg2
+                s2.repetitive_seed_length = crep2
+            else:
+                s2.positive_candidates, s2.negative_candidates = \
+                    self._candidates_from_arrays(bc2, a)
+                s2.repetitive_seed_length = int(bc2.repetitive_seed_length[a])
+            if cache is not None and i < cache_update_threshold:
+                sa1, ca1 = int(bm1.starts[a]), int(bm1.counts[a])
+                sa2, ca2 = int(bm2.starts[a]), int(bm2.counts[a])
+                history.append((i, (
+                    (bm1.hashes[sa1:sa1 + ca1], bm1.hits[sa1:sa1 + ca1],
+                     s1.positive_candidates, s1.negative_candidates,
+                     s1.repetitive_seed_length),
+                    (bm2.hashes[sa2:sa2 + ca2], bm2.hits[sa2:sa2 + ca2],
+                     s2.positive_candidates, s2.negative_candidates,
+                     s2.repetitive_seed_length))))
+            n1 = s1.num_candidates()
+            n2 = s2.num_candidates()
             if not cfg.split_alignment:
-                sup1 = self._needs_supplement(bc1, bm1, a) and n2 > 0
-                sup2 = self._needs_supplement(bc2, bm2, a) and n1 > 0
+                sup1 = self._candidates_need_supplement(s1, bm1, a) and n2 > 0
+                sup2 = self._candidates_need_supplement(s2, bm2, a) and n1 > 0
                 if sup1 or sup2:
                     # mate rescue in place; minimizer lists needed
                     s1.minimizers = bm1.read_minimizers(a)
@@ -161,8 +213,23 @@ class BatchMapper:
         # candidate verification for batch-eligible pairs; exact fallback
         # is interleaved in pair order so the shared mt19937 stream is
         # consumed in the reference's order
+        self._cache = cache
+        self._cache_update_threshold = cache_update_threshold
+        self._fallback_history = {}
         self._verify_and_select(active, batch1, batch2, bm1, bm2, seed_states,
                                 fallback_flags, force_mapqs, generator, emit)
+
+        # cache updates in pair order, end1 then end2, including entries
+        # recorded by exact-fallback pairs
+        if cache is not None:
+            merged = {i: hh for (i, hh) in history}
+            merged.update(self._fallback_history)
+            for i in sorted(merged.keys()):
+                for entry in merged[i]:
+                    if entry is not None:
+                        h, t, pc, nc, rep = entry
+                        cache.update(h, t, pc, nc, rep)
+            self._fallback_history = {}
 
     # ------------------------------------------------------------------
     def _verify_and_select(self, active, batch1, batch2, bm1, bm2,
@@ -309,7 +376,7 @@ class BatchMapper:
             rec1 = batch1[i]
             rec2 = batch2[i]
             if fallback_flags[a]:
-                self._map_pair_exact(rec1, rec2, generator, emit)
+                self._map_pair_exact(rec1, rec2, generator, emit, pair_index=i)
                 continue
             ss = seed_states[a]
             if ss is None:
@@ -389,7 +456,8 @@ class BatchMapper:
         return True
 
     def _map_pair_exact(self, rec1: SequenceRecord, rec2: SequenceRecord,
-                        generator: MT19937, emit) -> None:
+                        generator: MT19937, emit,
+                        pair_index: int = -1) -> None:
         """Exact per-read path for fallback pairs (same as slow pipeline)."""
         cfg = self.cfg
         from ..index.minimizers import generate_minimizers
@@ -402,8 +470,30 @@ class BatchMapper:
         seed2.minimizers = generate_minimizers(rec2.codes(), 0, k, w)
         if not seed1.minimizers or not seed2.minimizers:
             return
-        self.candidate_generator.generate(seed1)
-        self.candidate_generator.generate(seed2)
+
+        fb_entries = [None, None]
+        any_hit = False
+        for slot, (seed, rec) in enumerate(((seed1, rec1), (seed2, rec2))):
+            h = np.array([m[0] for m in seed.minimizers], dtype=np.uint64)
+            t = np.array([m[1] for m in seed.minimizers], dtype=np.uint64)
+            hit = -1
+            if self._cache is not None:
+                hit, cpos, cneg, crep = self._cache.query(h, t, rec.length)
+            if hit >= 0:
+                seed.positive_candidates = cpos
+                seed.negative_candidates = cneg
+                seed.repetitive_seed_length = crep
+                any_hit = True
+            else:
+                self.candidate_generator.generate(seed)
+            fb_entries[slot] = (h, t, seed.positive_candidates,
+                               seed.negative_candidates,
+                               seed.repetitive_seed_length)
+        if any_hit:
+            self.stats_cache_hits_batch += 1
+        if (self._cache is not None and pair_index >= 0
+                and pair_index < self._cache_update_threshold):
+            self._fallback_history[pair_index] = tuple(fb_entries)
         n1 = seed1.num_candidates()
         n2 = seed2.num_candidates()
         supplement_result = 0

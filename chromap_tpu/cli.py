@@ -86,6 +86,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--engine", type=str, default="auto",
                    choices=["auto", "batch", "per_read"],
                    help="mapping engine selection")
+    p.add_argument("--read-batch-size", type=int, default=None,
+                   help="reads per processing batch (default 500000)")
     return p
 
 
@@ -230,6 +232,8 @@ def parse_args_and_run(argv: Optional[List[str]] = None) -> int:
         cfg.output_mappings_not_in_whitelist = True
     cfg.use_device = args.device
     cfg.engine = args.engine
+    if args.read_batch_size is not None:
+        cfg.read_batch_size = args.read_batch_size
 
     from .pipeline import MappingPipeline
     pipeline = MappingPipeline(cfg)

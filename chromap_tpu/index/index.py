@@ -83,10 +83,12 @@ def build_index(reference_codes: List[np.ndarray], k: int, w: int) -> MinimizerI
     Stable sort by (hash, hit) reproduces the reference's occurrence-list
     ordering (index.cc:26 stable_sort with Minimizer::operator<).
     """
+    from ..ops.minimizer_vector import generate_minimizer_arrays_fast
+
     all_hashes: List[np.ndarray] = []
     all_hits: List[np.ndarray] = []
     for seq_index, codes in enumerate(reference_codes):
-        h, hits = generate_minimizers_arrays(codes, seq_index, k, w)
+        h, hits = generate_minimizer_arrays_fast(codes, seq_index, k, w)
         all_hashes.append(h)
         all_hits.append(hits)
 

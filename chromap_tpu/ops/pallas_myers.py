@@ -137,11 +137,18 @@ def myers_device(patterns_T: jax.Array, texts_T: jax.Array, e: int,
 
 def banded_distance_batch(patterns: np.ndarray, texts: np.ndarray,
                           e: int) -> Tuple[np.ndarray, np.ndarray]:
-    """Host wrapper: (N, L+2e) / (N, L) uint8 code arrays -> (errors, ends)."""
+    """Host wrapper: (N, L+2e) / (N, L) uint8 code arrays -> (errors, ends).
+
+    N is padded to power-of-two multiples of LANE_TILE so the number of
+    distinct compiled shapes stays bounded (recompiles are expensive,
+    especially over the remote-compile relay)."""
     n, lp = patterns.shape
     L = texts.shape[1]
     assert lp == L + 2 * e
     n_pad = _pad_to(max(n, 1), LANE_TILE)
+    # round up to the next power-of-two multiple of LANE_TILE
+    tiles = n_pad // LANE_TILE
+    n_pad = LANE_TILE * (1 << (tiles - 1).bit_length())
     pt = np.zeros((L + 2 * e, n_pad), dtype=np.int32)
     tt = np.zeros((L, n_pad), dtype=np.int32)
     pt[:, :n] = patterns.T

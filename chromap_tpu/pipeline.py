@@ -179,12 +179,20 @@ class MappingPipeline:
                 cfg.barcode_translate_table_file_path)
         if cfg.summary_metadata_file_path:
             from .summary import SummaryMetadata
-            self.summary = SummaryMetadata(self.barcode_length or 16)
+            self.summary = SummaryMetadata(self.barcode_length)
 
         self.candidate_generator = CandidateGenerator(
             self.index, cfg.error_threshold,
             cfg.min_num_seeds_required_for_mapping,
             tuple(cfg.max_seed_frequencies))
+        from .cache import MMCache
+        # single-end uses a fixed 2000003-slot cache in the reference
+        # (chromap.h:291); paired-end uses the configured size
+        self.cache_paired = MMCache(cfg.cache_size)
+        self.cache_paired.set_kmer_length(self.index.kmer_size)
+        self.cache_single = MMCache(2000003)
+        self.cache_single.set_kmer_length(self.index.kmer_size)
+        self.cache_hits = 0
         self.draft_generator = DraftMappingGenerator(
             cfg.error_threshold, cfg.split_alignment, cfg.output_format)
         self.selector = BestMappingSelector(cfg, self.ref_seqs,
@@ -268,6 +276,9 @@ class MappingPipeline:
                 break
             self.num_reads += len(batch)
             from .summary import TOTAL
+            threshold = self.cache_single.get_update_threshold(
+                len(batch), self.num_reads, False, 0.01)
+            history = ([{}] if threshold > 0 else None)
             nonwhitelist_count = 0
             for bi, rec in enumerate(batch):
                 barcode_key = 0
@@ -283,7 +294,13 @@ class MappingPipeline:
                 if rec.length < cfg.min_read_length:
                     continue
                 self._map_one_single_end(rec, k, w, emit, barcode_key,
-                                         batch_bc is not None)
+                                         batch_bc is not None,
+                                         read_index=bi, history=history,
+                                         threshold=threshold)
+            if history is not None:
+                for bi in sorted(history[0].keys()):
+                    h, t, pc, nc, rep = history[0][bi]
+                    self.cache_single.update(h, t, pc, nc, rep)
             if self.summary is not None:
                 if cfg.is_bulk_data:
                     self.summary.update_count(0, TOTAL, len(batch))
@@ -298,13 +315,15 @@ class MappingPipeline:
 
     def _map_one_single_end(self, rec: SequenceRecord, k: int, w: int,
                             emit, barcode_key: int = 0,
-                            has_barcode: bool = False) -> None:
+                            has_barcode: bool = False, read_index: int = 0,
+                            history=None, threshold: int = 0) -> None:
         cfg = self.cfg
         seed_state = ReadSeedState()
         seed_state.minimizers = generate_minimizers(rec.codes(), 0, k, w)
         if not seed_state.minimizers:
             return
-        self.candidate_generator.generate(seed_state)
+        self._seed_with_cache(seed_state, rec.length, self.cache_single,
+                              history, read_index, threshold, 0)
         if seed_state.num_candidates() == 0:
             return
         self.num_candidates += seed_state.num_candidates()
@@ -363,12 +382,25 @@ class MappingPipeline:
             if not batch1:
                 break
             self.num_reads += 2 * len(batch1)
+            threshold = self.cache_paired.get_update_threshold(
+                len(batch1), self.num_reads, True, cfg.cache_update_param)
             if batch_mapper is not None:
                 batch_mapper.map_pairs(batch1, batch2, generator, emit,
-                                       trim=cfg.trim_adapters)
+                                       trim=cfg.trim_adapters,
+                                       cache=self.cache_paired,
+                                       cache_update_threshold=threshold)
+                if self.summary is not None:
+                    from .summary import CACHEHIT, TOTAL
+                    self.summary.update_count(0, TOTAL, len(batch1))
+                    self.summary.update_count(
+                        0, CACHEHIT, batch_mapper.stats_cache_hits_batch)
+                self.cache_hits += batch_mapper.stats_cache_hits_batch
+                batch_mapper.stats_cache_hits_batch = 0
             else:
-                from .summary import TOTAL
+                from .summary import CACHEHIT, TOTAL
+                history = ([{}, {}] if threshold > 0 else None)
                 nonwhitelist_count = 0
+                batch_cache_hits_prev = self.cache_hits
                 for bi, (rec1, rec2) in enumerate(zip(batch1, batch2)):
                     barcode_key = 0
                     whitelisted = True
@@ -381,12 +413,31 @@ class MappingPipeline:
                         continue
                     if self.summary is not None and batch_bc is not None:
                         self.summary.update_count(barcode_key, TOTAL, 1)
+                    self._pair_cache_miss = 2
+                    self._pair_mapped = False
                     self._map_one_paired_end(rec1, rec2, k, w, generator,
                                              emit, barcode_key,
-                                             batch_bc is not None)
+                                             batch_bc is not None,
+                                             pair_index=bi, history=history,
+                                             threshold=threshold)
+                    if (self.summary is not None and not cfg.is_bulk_data
+                            and self._pair_mapped
+                            and self._pair_cache_miss < 2):
+                        self.summary.update_count(barcode_key, CACHEHIT, 1)
+                if history is not None:
+                    # reference updates end1 then end2 per pair, in order
+                    for bi in sorted(history[0].keys() | history[1].keys()):
+                        for slot in (0, 1):
+                            entry = history[slot].get(bi)
+                            if entry is not None:
+                                h, t, pc, nc, rep = entry
+                                self.cache_paired.update(h, t, pc, nc, rep)
                 if self.summary is not None:
                     if cfg.is_bulk_data:
                         self.summary.update_count(0, TOTAL, len(batch1))
+                        self.summary.update_count(
+                            0, CACHEHIT,
+                            self.cache_hits - batch_cache_hits_prev)
                     else:
                         self.summary.update_nonwhitelist(TOTAL,
                                                          nonwhitelist_count)
@@ -408,10 +459,38 @@ class MappingPipeline:
         self._output_summary()
         writer.close()
 
+    @staticmethod
+    def _minimizer_arrays(minimizers):
+        h = np.array([m[0] for m in minimizers], dtype=np.uint64)
+        t = np.array([m[1] for m in minimizers], dtype=np.uint64)
+        return h, t
+
+    def _seed_with_cache(self, seed: ReadSeedState, read_len: int, cache,
+                         history, read_index: int, threshold: int,
+                         history_slot: int) -> int:
+        """Query the cache, falling back to candidate generation; record
+        history for later cache updates. Returns the cache slot index (-1
+        on miss)."""
+        h, t = self._minimizer_arrays(seed.minimizers)
+        hidx, pos, neg, rep = cache.query(h, t, read_len)
+        if hidx == -1:
+            self.candidate_generator.generate(seed)
+        else:
+            seed.positive_candidates = pos
+            seed.negative_candidates = neg
+            seed.repetitive_seed_length = rep
+        if history is not None and read_index < threshold:
+            history[history_slot][read_index] = (
+                h, t, seed.positive_candidates, seed.negative_candidates,
+                seed.repetitive_seed_length)
+        return hidx
+
     def _map_one_paired_end(self, rec1: SequenceRecord, rec2: SequenceRecord,
                             k: int, w: int, generator: MT19937, emit,
                             barcode_key: int = 0,
-                            has_barcode: bool = False) -> None:
+                            has_barcode: bool = False,
+                            pair_index: int = 0,
+                            history=None, threshold: int = 0) -> None:
         cfg = self.cfg
         if (rec1.length < cfg.min_read_length
                 or rec2.length < cfg.min_read_length):
@@ -428,8 +507,26 @@ class MappingPipeline:
         if not seed1.minimizers or not seed2.minimizers:
             return
 
-        self.candidate_generator.generate(seed1)
-        self.candidate_generator.generate(seed2)
+        cq1 = self._seed_with_cache(seed1, rec1.length, self.cache_paired,
+                                    history, pair_index, threshold, 0)
+        cq2 = self._seed_with_cache(seed2, rec2.length, self.cache_paired,
+                                    history, pair_index, threshold, 1)
+        cache_miss = (1 if cq1 == -1 else 0) + (1 if cq2 == -1 else 0)
+        if cq1 >= 0 or cq2 >= 0:
+            self.cache_hits += 1
+            if (self.summary is not None and not cfg.is_bulk_data
+                    and cfg.output_num_uniq_cache_slots):
+                sketch = self.kminhash_per_barcode.get(barcode_key)
+                if sketch is None:
+                    from .summary import KMinHash
+                    sketch = KMinHash(self.cfg.k_for_minhash,
+                                      self.cfg.cache_size)
+                    self.kminhash_per_barcode[barcode_key] = sketch
+                if cq1 >= 0:
+                    sketch.add(cq1)
+                if cq2 >= 0:
+                    sketch.add(cq2)
+        self._pair_cache_miss = cache_miss
         n1 = seed1.num_candidates()
         n2 = seed2.num_candidates()
 
@@ -491,6 +588,7 @@ class MappingPipeline:
                                      self.cfg.max_num_best_mappings)
         if pe_state.num_best_mappings > 0:
             self.num_mapped_reads += 2
+            self._pair_mapped = True
 
     # --------------------------- shared post steps ---------------------------
 
