@@ -73,6 +73,7 @@ class MappingConfig:
     use_device: bool = False          # route hot kernels through JAX/Pallas
     device_batch_size: int = 500000   # reads per device dispatch
     read_batch_size: int = 500000
+    low_mem_max_records: int = 0  # 0 = derive from the reference's budgets
     # engine: "auto" picks the batched path for bulk non-split formats,
     # "per_read" forces the exact sequential path, "batch" forces batching
     engine: str = "auto"

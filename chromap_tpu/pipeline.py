@@ -208,6 +208,16 @@ class MappingPipeline:
 
         self.mappings_on_refs: List[List[object]] = [
             [] for _ in self.reference]
+        self.temp_shard_paths: List[str] = []
+        self.num_mappings_in_mem = 0
+        # reference budgets are bytes (1 GiB, or 0.5 GiB for SAM/PAF/pairs,
+        # chromap.h:782-788); expressed here as record counts
+        if cfg.low_mem_max_records:
+            self.max_mappings_in_mem = cfg.low_mem_max_records
+        elif cfg.output_format in ("sam", "paf", "pairs"):
+            self.max_mappings_in_mem = (1 << 29) // 64
+        else:
+            self.max_mappings_in_mem = (1 << 30) // 16
 
     def _load_rid_ranks(self, path: str) -> List[int]:
         """Custom chromosome order file -> rank per current rid
@@ -264,6 +274,7 @@ class MappingPipeline:
 
         def emit(rid: int, record: object) -> None:
             self.mappings_on_refs[rid].append(record)
+            self.num_mappings_in_mem += 1
 
         t_map = time.time()
         while True:
@@ -306,6 +317,7 @@ class MappingPipeline:
                     self.summary.update_count(0, TOTAL, len(batch))
                 else:
                     self.summary.update_nonwhitelist(TOTAL, nonwhitelist_count)
+            self._maybe_spill()
             log(f"Mapped {len(batch)} reads.")
         log(f"Mapped all reads in {time.time() - t_map:.2f}s.")
         self._output_stats()
@@ -360,6 +372,7 @@ class MappingPipeline:
 
         def emit(rid: int, record: object) -> None:
             self.mappings_on_refs[rid].append(record)
+            self.num_mappings_in_mem += 1
 
         batch_mapper = None
         if cfg.batch_engine_eligible(paired=True):
@@ -441,6 +454,7 @@ class MappingPipeline:
                     else:
                         self.summary.update_nonwhitelist(TOTAL,
                                                          nonwhitelist_count)
+            self._maybe_spill()
             log(f"Mapped {len(batch1)} read pairs.")
         if batch_mapper is not None:
             self.num_candidates += batch_mapper.stats_num_candidates
@@ -602,8 +616,31 @@ class MappingPipeline:
         log(f"Number of candidates: {self.num_candidates}.")
         log(f"Number of mappings: {self.num_mappings}.")
 
+    def _maybe_spill(self) -> None:
+        """Spill sorted shards when over budget (low-memory mode)."""
+        if not self.cfg.low_memory_mode:
+            return
+        if self.num_mappings_in_mem <= self.max_mappings_in_mem:
+            return
+        from .io.lowmem import spill_mappings
+        spill_mappings(self.cfg, self.mappings_on_refs, self.temp_shard_paths)
+        self.num_mappings_in_mem = 0
+
     def _postprocess_and_write(self, writer: MappingFileWriter) -> None:
         cfg = self.cfg
+        if cfg.low_memory_mode:
+            from .io.lowmem import merge_and_output_low_memory, spill_mappings
+            if self.num_mappings_in_mem > 0 or not self.temp_shard_paths:
+                spill_mappings(cfg, self.mappings_on_refs,
+                               self.temp_shard_paths)
+                self.num_mappings_in_mem = 0
+            num_uni, num_multi, num_passing = merge_and_output_low_memory(
+                cfg, self.temp_shard_paths, writer, whitelist=self.whitelist,
+                summary=self.summary)
+            log(f"# uni-mappings: {num_uni}, # multi-mappings: {num_multi}, "
+                f"total: {num_uni + num_multi}.")
+            log(f"Number of output mappings (passed filters): {num_passing}")
+            return
         if cfg.tn5_shift:
             n = apply_tn5_shift(self.mappings_on_refs)
             log(f"# shifted mappings: {n}.")
