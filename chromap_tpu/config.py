@@ -87,6 +87,8 @@ class MappingConfig:
             return False
         if self.error_threshold >= 16:
             return False
+        if self.custom_rid_order_file_path:
+            return False
         return True
 
     def num_vpu_lanes(self) -> int:

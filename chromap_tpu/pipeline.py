@@ -561,6 +561,17 @@ class MappingPipeline:
             return
         self.num_candidates += n1 + n2
 
+        if self.custom_rid_rank is not None:
+            # chromap.h:1060-1074 reranks candidate rids to the custom order
+            # before verification (paired-end only; the single-end call site
+            # runs before candidates exist and is a no-op)
+            for state in (seed1, seed2):
+                for cands in (state.positive_candidates,
+                              state.negative_candidates):
+                    for c in cands:
+                        rid = self.custom_rid_rank[c.position >> 32]
+                        c.position = (c.position & 0xFFFFFFFF) | (rid << 32)
+
         read1 = bytes(rec1.seq)
         read2 = bytes(rec2.seq)
         negative_read1 = rec1.negative()
