@@ -7,9 +7,9 @@ batch engine (device kernels when a TPU is present), and prints ONE JSON
 line with reads/s.
 
 Baseline: reference C++ chromap 0.3.3-r521, single thread, measured on
-this machine (1 vCPU) on the same 5000-pair dataset: "Mapped all reads in
-0.14s" -> 71,400 reads/s (2026-08-16, /tmp/refbuild build of
-/root/reference). vs_baseline = ours / that.
+this machine (1 vCPU) on the same 20000-pair realistic-error dataset:
+"Mapped all reads in 0.74s" -> 54,054 reads/s (2026-08-16, /tmp/refbuild
+build of /root/reference). vs_baseline = ours / that.
 """
 
 import io
@@ -21,7 +21,7 @@ import contextlib
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BASELINE_READS_PER_S = 71_400.0
+BASELINE_READS_PER_S = 54_054.0
 CACHE = "/tmp/chromap_tpu_bench"
 NUM_PAIRS = 20_000
 
@@ -33,7 +33,10 @@ def ensure_data():
     sys.path.insert(0, os.path.join(os.path.dirname(
         os.path.abspath(__file__)), "tests"))
     from simulate import write_simulated_dataset
-    write_simulated_dataset(CACHE, num_pairs=NUM_PAIRS)
+    # realistic ATAC-like error profile (<=2 mismatches, 2% indel reads)
+    write_simulated_dataset(CACHE, num_pairs=NUM_PAIRS, seed=7,
+                            max_mismatches=3, indel_rate=0.02,
+                            genome_core=1_500_000)
     from chromap_tpu.config import IndexConfig
     from chromap_tpu.pipeline import construct_index
     with contextlib.redirect_stderr(io.StringIO()):

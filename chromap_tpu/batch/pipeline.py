@@ -51,6 +51,8 @@ class BatchMapper:
         self.ref_codes = np.concatenate(
             [encode_sequence(s) for s in reference_seqs]) \
             if reference_seqs else np.empty(0, np.uint8)
+        self.ref_raw = (np.frombuffer(b"".join(reference_seqs), dtype=np.uint8)
+                        if reference_seqs else np.empty(0, np.uint8))
         self.ref_lengths_arr = np.asarray(ref_lengths, dtype=np.int64)
 
         self.stats_num_candidates = 0
@@ -247,6 +249,7 @@ class BatchMapper:
 
         text_cache: dict = {}
 
+        num_refs = len(self.ref_lengths)
         for a, ss in enumerate(seed_states):
             if ss is None:
                 continue
@@ -255,23 +258,28 @@ class BatchMapper:
                 read_length = rec.length
                 state.positive_candidates.sort(key=Candidate.sort_key)
                 state.negative_candidates.sort(key=Candidate.sort_key)
-                codes = rec.codes()
-                neg_codes = encode_sequence(rec.negative())
                 for strandneg, cands in ((0, state.positive_candidates),
                                          (1, state.negative_candidates)):
-                    arr_pos = np.array([c.position for c in cands],
-                                       dtype=np.uint64)
-                    arr_cnt = np.array([c.count for c in cands], dtype=np.int64)
-                    rids = (arr_pos >> np.uint64(32)).astype(np.int64)
-                    pos = (arr_pos & np.uint64(U32)).astype(np.int64)
+                    # small candidate lists dominate; plain Python beats
+                    # numpy-array construction overhead here
+                    arr_pos = [c.position for c in cands]
+                    arr_cnt = [c.count for c in cands]
+                    rids = [p >> 32 for p in arr_pos]
                     if strandneg:
-                        pos = pos - read_length + 1
-                        pos = pos & U32
-                    ref_len = self.ref_lengths_arr[
-                        np.minimum(rids, len(self.ref_lengths_arr) - 1)]
-                    valid = ((rids < len(self.ref_lengths_arr))
-                             & (pos >= e) & (pos < ref_len)
-                             & (pos + read_length + e < ref_len))
+                        pos = [((p & U32) - read_length + 1) & U32
+                               for p in arr_pos]
+                    else:
+                        pos = [p & U32 for p in arr_pos]
+                    valid = []
+                    for ci in range(len(arr_pos)):
+                        rid = rids[ci]
+                        if rid >= num_refs:
+                            valid.append(False)
+                            continue
+                        rl = self.ref_lengths[rid]
+                        p = pos[ci]
+                        valid.append(e <= p < rl
+                                     and p + read_length + e < rl)
                     per_read_cands[(a, end, strandneg)] = (arr_pos, arr_cnt,
                                                           valid, pos, rids,
                                                           read_length)
@@ -301,16 +309,7 @@ class BatchMapper:
                 continue
             rec = (batch1 if end == 0 else batch2)[active[a]]
             key = (a, end, strandneg)
-            if strandneg:
-                text = text_cache.get((a, end, 1))
-                if text is None:
-                    text = encode_sequence(rec.negative())
-                    text_cache[(a, end, 1)] = text
-            else:
-                text = text_cache.get((a, end, 0))
-                if text is None:
-                    text = rec.codes()
-                    text_cache[(a, end, 0)] = text
+            text = rec.negative_codes() if strandneg else rec.codes()
             for ci in range(len(arr_pos)):
                 if not valid[ci]:
                     continue
@@ -370,8 +369,15 @@ class BatchMapper:
                                 errors, ends)
                 vs_map[(a, end)] = vs
 
-        # selection in pair order, with exact fallback interleaved so the
-        # shared mt19937 stream is consumed in the reference's order
+        # Phase A: choose reported pairs in pair order (the shared mt19937
+        # stream must be consumed in the reference's order), interleaving
+        # exact fallback pairs which emit immediately. Position recovery is
+        # deferred so all tracebacks run as one batch (Phase B), then MAPQ
+        # and record emission complete per pair (Phase C). Which pair is
+        # reported never depends on recovered positions.
+        from ..mapping.select import ChoosingSelector
+        chooser = ChoosingSelector(cfg)
+        pending = []  # (a, pe_state, emissions)
         for a, i in enumerate(active):
             rec1 = batch1[i]
             rec2 = batch2[i]
@@ -383,36 +389,130 @@ class BatchMapper:
                 continue
             vs1 = vs_map[(a, 0)]
             vs2 = vs_map[(a, 1)]
-            if vs1.num_draft_mappings() == 0 or vs2.num_draft_mappings() == 0:
-                self.stats_num_candidates += (ss[0].num_candidates()
-                                              + ss[1].num_candidates())
-                continue
             self.stats_num_candidates += (ss[0].num_candidates()
                                           + ss[1].num_candidates())
+            if vs1.num_draft_mappings() == 0 or vs2.num_draft_mappings() == 0:
+                continue
             if not cfg.split_alignment:
                 vs1.positive_mappings.sort(key=lambda m: m.position)
                 vs1.negative_mappings.sort(key=lambda m: m.position)
                 vs2.positive_mappings.sort(key=lambda m: m.position)
                 vs2.negative_mappings.sort(key=lambda m: m.position)
-            ctx = PairContext(
-                read_id=rec1.read_id, read1_name=rec1.name,
-                read2_name=rec2.name, read1=bytes(rec1.seq),
-                read2=bytes(rec2.seq), negative_read1=rec1.negative(),
-                negative_read2=rec2.negative(), read1_length=rec1.length,
-                read2_length=rec2.length,
-                qual1=bytes(rec1.qual) if rec1.qual else None,
-                qual2=bytes(rec2.qual) if rec2.qual else None,
-                barcode_key=0, has_barcode=False, seed1=ss[0], seed2=ss[1],
-                vs1=vs1, vs2=vs2)
             pe_state = PairedVerifyState(vs1=vs1, vs2=vs2)
-            self.selector.select_paired_end(ctx, pe_state, generator,
-                                            int(force_mapqs[a]), emit)
+            chooser.set_read_lengths(rec1.length, rec2.length)
+            emissions = chooser.choose_paired_end(pe_state, generator,
+                                                  int(force_mapqs[a]))
             if pe_state.num_best_mappings == 1:
                 self.stats_num_uniquely_mapped += 2
             self.stats_num_mappings += 2 * min(pe_state.num_best_mappings,
                                                cfg.max_num_best_mappings)
             if pe_state.num_best_mappings > 0:
                 self.stats_num_mapped_reads += 2
+            if emissions:
+                pending.append((a, pe_state, emissions))
+
+        if pending:
+            self._resolve_and_emit(pending, active, batch1, batch2,
+                                   seed_states, emit)
+
+    def _resolve_and_emit(self, pending, active, batch1, batch2, seed_states,
+                          emit) -> None:
+        """Phases B+C: batch traceback for all reported ends, then MAPQ and
+        record emission per pair."""
+        from ..mapping.select import MappingInMem
+        from .verify import traceback_batch
+
+        cfg = self.cfg
+        e = cfg.error_threshold
+
+        # collect traceback work items
+        work = []  # (key fields per end)
+        for (a, pe_state, emissions) in pending:
+            rec1 = batch1[active[a]]
+            rec2 = batch2[active[a]]
+            for pi, pe in enumerate(emissions):
+                for end, (draft, neg, rec) in enumerate(
+                        ((pe.draft1, pe.first_negative, rec1),
+                         (pe.draft2, pe.second_negative, rec2))):
+                    work.append((a, pi, end, draft, neg, rec))
+
+        # bucket by read length
+        by_len = {}
+        for wi, (a, pi, end, draft, neg, rec) in enumerate(work):
+            by_len.setdefault(rec.length, []).append(wi)
+
+        starts_out = np.zeros(len(work), dtype=np.int64)
+        vws_out = np.zeros(len(work), dtype=np.int64)
+        for L, rows in by_len.items():
+            n = len(rows)
+            pat_codes = np.empty((n, L + 2 * e), dtype=np.uint8)
+            pat_raw = np.empty((n, L + 2 * e), dtype=np.uint8)
+            txt_codes = np.empty((n, L), dtype=np.uint8)
+            txt_raw = np.empty((n, L), dtype=np.uint8)
+            targets = np.empty(n, dtype=np.int32)
+            for j, wi in enumerate(rows):
+                (a, pi, end, draft, neg, rec) = work[wi]
+                rid = draft.rid
+                ref_position = draft.ref_position
+                ref_len = self.ref_lengths[rid]
+                if ref_position + 1 > L + e:
+                    vws = ref_position + 1 - L - e
+                else:
+                    vws = 0
+                if ref_position + e >= ref_len:
+                    vws = (ref_len - e - L) & U32
+                if vws > ref_len:
+                    vws = 0
+                vws_out[wi] = vws
+                base = int(self.ref_offsets[rid]) + vws
+                pat_codes[j] = self.ref_codes[base:base + L + 2 * e]
+                pat_raw[j] = self.ref_raw[base:base + L + 2 * e]
+                if neg:
+                    txt_raw[j] = np.frombuffer(rec.negative(), dtype=np.uint8)
+                    txt_codes[j] = rec.negative_codes()
+                else:
+                    txt_raw[j] = np.frombuffer(bytes(rec.seq), dtype=np.uint8)
+                    txt_codes[j] = rec.codes()
+                targets[j] = draft.num_errors
+            starts = traceback_batch(e, targets, pat_codes, txt_codes,
+                                     pat_raw, txt_raw, L)
+            for j, wi in enumerate(rows):
+                starts_out[wi] = starts[j]
+
+        # Phase C: per pair, build records
+        resolved = {}
+        for wi, (a, pi, end, draft, neg, rec) in enumerate(work):
+            ref_start = int(vws_out[wi]) + int(starts_out[wi])
+            ref_end = draft.ref_position
+            resolved[(a, pi, end)] = (ref_start, ref_end)
+
+        for (a, pe_state, emissions) in pending:
+            i = active[a]
+            rec1 = batch1[i]
+            rec2 = batch2[i]
+            ss = seed_states[a]
+            for pi, pe in enumerate(emissions):
+                mm1 = MappingInMem(read_id=rec1.read_id, read_name=rec1.name,
+                                   read_length=rec1.length,
+                                   strand_negative=pe.first_negative,
+                                   is_unique=bool(pe.is_unique))
+                mm2 = MappingInMem(read_id=rec1.read_id, read_name=rec2.name,
+                                   read_length=rec2.length,
+                                   strand_negative=pe.second_negative,
+                                   is_unique=bool(pe.is_unique))
+                mm1.ref_start, mm1.ref_end = resolved[(a, pi, 0)]
+                mm2.ref_start, mm2.ref_end = resolved[(a, pi, 1)]
+                mapq, mapq1, mapq2 = self.selector.mapq_paired_end(
+                    pe.first_negative, pe.second_negative,
+                    pe.draft1.num_errors, pe.draft2.num_errors,
+                    mm1.fragment_length(), mm2.fragment_length(),
+                    rec1.length, rec2.length, pe.force_mapq, pe_state,
+                    ss[0], ss[1])
+                mm1.mapq = mapq
+                mm2.mapq = mapq
+                self.selector._emit_pe_record(mm1, mm2, mapq1, mapq2,
+                                              _EmitCtx(False), emit)
+
 
     def _try_shortcut(self, state: ReadSeedState, num_minimizers: int,
                       read_length: int, a: int, end: int, vs: VerifyState,
@@ -545,3 +645,10 @@ class BatchMapper:
                                            cfg.max_num_best_mappings)
         if pe_state.num_best_mappings > 0:
             self.stats_num_mapped_reads += 2
+
+
+class _EmitCtx:
+    __slots__ = ("has_barcode",)
+
+    def __init__(self, has_barcode: bool):
+        self.has_barcode = has_barcode

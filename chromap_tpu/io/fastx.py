@@ -40,6 +40,7 @@ class SequenceRecord:
 
     _codes: Optional[np.ndarray] = field(default=None, repr=False)
     _negative: Optional[bytes] = field(default=None, repr=False)
+    _neg_codes: Optional[np.ndarray] = field(default=None, repr=False)
 
     @property
     def length(self) -> int:
@@ -49,6 +50,11 @@ class SequenceRecord:
         if self._codes is None or len(self._codes) != len(self.seq):
             self._codes = encode_sequence(bytes(self.seq))
         return self._codes
+
+    def negative_codes(self) -> np.ndarray:
+        if self._neg_codes is None or len(self._neg_codes) != len(self.seq):
+            self._neg_codes = encode_sequence(self.negative())
+        return self._neg_codes
 
     def negative(self) -> bytes:
         """Reverse complement of the current sequence (lazily cached)."""
@@ -75,6 +81,7 @@ class SequenceRecord:
         self.seq[position] = base
         self._codes = None
         self._negative = None
+        self._neg_codes = None
 
 
 class FastxReader:

@@ -800,6 +800,106 @@ class BestMappingSelector:
 
 
 @dataclass
+class PendingPairEmission:
+    """Position-independent selection outcome for deferred batch resolution.
+
+    Which pair gets reported never depends on reference start/end recovery
+    (selection orders by error counts only), so the choose phase records
+    the drafts and the resolve phase computes positions in batch.
+    """
+
+    draft1: DraftMapping = None
+    draft2: DraftMapping = None
+    first_negative: bool = False
+    second_negative: bool = False
+    is_unique: int = 1
+    force_mapq: int = -1
+    num_reported_before: int = 0
+
+
+class ChoosingSelector:
+    """Phase-A twin of BestMappingSelector.select_paired_end: runs the same
+    reservoir sampling and direction iteration but only records which pairs
+    to report (bulk non-split formats)."""
+
+    def __init__(self, cfg: MappingConfig):
+        self.cfg = cfg
+
+    def choose_paired_end(self, pe_state: "PairedVerifyState",
+                          generator: MT19937,
+                          force_mapq: int) -> List[PendingPairEmission]:
+        cfg = self.cfg
+        pe_state.min_sum_errors = 2 * cfg.error_threshold + 1
+        pe_state.num_best_mappings = 0
+        pe_state.second_min_sum_errors = 2 * cfg.error_threshold + 1
+        pe_state.num_second_best_mappings = 0
+
+        helper = BestMappingSelector(cfg, [], [])
+        ctx_stub = _EnumCtx(pe_state.vs1, pe_state.vs2,
+                            self._read1_length, self._read2_length)
+        for (f_neg, s_neg) in ((False, True), (True, False)):
+            helper._enumerate_pairs(f_neg, s_neg, ctx_stub, pe_state)
+
+        if pe_state.num_best_mappings > cfg.drop_repetitive_reads:
+            return []
+
+        best_indices = list(range(cfg.max_num_best_mappings))
+        if pe_state.num_best_mappings > cfg.max_num_best_mappings:
+            for i in range(cfg.max_num_best_mappings,
+                           pe_state.num_best_mappings):
+                j = uniform_int(generator, 0, i)
+                if j < cfg.max_num_best_mappings:
+                    best_indices[j] = i
+            best_indices.sort()
+
+        to_report = min(cfg.max_num_best_mappings, pe_state.num_best_mappings)
+        is_unique = 1 if (pe_state.num_best_mappings == 1
+                          or pe_state.vs1.num_best_mappings == 1
+                          or pe_state.vs2.num_best_mappings == 1) else 0
+
+        out: List[PendingPairEmission] = []
+        counters = [0, 0]
+        for di, (f_neg, s_neg) in enumerate(((False, True), (True, False))):
+            if di > 0 and counters[1] == to_report:
+                break
+            m1 = (pe_state.vs1.negative_mappings if f_neg
+                  else pe_state.vs1.positive_mappings)
+            m2 = (pe_state.vs2.negative_mappings if s_neg
+                  else pe_state.vs2.positive_mappings)
+            best = pe_state.best_mappings(f_neg, s_neg)
+            for (i1, i2) in best:
+                if (m1[i1].num_errors + m2[i2].num_errors
+                        > pe_state.min_sum_errors):
+                    continue
+                if counters[0] == best_indices[counters[1]]:
+                    out.append(PendingPairEmission(
+                        draft1=m1[i1], draft2=m2[i2], first_negative=f_neg,
+                        second_negative=s_neg, is_unique=is_unique,
+                        force_mapq=force_mapq,
+                        num_reported_before=counters[1]))
+                    counters[1] += 1
+                    if counters[1] == min(cfg.max_num_best_mappings,
+                                          pe_state.num_best_mappings):
+                        break
+                counters[0] += 1
+        return out
+
+    def set_read_lengths(self, l1: int, l2: int) -> None:
+        self._read1_length = l1
+        self._read2_length = l2
+
+
+class _EnumCtx:
+    __slots__ = ("vs1", "vs2", "read1_length", "read2_length")
+
+    def __init__(self, vs1, vs2, l1, l2):
+        self.vs1 = vs1
+        self.vs2 = vs2
+        self.read1_length = l1
+        self.read2_length = l2
+
+
+@dataclass
 class PairedVerifyState:
     vs1: VerifyState
     vs2: VerifyState

@@ -16,7 +16,9 @@ def rc(s: bytes) -> bytes:
 
 def write_simulated_dataset(out_dir: str, num_pairs: int = 5000,
                             seed: int = 123, read_length: int = 100,
-                            genome_core: int = 300_000) -> None:
+                            genome_core: int = 300_000,
+                            max_mismatches: int = 7,
+                            indel_rate: float = 0.15) -> None:
     import os
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
@@ -43,9 +45,9 @@ def write_simulated_dataset(out_dir: str, num_pairs: int = 5000,
             s1 = bytearray(fseq[:L])
             s2 = bytearray(rc(fseq)[:L])
             for s in (s1, s2):
-                for _ in range(rng.integers(0, 7)):
+                for _ in range(rng.integers(0, max_mismatches)):
                     s[rng.integers(0, L)] = b"ACGT"[rng.integers(0, 4)]
-                if rng.random() < 0.15:
+                if rng.random() < indel_rate:
                     q = int(rng.integers(10, L - 10))
                     del s[q]
                     s.append(b"ACGT"[rng.integers(0, 4)])
