@@ -88,6 +88,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="mapping engine selection")
     p.add_argument("--read-batch-size", type=int, default=None,
                    help="reads per processing batch (default 500000)")
+    p.add_argument("--num-shards", type=int, default=1,
+                   help="multi-host sharding: total shard count")
+    p.add_argument("--shard-index", type=int, default=0,
+                   help="multi-host sharding: this host's shard index")
+    p.add_argument("--merge-shards", type=str, default=None,
+                   help="comma-separated spill shard files to merge into -o")
     return p
 
 
@@ -121,6 +127,8 @@ def parse_args_and_run(argv: Optional[List[str]] = None) -> int:
         return 0
 
     cfg = MappingConfig()
+    if args.merge_shards:
+        return _run_merge_shards(args)
     if args.preset:
         apply_preset(cfg, args.preset)
     if args.error_threshold is not None:
@@ -234,6 +242,8 @@ def parse_args_and_run(argv: Optional[List[str]] = None) -> int:
     cfg.engine = args.engine
     if args.read_batch_size is not None:
         cfg.read_batch_size = args.read_batch_size
+    cfg.num_shards = args.num_shards
+    cfg.shard_index = args.shard_index
 
     from .pipeline import MappingPipeline
     pipeline = MappingPipeline(cfg)
@@ -241,6 +251,58 @@ def parse_args_and_run(argv: Optional[List[str]] = None) -> int:
         pipeline.map_paired_end()
     else:
         pipeline.map_single_end()
+    return 0
+
+
+def _run_merge_shards(args) -> int:
+    """Merge sorted spill shards (possibly from several hosts) into the
+    final output."""
+    import glob as _g
+
+    from .config import MappingConfig, apply_preset
+    from .io.fastx import load_all_sequences
+    from .io.writers import MappingFileWriter
+    from .parallel.sharding import merge_shards
+
+    cfg = MappingConfig()
+    if args.preset:
+        apply_preset(cfg, args.preset)
+    if args.MAPQ_threshold is not None:
+        cfg.mapq_threshold = args.MAPQ_threshold
+    if args.remove_pcr_duplicates:
+        cfg.remove_pcr_duplicates = True
+    if args.Tn5_shift:
+        cfg.tn5_shift = True
+    if args.BED:
+        cfg.output_format = "bed"
+    elif args.TagAlign:
+        cfg.output_format = "tagalign"
+    elif args.SAM:
+        cfg.output_format = "sam"
+    elif args.PAF:
+        cfg.output_format = "paf"
+    elif args.pairs:
+        cfg.output_format = "pairs"
+    cfg.mapping_output_file_path = args.output
+
+    shard_paths = []
+    for token in args.merge_shards.split(","):
+        matches = sorted(_g.glob(token)) if any(c in token for c in "*?[")             else [token]
+        shard_paths.extend(matches)
+    reference = load_all_sequences(args.ref)
+    ref_names = [r.name for r in reference]
+    ref_lengths = [r.length for r in reference]
+    pairs_rank = (list(range(len(reference)))
+                  if cfg.output_format == "pairs" else None)
+    writer = MappingFileWriter(cfg, ref_names, ref_lengths,
+                               pairs_custom_rid_rank=pairs_rank)
+    writer.output_header()
+    num_uni, num_multi, num_passing = merge_shards(cfg, shard_paths, writer)
+    writer.close()
+    print(f"# uni-mappings: {num_uni}, # multi-mappings: {num_multi}, "
+          f"total: {num_uni + num_multi}.", file=sys.stderr)
+    print(f"Number of output mappings (passed filters): {num_passing}",
+          file=sys.stderr)
     return 0
 
 

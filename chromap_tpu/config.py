@@ -74,6 +74,11 @@ class MappingConfig:
     device_batch_size: int = 500000   # reads per device dispatch
     read_batch_size: int = 500000
     low_mem_max_records: int = 0  # 0 = derive from the reference's budgets
+    # multi-host sharded operation: each shard maps reads with
+    # read_index %% num_shards == shard_index and emits sorted spill shards;
+    # a final merge invocation unifies them (parallel/sharding.py)
+    num_shards: int = 1
+    shard_index: int = 0
     # engine: "auto" picks the batched path for bulk non-split formats,
     # "per_read" forces the exact sequential path, "batch" forces batching
     engine: str = "auto"

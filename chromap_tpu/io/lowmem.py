@@ -46,11 +46,12 @@ class TempMappingShard:
 
 
 def spill_mappings(cfg: MappingConfig, mappings_on_refs: List[List[object]],
-                   shard_paths: List[str]) -> None:
+                   shard_paths: List[str], base: str = None) -> None:
     from ..mapping.postprocess import sort_mappings
 
     sort_mappings(mappings_on_refs)
-    base = cfg.mapping_output_file_path
+    if base is None:
+        base = cfg.mapping_output_file_path
     if base in ("/dev/stdout", "/dev/stderr"):
         base = "chromap_output"
     path = f"{base}.temp{len(shard_paths)}"

@@ -285,6 +285,13 @@ class MappingPipeline:
                 raise RuntimeError("Numbers of reads and barcodes don't match!")
             if not batch:
                 break
+            if self.cfg.num_shards > 1:
+                keep = [i for i, r in enumerate(batch)
+                        if r.read_id % self.cfg.num_shards
+                        == self.cfg.shard_index]
+                batch = [batch[i] for i in keep]
+                if batch_bc is not None:
+                    batch_bc = [batch_bc[i] for i in keep]
             self.num_reads += len(batch)
             from .summary import TOTAL
             threshold = self.cache_single.get_update_threshold(
@@ -394,6 +401,8 @@ class MappingPipeline:
                 raise RuntimeError("Numbers of reads and barcodes don't match!")
             if not batch1:
                 break
+            batch1, batch2, batch_bc = self._shard_filter_pairs(
+                batch1, batch2, batch_bc)
             self.num_reads += 2 * len(batch1)
             threshold = self.cache_paired.get_update_threshold(
                 len(batch1), self.num_reads, True, cfg.cache_update_param)
@@ -629,16 +638,45 @@ class MappingPipeline:
 
     def _maybe_spill(self) -> None:
         """Spill sorted shards when over budget (low-memory mode)."""
-        if not self.cfg.low_memory_mode:
+        cfg = self.cfg
+        if not (cfg.low_memory_mode or cfg.num_shards > 1):
             return
         if self.num_mappings_in_mem <= self.max_mappings_in_mem:
             return
         from .io.lowmem import spill_mappings
-        spill_mappings(self.cfg, self.mappings_on_refs, self.temp_shard_paths)
+        base = None
+        if cfg.num_shards > 1:
+            base = f"{cfg.mapping_output_file_path}.shard{cfg.shard_index}"
+        spill_mappings(cfg, self.mappings_on_refs, self.temp_shard_paths,
+                       base=base)
         self.num_mappings_in_mem = 0
+
+    def _shard_filter_pairs(self, batch1, batch2, batch_bc):
+        """Multi-host sharding: keep reads assigned to this shard
+        (interleaved by global read index)."""
+        cfg = self.cfg
+        if cfg.num_shards <= 1:
+            return batch1, batch2, batch_bc
+        keep = [i for i, r in enumerate(batch1)
+                if r.read_id % cfg.num_shards == cfg.shard_index]
+        b1 = [batch1[i] for i in keep]
+        b2 = [batch2[i] for i in keep] if batch2 is not None else None
+        bb = [batch_bc[i] for i in keep] if batch_bc is not None else None
+        return b1, b2, bb
 
     def _postprocess_and_write(self, writer: MappingFileWriter) -> None:
         cfg = self.cfg
+        if cfg.num_shards > 1:
+            # sharded run: emit sorted spill shards only; a merge invocation
+            # (--merge-shards) unifies shards from all hosts
+            from .io.lowmem import spill_mappings
+            base = f"{cfg.mapping_output_file_path}.shard{cfg.shard_index}"
+            spill_mappings(cfg, self.mappings_on_refs, self.temp_shard_paths,
+                           base=base)
+            log(f"Shard {cfg.shard_index}/{cfg.num_shards} wrote "
+                f"{len(self.temp_shard_paths)} spill files at {base}.temp*")
+            self.temp_shard_paths.clear()
+            return
         if cfg.low_memory_mode:
             from .io.lowmem import merge_and_output_low_memory, spill_mappings
             if self.num_mappings_in_mem > 0 or not self.temp_shard_paths:
