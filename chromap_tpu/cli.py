@@ -80,6 +80,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cache-update-param", type=float, default=None)
     p.add_argument("--debug-cache", action="store_true")
     p.add_argument("--k-for-minhash", type=int, default=None)
+    # Peak / feature-matrix options (dormant in the reference; functional here)
+    p.add_argument("--matrix-output-prefix", type=str, default=None)
+    p.add_argument("--cell-by-bin", action="store_true")
+    p.add_argument("--bin-size", type=int, default=None)
+    p.add_argument("--depth-cutoff", type=int, default=None)
     # TPU execution
     p.add_argument("--device", action="store_true",
                    help="route hot kernels through JAX/Pallas on TPU")
@@ -198,6 +203,14 @@ def parse_args_and_run(argv: Optional[List[str]] = None) -> int:
         cfg.debug_cache = True
     if args.k_for_minhash is not None:
         cfg.k_for_minhash = args.k_for_minhash
+    if args.matrix_output_prefix:
+        cfg.matrix_output_prefix = args.matrix_output_prefix
+    if args.cell_by_bin:
+        cfg.cell_by_bin = True
+    if args.bin_size is not None:
+        cfg.bin_size = args.bin_size
+    if args.depth_cutoff is not None:
+        cfg.depth_cutoff_to_call_peak = args.depth_cutoff
 
     if args.BED:
         cfg.output_format = "bed"

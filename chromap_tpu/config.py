@@ -54,6 +54,10 @@ class MappingConfig:
     split_alignment: bool = False
     output_format: str = "bed"  # bed | tagalign | paf | sam | pairs
     low_memory_mode: bool = False
+    cell_by_bin: bool = False
+    bin_size: int = 5000
+    depth_cutoff_to_call_peak: int = 3
+    matrix_output_prefix: str = ""
 
     reference_file_path: str = ""
     index_file_path: str = ""

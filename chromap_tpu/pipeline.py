@@ -706,6 +706,17 @@ class MappingPipeline:
         writer.output_mappings(self.mappings_on_refs)
         log(f"Number of output mappings (passed filters): "
             f"{writer.num_mappings_passing_filters}")
+        if cfg.matrix_output_prefix:
+            from .matrix import FeatureBarcodeMatrix
+            fbm = FeatureBarcodeMatrix(
+                cfg.cell_by_bin, cfg.bin_size,
+                cfg.multi_mapping_allocation_distance,
+                cfg.depth_cutoff_to_call_peak, self.barcode_length,
+                self.translator)
+            fbm.output_feature_matrix(self.ref_names, self.ref_lengths,
+                                      self.mappings_on_refs,
+                                      cfg.matrix_output_prefix)
+            log("Wrote feature-barcode matrix.")
 
     def _output_summary(self) -> None:
         cfg = self.cfg
