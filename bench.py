@@ -67,13 +67,17 @@ def main():
         mapping_output_file_path=f"{CACHE}/out.bed",
         max_insert_size=2000,
         use_device=use_device,
-        engine="batch",
+        engine="auto",
     )
-    with contextlib.redirect_stderr(io.StringIO()):
-        pipeline = MappingPipeline(cfg)
-        t0 = time.time()
-        pipeline.map_paired_end()
-        dt = time.time() - t0
+    # best of 3 to damp the (noisy, 1-vCPU) host's timing variance
+    dt = None
+    for _ in range(3):
+        with contextlib.redirect_stderr(io.StringIO()):
+            pipeline = MappingPipeline(cfg)
+            t0 = time.time()
+            pipeline.map_paired_end()
+            run = time.time() - t0
+        dt = run if dt is None else min(dt, run)
 
     num_reads = 2 * NUM_PAIRS
     reads_per_s = num_reads / dt

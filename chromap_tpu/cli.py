@@ -89,7 +89,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--device", action="store_true",
                    help="route hot kernels through JAX/Pallas on TPU")
     p.add_argument("--engine", type=str, default="auto",
-                   choices=["auto", "batch", "per_read"],
+                   choices=["auto", "native", "batch", "per_read"],
                    help="mapping engine selection")
     p.add_argument("--read-batch-size", type=int, default=None,
                    help="reads per processing batch (default 500000)")

@@ -83,9 +83,29 @@ class MappingConfig:
     # a final merge invocation unifies them (parallel/sharding.py)
     num_shards: int = 1
     shard_index: int = 0
-    # engine: "auto" picks the batched path for bulk non-split formats,
-    # "per_read" forces the exact sequential path, "batch" forces batching
+    # engine: "auto" prefers native (C++ host runtime) then batch for bulk
+    # non-split formats; "per_read" forces the exact sequential path
     engine: str = "auto"
+
+    def native_engine_eligible(self, paired: bool) -> bool:
+        if self.engine in ("per_read", "batch"):
+            return False
+        if not paired:
+            return False
+        if self.num_shards > 1:
+            # sharded batches have non-contiguous read ids; route through
+            # the Python engines for now
+            return False
+        if self.split_alignment or self.output_format not in ("bed",
+                                                              "tagalign"):
+            return False
+        if not self.is_bulk_data:
+            return False
+        if self.error_threshold >= 16:
+            return False
+        if self.custom_rid_order_file_path:
+            return False
+        return True
 
     def batch_engine_eligible(self, paired: bool) -> bool:
         if self.engine == "per_read":

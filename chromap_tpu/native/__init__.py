@@ -1,0 +1,215 @@
+"""Native host engine bindings (ctypes over the C ABI in engine.cpp).
+
+The shared library is built on demand with g++ -O3 and cached next to the
+source; set CHROMAP_TPU_NO_NATIVE=1 to disable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "engine.cpp")
+_SO = os.path.join(_HERE, "_engine.so")
+
+_lib = None
+
+
+def _build() -> None:
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", _SO, _SRC,
+           "-lz"]
+    subprocess.run(cmd, check=True, capture_output=True, text=True)
+
+
+def load_library():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if os.environ.get("CHROMAP_TPU_NO_NATIVE") == "1":
+        return None
+    try:
+        if (not os.path.exists(_SO)
+                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            _build()
+        lib = ctypes.CDLL(_SO)
+    except Exception as exc:  # pragma: no cover - environment dependent
+        print(f"chromap-tpu: native engine unavailable ({exc}); "
+              "using Python engines", file=sys.stderr)
+        return None
+
+    lib.cn_create.restype = ctypes.c_void_p
+    lib.cn_create.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int64, ctypes.c_int,
+    ]
+    lib.cn_destroy.argtypes = [ctypes.c_void_p]
+    lib.cn_map_pairs.restype = ctypes.c_int64
+    lib.cn_map_pairs.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_char_p, ctypes.c_void_p,
+        ctypes.c_char_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.cn_fastx_open.restype = ctypes.c_void_p
+    lib.cn_fastx_open.argtypes = [ctypes.c_char_p]
+    lib.cn_fastx_close.argtypes = [ctypes.c_void_p]
+    lib.cn_fastx_read_batch.restype = ctypes.c_int64
+    lib.cn_fastx_read_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+    ]
+    lib.cn_postprocess_write.restype = ctypes.c_int64
+    lib.cn_postprocess_write.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+    ]
+    _lib = lib
+    return lib
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.c_void_p)
+
+
+class NativeEngine:
+    """Paired-end bulk mapping through the C++ engine."""
+
+    def __init__(self, cfg, index, reference_seqs: List[bytes]):
+        self.lib = load_library()
+        if self.lib is None:
+            raise RuntimeError("native engine unavailable")
+        self.cfg = cfg
+        # keep buffers alive
+        self._hash_keys = np.ascontiguousarray(index.hash_keys)
+        self._offsets = np.ascontiguousarray(index.offsets.astype(np.uint64))
+        self._counts = np.ascontiguousarray(index.counts.astype(np.uint32))
+        self._occ = np.ascontiguousarray(index.occurrences)
+        # trailing sentinel for the traceback window's legitimate over-read
+        self._ref_bytes = b"".join(reference_seqs) + b"N" * 64
+        self._ref_offsets = np.zeros(len(reference_seqs) + 1, dtype=np.int64)
+        np.cumsum([len(s) for s in reference_seqs],
+                  out=self._ref_offsets[1:])
+        self.ctx = self.lib.cn_create(
+            _ptr(self._hash_keys), _ptr(self._offsets), _ptr(self._counts),
+            len(self._hash_keys), _ptr(self._occ), self._ref_bytes,
+            _ptr(self._ref_offsets), len(reference_seqs), index.kmer_size,
+            index.window_size, cfg.error_threshold,
+            cfg.min_num_seeds_required_for_mapping,
+            cfg.max_seed_frequencies[0], cfg.max_seed_frequencies[1],
+            cfg.max_num_best_mappings, cfg.max_insert_size,
+            cfg.min_read_length, cfg.drop_repetitive_reads, cfg.cache_size,
+            1 if cfg.trim_adapters else 0)
+
+    def __del__(self):
+        if getattr(self, "ctx", None) and self.lib is not None:
+            self.lib.cn_destroy(self.ctx)
+            self.ctx = None
+
+    def map_pairs(self, reads1: List[bytes], reads2: List[bytes],
+                  base_read_id: int, cache_update_threshold: int
+                  ) -> Tuple[dict, np.ndarray]:
+        n = len(reads1)
+        r1_bytes = b"".join(reads1)
+        r2_bytes = b"".join(reads2)
+        r1_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum([len(r) for r in reads1], out=r1_off[1:])
+        r2_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum([len(r) for r in reads2], out=r2_off[1:])
+
+        return self.map_pairs_raw(r1_bytes, _ptr(r1_off), r2_bytes,
+                                  _ptr(r2_off), n, base_read_id,
+                                  cache_update_threshold)
+
+    def map_pairs_raw(self, r1_bytes, r1_off_ptr, r2_bytes, r2_off_ptr,
+                      n: int, base_read_id: int,
+                      cache_update_threshold: int) -> Tuple[dict, np.ndarray]:
+        cap = max(1, n * max(1, self.cfg.max_num_best_mappings))
+        out = {
+            "rid": np.empty(cap, dtype=np.int32),
+            "read_id": np.empty(cap, dtype=np.uint32),
+            "start": np.empty(cap, dtype=np.uint32),
+            "flen": np.empty(cap, dtype=np.uint16),
+            "mapq": np.empty(cap, dtype=np.uint8),
+            "dir": np.empty(cap, dtype=np.uint8),
+            "uniq": np.empty(cap, dtype=np.uint8),
+            "posalen": np.empty(cap, dtype=np.uint16),
+            "negalen": np.empty(cap, dtype=np.uint16),
+        }
+        stats = np.zeros(5, dtype=np.int64)
+        count = self.lib.cn_map_pairs(
+            self.ctx, r1_bytes, r1_off_ptr, r2_bytes, r2_off_ptr,
+            n, base_read_id, cache_update_threshold,
+            _ptr(out["rid"]), _ptr(out["read_id"]), _ptr(out["start"]),
+            _ptr(out["flen"]), _ptr(out["mapq"]), _ptr(out["dir"]),
+            _ptr(out["uniq"]), _ptr(out["posalen"]), _ptr(out["negalen"]),
+            _ptr(stats))
+        for key in out:
+            out[key] = out[key][:count]
+        return out, stats
+
+
+class NativeFastxReader:
+    """Batched FASTQ(.gz) reader; batches stay in native buffers and are
+    passed to cn_map_pairs by pointer (no Python copies)."""
+
+    def __init__(self, path: str):
+        self.lib = load_library()
+        if self.lib is None:
+            raise RuntimeError("native library unavailable")
+        self.handle = self.lib.cn_fastx_open(path.encode())
+        if not self.handle:
+            raise FileNotFoundError(path)
+
+    def close(self):
+        if self.handle:
+            self.lib.cn_fastx_close(self.handle)
+            self.handle = None
+
+    def read_batch(self, max_n: int):
+        """Returns (n, seq_bytes_ptr, offsets_ptr); pointers are valid until
+        the next read_batch call."""
+        seq_ptr = ctypes.c_char_p()
+        off_ptr = ctypes.POINTER(ctypes.c_int64)()
+        n = self.lib.cn_fastx_read_batch(self.handle, max_n,
+                                         ctypes.byref(seq_ptr),
+                                         ctypes.byref(off_ptr))
+        return n, seq_ptr, ctypes.cast(off_ptr, ctypes.c_void_p)
+
+
+def native_postprocess_write(cfg, ref_names: List[bytes], arrays: dict,
+                             tn5: bool, dedup: bool) -> Tuple[int, int, int]:
+    """Sort/Tn5/dedup/filter/write PE records natively. Returns
+    (written, uni, multi)."""
+    lib = load_library()
+    names_bytes = b"".join(ref_names)
+    name_offsets = np.zeros(len(ref_names) + 1, dtype=np.int64)
+    np.cumsum([len(x) for x in ref_names], out=name_offsets[1:])
+    n = len(arrays["rid"])
+    stats = np.zeros(3, dtype=np.int64)
+    fmt = 0 if cfg.output_format == "bed" else 1
+    res = lib.cn_postprocess_write(
+        cfg.mapping_output_file_path.encode(), fmt, cfg.mapq_threshold,
+        1 if tn5 else 0, 1 if dedup else 0, names_bytes,
+        _ptr(name_offsets), len(ref_names), _ptr(arrays["rid"]),
+        _ptr(arrays["read_id"]), _ptr(arrays["start"]), _ptr(arrays["flen"]),
+        _ptr(arrays["mapq"]), _ptr(arrays["dir"]), _ptr(arrays["uniq"]),
+        _ptr(arrays["posalen"]), _ptr(arrays["negalen"]), n, _ptr(stats))
+    if res < 0:
+        raise IOError(f"cannot write {cfg.mapping_output_file_path}")
+    return int(stats[0]), int(stats[1]), int(stats[2])

@@ -1,0 +1,1810 @@
+// Native host engine: exact paired-end bulk mapping loop.
+//
+// This is the C++ runtime layer of the framework (the analog of the
+// reference's single-process core, re-scoped): it owns the per-read
+// sequential orchestration -- minimizer state machine, index probes,
+// candidate clustering, mate rescue, candidate cache, banded Myers
+// verification, selection and MAPQ -- while batch-level device kernels
+// (Pallas Myers) remain the TPU compute path driven from Python.
+//
+// Semantics follow the validated Python engines bit-for-bit (which in turn
+// reproduce reference chromap 0.3.3-r521 byte-for-byte); every quirk is
+// deliberate: uint8/uint32 wraparound, float truncation points, the
+// libstdc++ uniform_int_distribution rejection scheme, lane-group
+// verification order, and the cache's fingerprint gating.
+//
+// Scope: paired-end, bulk, non-split, BED-record outputs. Everything else
+// routes through the Python engines.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <numeric>
+#include <random>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+#include <zlib.h>
+
+namespace {
+
+constexpr uint64_t kU32 = 0xFFFFFFFFull;
+constexpr uint64_t kUmax = 0xFFFFFFFFFFFFFFFFull;
+
+uint8_t kCharToCode[256];
+
+struct CodeTableInit {
+  CodeTableInit() {
+    memset(kCharToCode, 4, sizeof(kCharToCode));
+    kCharToCode[(int)'A'] = 0; kCharToCode[(int)'a'] = 0;
+    kCharToCode[(int)'C'] = 1; kCharToCode[(int)'c'] = 1;
+    kCharToCode[(int)'G'] = 2; kCharToCode[(int)'g'] = 2;
+    kCharToCode[(int)'T'] = 3; kCharToCode[(int)'t'] = 3;
+  }
+} code_table_init;
+
+inline uint64_t Hash64(uint64_t key, uint64_t mask) {
+  key = (~key + (key << 21)) & mask;
+  key = key ^ (key >> 24);
+  key = ((key + (key << 3)) + (key << 8)) & mask;
+  key = key ^ (key >> 14);
+  key = ((key + (key << 2)) + (key << 4)) & mask;
+  key = key ^ (key >> 28);
+  key = (key + (key << 31)) & mask;
+  return key;
+}
+
+struct Minimizer {
+  uint64_t hash;
+  uint64_t hit;  // (pos << 1) | strand, sequence index 0 for reads
+};
+
+struct Candidate {
+  uint64_t position;  // rid<<32 | start
+  uint8_t count;
+};
+
+inline bool CandidateLess(const Candidate& a, const Candidate& b) {
+  if (a.count != b.count) return a.count > b.count;
+  return a.position < b.position;
+}
+
+struct DraftMapping {
+  int num_errors;
+  uint64_t position;  // rid<<32 | end
+};
+
+// ------------------------- minimizer extraction -------------------------
+
+void GenerateMinimizers(const uint8_t* codes, int n, int k, int w,
+                        std::vector<Minimizer>& out) {
+  out.clear();
+  const uint64_t mask = (k < 32) ? ((1ull << (2 * k)) - 1) : kUmax;
+  const uint64_t shift = 2 * (k - 1);
+  uint64_t fwd = 0, rc = 0;
+  std::vector<std::pair<uint64_t, uint64_t>> buffer(w, {kUmax, kUmax});
+  std::pair<uint64_t, uint64_t> min_seed = {kUmax, kUmax};
+  int min_position = 0, position_in_buffer = 0, unambiguous_length = 0;
+
+  for (int p = 0; p < n; ++p) {
+    uint8_t base = codes[p];
+    std::pair<uint64_t, uint64_t> cur = {kUmax, kUmax};
+    if (base < 4) {
+      fwd = ((fwd << 2) | base) & mask;
+      rc = (rc >> 2) | (((uint64_t)(3 ^ base)) << shift);
+      if (fwd == rc) {  // symmetric kmer: no slot
+        ++unambiguous_length;
+        continue;
+      }
+      uint64_t hf = Hash64(fwd, mask), hr = Hash64(rc, mask);
+      uint64_t strand = hf < hr ? 0 : 1;
+      ++unambiguous_length;
+      if (unambiguous_length >= k) {
+        cur.first = Hash64(strand ? hr : hf, mask);
+        cur.second = (((uint64_t)p) << 1) | strand;
+      }
+    } else {
+      unambiguous_length = 0;
+    }
+
+    buffer[position_in_buffer] = cur;
+    if (unambiguous_length == w + k - 1 && min_seed.first != kUmax &&
+        min_seed.first < cur.first) {
+      for (int j = position_in_buffer + 1; j < w; ++j)
+        if (min_seed.first == buffer[j].first &&
+            buffer[j].second != min_seed.second)
+          out.push_back({buffer[j].first, buffer[j].second});
+      for (int j = 0; j < position_in_buffer; ++j)
+        if (min_seed.first == buffer[j].first &&
+            buffer[j].second != min_seed.second)
+          out.push_back({buffer[j].first, buffer[j].second});
+    }
+
+    if (cur.first <= min_seed.first) {
+      if (unambiguous_length >= w + k && min_seed.first != kUmax)
+        out.push_back({min_seed.first, min_seed.second});
+      min_seed = cur;
+      min_position = position_in_buffer;
+    } else if (position_in_buffer == min_position) {
+      if (unambiguous_length >= w + k - 1 && min_seed.first != kUmax)
+        out.push_back({min_seed.first, min_seed.second});
+      min_seed = {kUmax, kUmax};
+      for (int j = position_in_buffer + 1; j < w; ++j)
+        if (min_seed.first >= buffer[j].first) {
+          min_seed = buffer[j];
+          min_position = j;
+        }
+      for (int j = 0; j <= position_in_buffer; ++j)
+        if (min_seed.first >= buffer[j].first) {
+          min_seed = buffer[j];
+          min_position = j;
+        }
+      if (unambiguous_length >= w + k - 1 && min_seed.first != kUmax) {
+        for (int j = position_in_buffer + 1; j < w; ++j)
+          if (min_seed.first == buffer[j].first &&
+              min_seed.second != buffer[j].second)
+            out.push_back({buffer[j].first, buffer[j].second});
+        for (int j = 0; j <= position_in_buffer; ++j)
+          if (min_seed.first == buffer[j].first &&
+              min_seed.second != buffer[j].second)
+            out.push_back({buffer[j].first, buffer[j].second});
+      }
+    }
+    if (++position_in_buffer == w) position_in_buffer = 0;
+  }
+  if (min_seed.first != kUmax)
+    out.push_back({min_seed.first, min_seed.second});
+}
+
+// ------------------------------ index ------------------------------
+
+struct IndexView {
+  const uint64_t* hash_keys;
+  const uint64_t* offsets;
+  const uint32_t* counts;
+  int64_t num_keys;
+  const uint64_t* occurrences;
+  int k, w;
+
+  // returns (offset, count) or count==0 if absent
+  inline std::pair<int64_t, uint32_t> Lookup(uint64_t h) const {
+    const uint64_t* lo =
+        std::lower_bound(hash_keys, hash_keys + num_keys, h);
+    if (lo == hash_keys + num_keys || *lo != h) return {0, 0};
+    int64_t i = lo - hash_keys;
+    return {(int64_t)offsets[i], counts[i]};
+  }
+};
+
+struct RepStats {
+  uint32_t length = 0;
+  uint64_t prev = 0x100000000ull;  // > any uint32
+  int count = 0;
+  int k, w;
+  void Update(uint32_t read_position) {
+    if (prev > read_position) {
+      length += k;
+    } else if (read_position < prev + k + w - 1) {
+      length += read_position - (uint32_t)prev;
+    } else {
+      length += k;
+    }
+    prev = read_position;
+    ++count;
+  }
+};
+
+// -------------------------- seeding per read --------------------------
+
+struct SeedState {
+  std::vector<Minimizer> minimizers;
+  std::vector<uint64_t> positive_hits, negative_hits;
+  std::vector<Candidate> positive_candidates, negative_candidates;
+  std::vector<Candidate> pos_buf, neg_buf;
+  uint32_t repetitive_seed_length = 0;
+  void Clear() {
+    minimizers.clear();
+    positive_hits.clear();
+    negative_hits.clear();
+    positive_candidates.clear();
+    negative_candidates.clear();
+    pos_buf.clear();
+    neg_buf.clear();
+    repetitive_seed_length = 0;
+  }
+  size_t NumCandidates() const {
+    return positive_candidates.size() + negative_candidates.size();
+  }
+};
+
+struct MappingParams {
+  int error_threshold;
+  int min_num_seeds;
+  int f0, f1;
+  int max_num_best_mappings;
+  int max_insert_size;
+  int min_read_length;
+  int drop_repetitive_reads;
+  bool trim_adapters;
+  bool tagalign_dups;  // unused; records identical for BED/TagAlign
+};
+
+int CollectHits(const IndexView& idx, const std::vector<Minimizer>& mzs,
+                int max_seed_frequency, int repetitive_seed_frequency,
+                std::vector<uint64_t>& pos_hits,
+                std::vector<uint64_t>& neg_hits,
+                uint32_t& repetitive_seed_length) {
+  RepStats rep;
+  rep.k = idx.k;
+  rep.w = idx.w;
+  for (const auto& m : mzs) {
+    auto oc = idx.Lookup(m.hash);
+    if (oc.second == 0) continue;
+    uint32_t read_pos = (uint32_t)(m.hit >> 1);
+    if (oc.second == 1) {
+      uint64_t ref_hit = idx.occurrences[oc.first];
+      uint32_t ref_pos = (uint32_t)(ref_hit >> 1);
+      bool same = (ref_hit & 1) == (m.hit & 1);
+      uint64_t rid = ref_hit >> 33;
+      uint32_t start = same ? (uint32_t)(ref_pos - read_pos)
+                            : (uint32_t)(ref_pos + read_pos - idx.k + 1);
+      uint64_t cand = (rid << 32) | start;
+      if (same)
+        pos_hits.push_back(cand);
+      else
+        neg_hits.push_back(cand);
+      continue;
+    }
+    if ((int)oc.second < max_seed_frequency) {
+      for (uint32_t oi = 0; oi < oc.second; ++oi) {
+        uint64_t ref_hit = idx.occurrences[oc.first + oi];
+        uint32_t ref_pos = (uint32_t)(ref_hit >> 1);
+        bool same = (ref_hit & 1) == (m.hit & 1);
+        uint64_t rid = ref_hit >> 33;
+        uint32_t start = same ? (uint32_t)(ref_pos - read_pos)
+                              : (uint32_t)(ref_pos + read_pos - idx.k + 1);
+        uint64_t cand = (rid << 32) | start;
+        if (same)
+          pos_hits.push_back(cand);
+        else
+          neg_hits.push_back(cand);
+      }
+    }
+    if ((int)oc.second >= repetitive_seed_frequency) rep.Update(read_pos);
+  }
+  std::sort(pos_hits.begin(), pos_hits.end());
+  std::sort(neg_hits.begin(), neg_hits.end());
+  repetitive_seed_length = rep.length;
+  return rep.count;
+}
+
+void ClusterHits(int error_threshold, int num_seeds_required,
+                 uint32_t num_minimizers, std::vector<uint64_t>& hits,
+                 std::vector<Candidate>& candidates) {
+  hits.push_back(kUmax);
+  if (hits.size() <= 1) {
+    hits.pop_back();
+    return;
+  }
+  int minimizer_count = 1, equal_count = 1, best_equal_count = 1;
+  uint64_t previous_hit = hits[0];
+  uint32_t prev_rid = (uint32_t)(previous_hit >> 32);
+  uint32_t prev_pos = (uint32_t)previous_hit;
+  uint64_t best_local_hit = hits[0];
+  for (size_t pi = 1; pi < hits.size(); ++pi) {
+    uint64_t cur = hits[pi];
+    uint32_t cur_rid = (uint32_t)(cur >> 32);
+    uint32_t cur_pos = (uint32_t)cur;
+    if (cur_rid != prev_rid ||
+        cur_pos > (uint32_t)(prev_pos + error_threshold) ||
+        ((uint32_t)minimizer_count >= num_minimizers &&
+         cur_pos > (uint32_t)((uint32_t)best_local_hit + error_threshold))) {
+      if (minimizer_count >= num_seeds_required)
+        candidates.push_back(
+            {best_local_hit, (uint8_t)(best_equal_count & 0xFF)});
+      minimizer_count = 1;
+      equal_count = 1;
+      best_equal_count = 1;
+      best_local_hit = cur;
+    } else {
+      if (cur == best_local_hit) {
+        ++equal_count;
+        ++best_equal_count;
+      } else if (cur == previous_hit) {
+        ++equal_count;
+        if (equal_count > best_equal_count) {
+          best_local_hit = previous_hit;
+          best_equal_count = equal_count;
+        }
+      } else {
+        equal_count = 1;
+      }
+      ++minimizer_count;
+    }
+    previous_hit = cur;
+    prev_rid = cur_rid;
+    prev_pos = cur_pos;
+  }
+  hits.pop_back();
+}
+
+void GenerateCandidates(const IndexView& idx, const MappingParams& mp,
+                        SeedState& st) {
+  st.positive_hits.clear();
+  st.negative_hits.clear();
+  st.repetitive_seed_length = 0;
+  int rep_count =
+      CollectHits(idx, st.minimizers, mp.f0, mp.f0, st.positive_hits,
+                  st.negative_hits, st.repetitive_seed_length);
+  bool use_high_frequency = false;
+  if (st.positive_hits.empty() && st.negative_hits.empty()) {
+    st.repetitive_seed_length = 0;
+    rep_count = CollectHits(idx, st.minimizers, mp.f1, mp.f0,
+                            st.positive_hits, st.negative_hits,
+                            st.repetitive_seed_length);
+    use_high_frequency = true;
+    if (st.positive_hits.empty() || st.negative_hits.empty())
+      use_high_frequency = false;
+  }
+  int num_required = (int)st.minimizers.size() - rep_count;
+  if (num_required < 1) num_required = 1;
+  if (num_required > mp.min_num_seeds) num_required = mp.min_num_seeds;
+  if (use_high_frequency) num_required = mp.min_num_seeds;
+  ClusterHits(mp.error_threshold, num_required, st.minimizers.size(),
+              st.positive_hits, st.positive_candidates);
+  ClusterHits(mp.error_threshold, num_required, st.minimizers.size(),
+              st.negative_hits, st.negative_candidates);
+}
+
+// ------------------------ supplement (mate rescue) ------------------------
+
+int RescueOneStrand(const IndexView& idx, const MappingParams& mp,
+                    bool strand_negative, uint32_t search_range,
+                    const std::vector<Minimizer>& minimizers,
+                    const std::vector<Candidate>& mate_candidates,
+                    uint32_t& repetitive_seed_length,
+                    std::vector<uint64_t>& hits) {
+  int max_count = 0, best_candidate_num = 0;
+  for (const auto& c : mate_candidates) {
+    if (c.count > max_count) {
+      max_count = c.count;
+      best_candidate_num = 1;
+    } else if (c.count == max_count) {
+      ++best_candidate_num;
+    }
+  }
+  bool too_many = best_candidate_num >= 300 ||
+                  mate_candidates.size() > (size_t)mp.f0;
+  bool too_many_low = max_count <= mp.min_num_seeds &&
+                      best_candidate_num >= 200;
+  if (too_many || too_many_low) return -max_count;
+
+  std::vector<std::pair<uint64_t, uint64_t>> bounds;
+  for (const auto& c : mate_candidates)
+    if (c.count == max_count) {
+      uint64_t s = c.position < search_range ? 0 : c.position - search_range;
+      bounds.push_back({s, c.position + search_range});
+    }
+  if (bounds.empty()) return max_count;
+  size_t bs = 1;
+  for (size_t bi = 1; bi < bounds.size(); ++bi) {
+    if (bounds[bs - 1].second < bounds[bi].first)
+      bounds[bs++] = bounds[bi];
+    else
+      bounds[bs - 1].second = bounds[bi].second;
+  }
+  bounds.resize(bs);
+
+  RepStats rep;
+  rep.k = idx.k;
+  rep.w = idx.w;
+  bool want_same = !strand_negative;
+  for (const auto& m : minimizers) {
+    auto oc = idx.Lookup(m.hash);
+    if (oc.second == 0) continue;
+    uint32_t read_pos = (uint32_t)(m.hit >> 1);
+    if (oc.second == 1) {
+      uint64_t ref_hit = idx.occurrences[oc.first];
+      bool same = (ref_hit & 1) == (m.hit & 1);
+      if (same == want_same) {
+        uint32_t ref_pos = (uint32_t)(ref_hit >> 1);
+        uint64_t rid = ref_hit >> 33;
+        uint32_t start = same ? (uint32_t)(ref_pos - read_pos)
+                              : (uint32_t)(ref_pos + read_pos - idx.k + 1);
+        hits.push_back((rid << 32) | start);
+      }
+      continue;
+    }
+    int num_occ = (int)oc.second;
+    const uint64_t* occ = idx.occurrences + oc.first;
+    int prev_l = 0;
+    for (size_t bi = 0; bi < bounds.size(); ++bi) {
+      // the reference's manual binary search (index.cc:444-462): its final
+      // midpoint can land one entry before the boundary start
+      int l = prev_l, m2 = 0, r = num_occ - 1;
+      uint64_t boundary = bounds[bi].first;
+      while (l <= r) {
+        m2 = (l + r) / 2;
+        uint64_t cand_pos = occ[m2] >> 1;
+        if (cand_pos < boundary)
+          l = m2 + 1;
+        else if (cand_pos > boundary)
+          r = m2 - 1;
+        else
+          break;
+      }
+      prev_l = m2;
+      for (int oi = m2; oi < num_occ; ++oi) {
+        uint64_t ref_hit = occ[oi];
+        if ((ref_hit >> 1) > bounds[bi].second) break;
+        bool same = (ref_hit & 1) == (m.hit & 1);
+        if (same == want_same) {
+          uint32_t ref_pos = (uint32_t)(ref_hit >> 1);
+          uint64_t rid = ref_hit >> 33;
+          uint32_t start = same
+                               ? (uint32_t)(ref_pos - read_pos)
+                               : (uint32_t)(ref_pos + read_pos - idx.k + 1);
+          hits.push_back((rid << 32) | start);
+        }
+      }
+    }
+    if (num_occ >= mp.f0) rep.Update(read_pos);
+  }
+  std::sort(hits.begin(), hits.end());
+  repetitive_seed_length = rep.length;
+  return max_count;
+}
+
+void MergeCandidates(int error_threshold, std::vector<Candidate>& c1,
+                     std::vector<Candidate>& c2,
+                     std::vector<Candidate>& buffer) {
+  if (c1.empty()) {
+    c1.swap(c2);
+    return;
+  }
+  buffer.clear();
+  size_t i = 0, j = 0;
+  auto push = [&](const Candidate& c) {
+    if (buffer.empty() ||
+        c.position > buffer.back().position + error_threshold)
+      buffer.push_back(c);
+  };
+  while (i < c1.size() && j < c2.size()) {
+    if (c1[i].position == c2[j].position) {
+      if (buffer.empty() ||
+          c1[i].position > buffer.back().position + error_threshold)
+        buffer.push_back(c1[i].count > c2[j].count ? c1[i] : c2[j]);
+      ++i;
+      ++j;
+    } else if (c1[i].position < c2[j].position) {
+      push(c1[i]);
+      ++i;
+    } else {
+      push(c2[j]);
+      ++j;
+    }
+  }
+  while (i < c1.size()) push(c1[i++]);
+  while (j < c2.size()) push(c2[j++]);
+  c1.swap(buffer);
+}
+
+int SupplementCandidates(const IndexView& idx, const MappingParams& mp,
+                         uint32_t search_range, SeedState& s1,
+                         SeedState& s2) {
+  std::vector<Candidate> aug_p1, aug_n1, aug_p2, aug_n2;
+  int ret = 0;
+  for (int mate = 0; mate <= 1; ++mate) {
+    SeedState& st = mate == 0 ? s1 : s2;
+    SeedState& mt = mate == 0 ? s2 : s1;
+    std::vector<Candidate>& aug_pos = mate == 0 ? aug_p1 : aug_p2;
+    std::vector<Candidate>& aug_neg = mate == 0 ? aug_n1 : aug_n2;
+
+    uint32_t mm_count = st.minimizers.size();
+    bool augment = true;
+    for (const auto& c : st.positive_candidates)
+      if (c.count >= mm_count / 2) {
+        augment = false;
+        break;
+      }
+    if (augment)
+      for (const auto& c : st.negative_candidates)
+        if (c.count >= mm_count / 2) {
+          augment = false;
+          break;
+        }
+    if (!augment) continue;
+
+    st.positive_hits.clear();
+    st.negative_hits.clear();
+    int pos_res = 0, neg_res = 0;
+    if (!mt.positive_candidates.empty()) {
+      pos_res = RescueOneStrand(idx, mp, true, search_range, st.minimizers,
+                                mt.positive_candidates,
+                                st.repetitive_seed_length, st.negative_hits);
+      ClusterHits(mp.error_threshold, 1, mm_count, st.negative_hits, aug_neg);
+    }
+    if (!mt.negative_candidates.empty()) {
+      neg_res = RescueOneStrand(idx, mp, false, search_range, st.minimizers,
+                                mt.negative_candidates,
+                                st.repetitive_seed_length, st.positive_hits);
+      ClusterHits(mp.error_threshold, 1, mm_count, st.positive_hits, aug_pos);
+    }
+    if (((pos_res < 0 && neg_res > 0 && -pos_res >= neg_res) ||
+         (pos_res > 0 && neg_res < 0 && pos_res <= -neg_res)) &&
+        st.positive_candidates.size() + st.negative_candidates.size() == 0)
+      ret = 1;
+  }
+  if (!aug_p1.empty())
+    MergeCandidates(mp.error_threshold, s1.positive_candidates, aug_p1,
+                    s1.pos_buf);
+  if (!aug_n1.empty())
+    MergeCandidates(mp.error_threshold, s1.negative_candidates, aug_n1,
+                    s1.neg_buf);
+  if (!aug_p2.empty())
+    MergeCandidates(mp.error_threshold, s2.positive_candidates, aug_p2,
+                    s2.pos_buf);
+  if (!aug_n2.empty())
+    MergeCandidates(mp.error_threshold, s2.negative_candidates, aug_n2,
+                    s2.neg_buf);
+  return ret;
+}
+
+void ReduceOneDirection(uint32_t dist, const std::vector<Candidate>& c1,
+                        const std::vector<Candidate>& c2,
+                        std::vector<Candidate>& f1,
+                        std::vector<Candidate>& f2) {
+  size_t i1 = 0, i2 = 0;
+  int nu1 = 0, nu2 = 0;
+  const int threshold = 5;
+  int mc1 = 6, mc2 = 6;
+  size_t prev_end_i2 = 0;
+  while (i1 < c1.size() && i2 < c2.size()) {
+    if (c1[i1].position > c2[i2].position + dist) {
+      if (i2 >= prev_end_i2 && nu2 < threshold &&
+          (c1[i1].position >> 32) == (c2[i2].position >> 32) &&
+          c2[i2].count >= mc2) {
+        f2.push_back(c2[i2]);
+        ++nu2;
+      }
+      ++i2;
+    } else if (c2[i2].position > c1[i1].position + dist) {
+      if (nu1 < threshold &&
+          (c1[i1].position >> 32) == (c2[i2].position >> 32) &&
+          c1[i1].count >= mc1) {
+        f1.push_back(c1[i1]);
+        ++nu1;
+      }
+      ++i1;
+    } else {
+      f1.push_back(c1[i1]);
+      if (c1[i1].count > mc1) mc1 = c1[i1].count;
+      size_t cur_i2 = i2;
+      while (cur_i2 < c2.size() &&
+             c2[cur_i2].position <= c1[i1].position + dist) {
+        if (cur_i2 >= prev_end_i2) {
+          f2.push_back(c2[cur_i2]);
+          if (c2[cur_i2].count > mc2) mc2 = c2[cur_i2].count;
+        }
+        ++cur_i2;
+      }
+      prev_end_i2 = cur_i2;
+      ++i1;
+    }
+  }
+}
+
+// ------------------------------ cache ------------------------------
+
+constexpr int kFingerPrintSize = 103;
+constexpr uint32_t kHeadMmSize = 1u << 22;
+constexpr uint32_t kHeadMmMask = kHeadMmSize - 1;
+
+struct CacheSlot {
+  std::vector<uint64_t> minimizers;
+  std::vector<uint8_t> strands;
+  std::vector<int> offsets;
+  std::vector<Candidate> positive_candidates, negative_candidates;
+  uint32_t repetitive_seed_length = 0;
+  int weight = 0;
+  uint16_t finger_print_cnt[kFingerPrintSize] = {0};
+  int finger_print_cnt_sum = 0;
+};
+
+struct MMCache {
+  int64_t cache_size;
+  int kmer_length;
+  // sparse: only touched slots materialize (the reference eagerly allocates
+  // all slots, which is where its multi-second startup goes)
+  std::unordered_map<int64_t, CacheSlot> slots;
+  std::vector<uint64_t> head_mm;
+
+  MMCache(int64_t size, int k)
+      : cache_size(size), kmer_length(k), head_mm(kHeadMmSize, 0) {}
+
+  int Match(const CacheSlot& s, const std::vector<Minimizer>& mzs) const {
+    if (s.minimizers.size() != mzs.size() || s.minimizers.empty()) return 0;
+    int size = (int)mzs.size();
+    int i, j;
+    for (i = 0; i < size; ++i)
+      if (s.minimizers[i] != mzs[i].hash ||
+          (mzs[i].hit & 1) != s.strands[i])
+        break;
+    if (i >= size) {
+      for (i = 0; i < size - 1; ++i)
+        if (s.offsets[i] != (int)(mzs[i + 1].hit >> 1) -
+                                (int)(mzs[i].hit >> 1))
+          break;
+      if (i >= size - 1) return 1;
+    }
+    for (i = 0, j = size - 1; i < size; ++i, --j)
+      if (s.minimizers[i] != mzs[j].hash ||
+          (mzs[j].hit & 1) == s.strands[i])
+        break;
+    if (i >= size) {
+      for (i = 0, j = size - 1; i < size - 1; ++i, --j)
+        if (s.offsets[i] !=
+            (int)(mzs[j].hit >> 1) - (int)(mzs[j - 1].hit >> 1))
+          break;
+      if (i >= size - 1) return -1;
+    }
+    return 0;
+  }
+
+  int Query(const std::vector<Minimizer>& mzs, uint32_t read_len,
+            std::vector<Candidate>& pos, std::vector<Candidate>& neg,
+            uint32_t& rep_len) {
+    int msize = (int)mzs.size();
+    if (msize == 0) return -1;
+    uint64_t h0 = mzs[0].hash;
+    if ((head_mm[(h0 >> 6) & kHeadMmMask] & (1ull << (h0 & 0x3f))) == 0)
+      return -1;
+    uint64_t h = msize == 1 ? h0 : h0 + mzs[msize - 1].hash;
+    int64_t hidx = (int64_t)(h % (uint64_t)cache_size);
+    auto it = slots.find(hidx);
+    if (it == slots.end()) return -1;
+    const CacheSlot& s = it->second;
+    int dir = Match(s, mzs);
+    if (dir == 0) return -1;
+    if (dir == 1) {
+      int shift = (int)(mzs[0].hit >> 1);
+      pos = s.positive_candidates;
+      for (auto& c : pos) {
+        uint64_t rid = c.position >> 32;
+        int rpos = (int)(uint32_t)c.position;
+        c.position = (rid << 32) + (uint32_t)(rpos - shift);
+      }
+      neg = s.negative_candidates;
+      for (auto& c : neg) c.position += (uint64_t)shift;
+      rep_len = s.repetitive_seed_length;
+      return (int)hidx;
+    }
+    int shift = (int)read_len - (int)(mzs[msize - 1].hit >> 1) - 1 +
+                kmer_length - 1;
+    pos = s.negative_candidates;
+    for (auto& c : pos) {
+      uint64_t rid = c.position >> 32;
+      int rpos = (int)(uint32_t)c.position;
+      c.position = (rid << 32) + (uint32_t)(rpos + shift - (int)read_len + 1);
+    }
+    neg = s.positive_candidates;
+    for (auto& c : neg)
+      c.position = c.position - (uint64_t)shift + read_len - 1;
+    rep_len = s.repetitive_seed_length;
+    return (int)hidx;
+  }
+
+  void Update(const std::vector<Minimizer>& mzs,
+              const std::vector<Candidate>& pos,
+              const std::vector<Candidate>& neg, uint32_t rep_len) {
+    int msize = (int)mzs.size();
+    if (msize == 0) return;
+    uint64_t h0 = mzs[0].hash;
+    uint64_t h, f;
+    if (msize == 1) {
+      h = f = h0;
+    } else {
+      h = h0 + mzs[msize - 1].hash;
+      f = h0 ^ mzs[msize - 1].hash;
+    }
+    int64_t hidx = (int64_t)(h % (uint64_t)cache_size);
+    int fp = (int)(f % kFingerPrintSize);
+    CacheSlot& s = slots[hidx];
+    ++s.finger_print_cnt[fp];
+    ++s.finger_print_cnt_sum;
+    if (s.finger_print_cnt_sum > 100) return;
+    if (s.finger_print_cnt_sum < 10 ||
+        (int)s.finger_print_cnt[fp] * 5 < s.finger_print_cnt_sum)
+      return;
+    int dir = Match(s, mzs);
+    if (dir != 0)
+      ++s.weight;
+    else
+      --s.weight;
+    if (s.weight >= 0) return;
+    s.weight = 1;
+    int shift = (int)(mzs[0].hit >> 1);
+    for (const auto& c : pos)
+      if ((int)(uint32_t)c.position < kmer_length + shift) {
+        s.offsets.clear();
+        s.strands.clear();
+        s.minimizers.clear();
+        return;
+      }
+    int last_pos = (int)(mzs[msize - 1].hit >> 1);
+    for (const auto& c : neg)
+      if ((int)(uint32_t)c.position - last_pos < kmer_length + shift) {
+        s.offsets.clear();
+        s.strands.clear();
+        s.minimizers.clear();
+        return;
+      }
+    s.minimizers.resize(msize);
+    s.strands.resize(msize);
+    s.offsets.resize(msize - 1);
+    for (int i = 0; i < msize; ++i) {
+      s.minimizers[i] = mzs[i].hash;
+      s.strands[i] = (uint8_t)(mzs[i].hit & 1);
+    }
+    for (int i = 0; i < msize - 1; ++i)
+      s.offsets[i] = (int)(mzs[i + 1].hit >> 1) - (int)(mzs[i].hit >> 1);
+    s.positive_candidates = pos;
+    s.negative_candidates = neg;
+    for (auto& c : s.positive_candidates) c.position += (uint64_t)shift;
+    for (auto& c : s.negative_candidates) c.position -= (uint64_t)shift;
+    s.repetitive_seed_length = rep_len;
+    uint64_t hl = mzs[msize - 1].hash;
+    head_mm[(h0 >> 6) & kHeadMmMask] |= (1ull << (h0 & 0x3f));
+    head_mm[(hl >> 6) & kHeadMmMask] |= (1ull << (hl & 0x3f));
+  }
+};
+
+// --------------------------- Myers verification ---------------------------
+
+int BandedAlign(int e, const char* pattern, const char* text, int L,
+                int* end_position) {
+  uint32_t peq[5] = {0, 0, 0, 0, 0};
+  for (int i = 0; i < 2 * e; ++i)
+    peq[kCharToCode[(uint8_t)pattern[i]]] |= 1u << i;
+  uint32_t highest = 1u << (2 * e);
+  uint32_t vp = 0, vn = 0;
+  int num_err = 0;
+  for (int i = 0; i < L; ++i) {
+    peq[kCharToCode[(uint8_t)pattern[i + 2 * e]]] |= highest;
+    uint32_t x = peq[kCharToCode[(uint8_t)text[i]]] | vn;
+    uint32_t d0 = ((vp + (x & vp)) ^ vp) | x;
+    uint32_t hn = vp & d0;
+    uint32_t hp = vn | ~(vp | d0);
+    x = d0 >> 1;
+    vn = x & hp;
+    vp = hn | ~(x | hp);
+    num_err += 1 - (d0 & 1);
+    if (num_err > 3 * e) return e + 1;
+    for (int ai = 0; ai < 5; ++ai) peq[ai] >>= 1;
+  }
+  int band_start = L - 1;
+  int min_err = num_err;
+  *end_position = band_start;
+  for (int i = 0; i < 2 * e; ++i) {
+    num_err += (vp >> i) & 1;
+    num_err -= (vn >> i) & 1;
+    if (num_err < min_err || (num_err == min_err && i + 1 == e)) {
+      min_err = num_err;
+      *end_position = band_start + 1 + i;
+    }
+  }
+  return min_err;
+}
+
+void BandedTraceback(int e, int min_num_errors, const char* pattern,
+                     const char* text, int L, int* start_position) {
+  if (min_num_errors == 0) {
+    *start_position = e;
+    return;
+  }
+  int error_count = 0;
+  for (int i = 0; i < L; ++i)
+    if (pattern[i + e] != text[i]) ++error_count;
+  if (error_count == min_num_errors) {
+    *start_position = e;
+    return;
+  }
+  uint32_t peq[5] = {0, 0, 0, 0, 0};
+  for (int i = 0; i < 2 * e; ++i)
+    peq[kCharToCode[(uint8_t)pattern[L - 1 + 2 * e - i]]] |= 1u << i;
+  uint32_t highest = 1u << (2 * e);
+  uint32_t vp = 0, vn = 0;
+  int num_err = 0;
+  for (int i = 0; i < L; ++i) {
+    peq[kCharToCode[(uint8_t)pattern[L - 1 - i]]] |= highest;
+    uint32_t x = peq[kCharToCode[(uint8_t)text[L - 1 - i]]] | vn;
+    uint32_t d0 = ((vp + (x & vp)) ^ vp) | x;
+    uint32_t hn = vp & d0;
+    uint32_t hp = vn | ~(vp | d0);
+    x = d0 >> 1;
+    vn = x & hp;
+    vp = hn | ~(x | hp);
+    num_err += 1 - (d0 & 1);
+    for (int ai = 0; ai < 5; ++ai) peq[ai] >>= 1;
+  }
+  *start_position = 2 * e;
+  for (int i = 0; i < 2 * e; ++i) {
+    num_err += (vp >> i) & 1;
+    num_err -= (vn >> i) & 1;
+    if (num_err == min_num_errors) {
+      *start_position = 2 * e - (1 + i);
+      if (i + 1 == e) return;
+    }
+  }
+}
+
+// ------------------------- verification per read -------------------------
+
+struct VerifyState {
+  std::vector<DraftMapping> positive_mappings, negative_mappings;
+  int min_num_errors, num_best_mappings, second_min_num_errors,
+      num_second_best_mappings;
+  void Reset(int e) {
+    positive_mappings.clear();
+    negative_mappings.clear();
+    min_num_errors = e + 1;
+    num_best_mappings = 0;
+    second_min_num_errors = e + 1;
+    num_second_best_mappings = 0;
+  }
+  size_t NumDraft() const {
+    return positive_mappings.size() + negative_mappings.size();
+  }
+};
+
+struct RefView {
+  const char* bytes;
+  const int64_t* offsets;  // num_refs + 1
+  int32_t num_refs;
+  inline const char* Seq(uint32_t rid) const { return bytes + offsets[rid]; }
+  inline int64_t Len(uint32_t rid) const {
+    return offsets[rid + 1] - offsets[rid];
+  }
+};
+
+inline void UpdateCounters(VerifyState& vs, int num_errors) {
+  if (num_errors < vs.min_num_errors) {
+    vs.second_min_num_errors = vs.min_num_errors;
+    vs.num_second_best_mappings = vs.num_best_mappings;
+    vs.min_num_errors = num_errors;
+    vs.num_best_mappings = 1;
+  } else if (num_errors == vs.min_num_errors) {
+    ++vs.num_best_mappings;
+  } else if (num_errors == vs.second_min_num_errors) {
+    ++vs.num_second_best_mappings;
+  } else if (num_errors < vs.second_min_num_errors) {
+    vs.num_second_best_mappings = 1;
+    vs.second_min_num_errors = num_errors;
+  }
+}
+
+bool TryShortcut(const MappingParams& mp, const RefView& ref,
+                 const SeedState& st, int read_length, VerifyState& vs) {
+  if (st.NumCandidates() != 1) return false;
+  uint32_t num_minimizers = st.minimizers.size();
+  int num_hits = 0;
+  const Candidate* cand = nullptr;
+  bool neg = false;
+  for (const auto& c : st.positive_candidates)
+    if (c.count == num_minimizers) {
+      cand = &c;
+      ++num_hits;
+    }
+  for (const auto& c : st.negative_candidates)
+    if (c.count == num_minimizers) {
+      cand = &c;
+      neg = true;
+      ++num_hits;
+    }
+  if (num_hits != 1) return false;
+  vs.min_num_errors = 0;
+  vs.num_best_mappings = 1;
+  vs.num_second_best_mappings = 0;
+  uint32_t rid = (uint32_t)(cand->position >> 32);
+  uint32_t position = (uint32_t)cand->position;
+  if (neg) position = (uint32_t)(position - read_length + 1);
+  int64_t rl = rid < (uint32_t)ref.num_refs ? ref.Len(rid) : 0;
+  if (position < (uint32_t)mp.error_threshold || position >= rl ||
+      position + read_length + mp.error_threshold >= rl)
+    return false;
+  if (neg)
+    vs.negative_mappings.push_back({0, cand->position});
+  else
+    vs.positive_mappings.push_back(
+        {0, cand->position + (uint64_t)read_length - 1});
+  return true;
+}
+
+void VerifyCandidates(const MappingParams& mp, const RefView& ref,
+                      const char* read, const char* neg_read, int read_length,
+                      SeedState& st, VerifyState& vs) {
+  vs.Reset(mp.error_threshold);
+  if (TryShortcut(mp, ref, st, read_length, vs)) return;
+  std::sort(st.positive_candidates.begin(), st.positive_candidates.end(),
+            CandidateLess);
+  std::sort(st.negative_candidates.begin(), st.negative_candidates.end(),
+            CandidateLess);
+
+  int e = mp.error_threshold;
+  int num_lanes = e < 8 ? 8 : (e < 16 ? 4 : 0);
+
+  for (int strand = 0; strand < 2; ++strand) {
+    bool neg = strand == 1;
+    const std::vector<Candidate>& cands =
+        neg ? st.negative_candidates : st.positive_candidates;
+    std::vector<DraftMapping>& mappings =
+        neg ? vs.negative_mappings : vs.positive_mappings;
+    const char* text = neg ? neg_read : read;
+    bool grouped = num_lanes > 0 && (int)cands.size() >= num_lanes;
+
+    uint32_t threshold = 0;
+    std::vector<const Candidate*> group;
+    for (size_t ci = 0; ci < cands.size(); ++ci) {
+      const Candidate& c = cands[ci];
+      if (c.count < threshold) break;
+      uint32_t rid = (uint32_t)(c.position >> 32);
+      uint32_t position = (uint32_t)c.position;
+      if (neg) position = (uint32_t)(position - read_length + 1);
+      int64_t rl = rid < (uint32_t)ref.num_refs ? ref.Len(rid) : 0;
+      if (rid >= (uint32_t)ref.num_refs || position < (uint32_t)e ||
+          position >= rl || position + read_length + e >= rl)
+        continue;
+      if (!grouped) {
+        int end_pos = read_length;
+        int ne = BandedAlign(e, ref.Seq(rid) + position - e, text,
+                             read_length, &end_pos);
+        if (ne <= e) {
+          UpdateCounters(vs, ne);
+          uint64_t draft =
+              neg ? c.position - read_length + 1 - e + end_pos
+                  : c.position - e + end_pos;
+          mappings.push_back({ne, draft});
+        }
+        continue;
+      }
+      group.push_back(&c);
+      if ((int)group.size() < num_lanes) continue;
+      for (const Candidate* gc : group) {
+        uint32_t grid = (uint32_t)(gc->position >> 32);
+        uint32_t gpos = (uint32_t)gc->position;
+        if (neg) gpos = (uint32_t)(gpos - read_length + 1);
+        int end_pos = read_length - 1;
+        int ne = BandedAlign(e, ref.Seq(grid) + gpos - e, text, read_length,
+                             &end_pos);
+        if (ne <= e) {
+          UpdateCounters(vs, ne);
+          uint64_t draft =
+              neg ? gc->position - read_length + 1 - e + end_pos
+                  : gc->position - e + end_pos;
+          mappings.push_back({ne, draft});
+        } else {
+          threshold = gc->count;
+        }
+      }
+      group.clear();
+    }
+    // tail without threshold updates
+    for (const Candidate* gc : group) {
+      uint32_t grid = (uint32_t)(gc->position >> 32);
+      uint32_t gpos = (uint32_t)gc->position;
+      if (neg) gpos = (uint32_t)(gpos - read_length + 1);
+      int end_pos = read_length - 1;
+      int ne = BandedAlign(e, ref.Seq(grid) + gpos - e, text, read_length,
+                           &end_pos);
+      if (ne <= e) {
+        UpdateCounters(vs, ne);
+        uint64_t draft = neg ? gc->position - read_length + 1 - e + end_pos
+                             : gc->position - e + end_pos;
+        mappings.push_back({ne, draft});
+      }
+    }
+    group.clear();
+  }
+}
+
+// ------------------------------ selection ------------------------------
+
+inline int LibstdcppUniformInt(std::mt19937& gen, int a, int b) {
+  const uint64_t urngrange = 0xFFFFFFFFull;
+  const uint64_t urange = (uint64_t)(b - a);
+  if (urngrange > urange) {
+    const uint64_t uerange = urange + 1;
+    const uint64_t scaling = urngrange / uerange;
+    const uint64_t past = uerange * scaling;
+    uint64_t ret;
+    do {
+      ret = gen();
+    } while (ret >= past);
+    return a + (int)(ret / scaling);
+  }
+  return a + (int)gen();
+}
+
+struct PairedState {
+  int min_sum_errors, second_min_sum_errors;
+  int num_best_mappings, num_second_best_mappings;
+  std::vector<std::pair<uint32_t, uint32_t>> f1r2, f2r1;
+};
+
+void EnumeratePairs(const MappingParams& mp, bool first_negative,
+                    int read1_length, int read2_length,
+                    const std::vector<DraftMapping>& m1,
+                    const std::vector<DraftMapping>& m2, PairedState& ps,
+                    std::vector<std::pair<uint32_t, uint32_t>>& best) {
+  uint32_t min_overlap = mp.min_read_length;
+  size_t i1 = 0, i2 = 0;
+  while (i1 < m1.size() && i2 < m2.size()) {
+    uint64_t p1 = m1[i1].position, p2 = m2[i2].position;
+    if ((first_negative &&
+         p1 > p2 + mp.max_insert_size - (uint64_t)read2_length) ||
+        (!first_negative &&
+         p1 > p2 + (uint64_t)read1_length - min_overlap)) {
+      ++i2;
+    } else if ((!first_negative &&
+                p2 > p1 + mp.max_insert_size - (uint64_t)read1_length) ||
+               (first_negative &&
+                p2 > p1 + (uint64_t)read2_length - min_overlap)) {
+      ++i1;
+    } else {
+      size_t cur_i2 = i2;
+      while (cur_i2 < m2.size()) {
+        uint64_t pc2 = m2[cur_i2].position;
+        bool in_range =
+            (!first_negative &&
+             pc2 <= p1 + mp.max_insert_size - (uint64_t)read1_length) ||
+            (first_negative &&
+             pc2 <= p1 + (uint64_t)read2_length - min_overlap);
+        if (!in_range) break;
+        int sum = m1[i1].num_errors + m2[cur_i2].num_errors;
+        if (sum < ps.min_sum_errors) {
+          ps.second_min_sum_errors = ps.min_sum_errors;
+          ps.num_second_best_mappings = ps.num_best_mappings;
+          ps.min_sum_errors = sum;
+          ps.num_best_mappings = 1;
+          best.clear();
+          best.push_back({(uint32_t)i1, (uint32_t)cur_i2});
+        } else if (sum == ps.min_sum_errors) {
+          ++ps.num_best_mappings;
+          best.push_back({(uint32_t)i1, (uint32_t)cur_i2});
+        } else if (sum == ps.second_min_sum_errors) {
+          ++ps.num_second_best_mappings;
+        } else if (sum < ps.second_min_sum_errors) {
+          ps.second_min_sum_errors = sum;
+          ps.num_second_best_mappings = 1;
+        }
+        ++cur_i2;
+      }
+      ++i1;
+    }
+  }
+}
+
+uint8_t MapqSingleEnd(const MappingParams& mp, int num_errors,
+                      uint16_t alignment_length, int read_length,
+                      int max_num_error_difference, const VerifyState& vs,
+                      uint32_t repetitive_seed_length) {
+  const int mapq_coef_length = 50;
+  const int mapq_coef_fraction = (int)log(mapq_coef_length);
+  int al = alignment_length > read_length ? alignment_length : read_length;
+  double identity = 1.0 - (double)num_errors / al;
+  int mapq = 0;
+  int second = vs.second_min_num_errors;
+  if (vs.num_best_mappings <= 1) {
+    if (second > num_errors + max_num_error_difference)
+      second = num_errors + max_num_error_difference;
+    double tmp = al < mapq_coef_length ? 1.0
+                                       : mapq_coef_fraction / log((double)al);
+    tmp *= identity * identity;
+    mapq = (int)(5 * 6.02 * (second - num_errors) * tmp * tmp + 0.499);
+  }
+  if (vs.num_second_best_mappings > 0)
+    mapq -= (int)(4.343 * log((double)vs.num_second_best_mappings + 1) +
+                  0.499);
+  if (mapq > 60) mapq = 60;
+  if (mapq < 0) mapq = 0;
+  if (repetitive_seed_length > 0) {
+    double frac_rep = (double)repetitive_seed_length / read_length;
+    if (repetitive_seed_length >= (uint32_t)read_length) frac_rep = 0.999;
+    if (identity <= 0.95)
+      mapq = (int)(mapq * (1 - sqrt(frac_rep)) + 0.499);
+    else if (identity <= 0.97)
+      mapq = (int)(mapq * (1 - frac_rep) + 0.499);
+    else if (identity >= 0.999)
+      mapq = (int)(mapq * (1 - frac_rep * frac_rep * frac_rep * frac_rep) +
+                   0.499);
+    else
+      mapq = (int)(mapq * (1 - frac_rep * frac_rep) + 0.499);
+  }
+  return (uint8_t)mapq;
+}
+
+void MapqPairedEnd(const MappingParams& mp, int e1, int e2, uint16_t al1,
+                   uint16_t al2, int l1, int l2, int force_mapq,
+                   const PairedState& ps, const VerifyState& vs1,
+                   const VerifyState& vs2, uint32_t rep1, uint32_t rep2,
+                   uint8_t* out_mapq) {
+  uint8_t mapq_pe = 0;
+  int min_unpaired = vs1.min_num_errors + vs2.min_num_errors + 3;
+  if (ps.num_best_mappings <= 1) {
+    int adj_second = ps.second_min_sum_errors < min_unpaired
+                         ? ps.second_min_sum_errors
+                         : min_unpaired;
+    mapq_pe = (uint8_t)(int)(5 * 6.02 * (adj_second - ps.min_sum_errors) / 1 +
+                             0.499);
+    if (ps.num_second_best_mappings > 0)
+      mapq_pe = (uint8_t)(mapq_pe -
+                          (int)(4.343 *
+                                    log((double)ps.num_second_best_mappings +
+                                        1) +
+                                0.499));
+    if (mapq_pe > 60) mapq_pe = 60;
+    uint32_t rep_len = rep1 + rep2;
+    if (rep_len > 0) {
+      double total = (double)l1 + l2;
+      double frac_rep = rep_len / total;
+      if (rep_len >= total) frac_rep = 0.999;
+      double id1 = 1.0 - (double)e1 / (l1 > al1 ? l1 : al1);
+      double id2 = 1.0 - (double)e2 / (l2 > al2 ? l2 : al2);
+      double identity = id1 < id2 ? id1 : id2;
+      if (identity <= 0.95)
+        mapq_pe = (uint8_t)(int)(mapq_pe * (1 - sqrt(frac_rep)) + 0.499);
+      else if (identity <= 0.97)
+        mapq_pe = (uint8_t)(int)(mapq_pe * (1 - frac_rep) + 0.499);
+      else if (identity >= 0.999)
+        mapq_pe = (uint8_t)(int)(mapq_pe * (1 - frac_rep * frac_rep *
+                                                    frac_rep * frac_rep) +
+                                 0.499);
+      else
+        mapq_pe =
+            (uint8_t)(int)(mapq_pe * (1 - frac_rep * frac_rep) + 0.499);
+    }
+  }
+  uint8_t mapq1 = MapqSingleEnd(mp, e1, al1, l1, 2, vs1, rep1);
+  uint8_t mapq2 = MapqSingleEnd(mp, e2, al2, l2, 2, vs2, rep2);
+  // non-split blend
+  if (mapq1 > mapq_pe) {
+  } else if (mapq_pe < mapq1 + mapq_pe * 0.65) {
+    mapq1 = (uint8_t)(double)mapq_pe;
+  } else {
+    mapq1 = (uint8_t)(mapq1 + mapq_pe * 0.65);
+  }
+  if (mapq2 > mapq_pe) {
+  } else if (mapq_pe < mapq2 + mapq_pe * 0.65) {
+    mapq2 = (uint8_t)(double)mapq_pe;
+  } else {
+    mapq2 = (uint8_t)(mapq2 + mapq_pe * 0.65);
+  }
+  mapq1 = (uint8_t)(mapq1 * 1.2);
+  if (mapq1 > 60) mapq1 = 60;
+  mapq2 = (uint8_t)(mapq2 * 1.2);
+  if (mapq2 > 60) mapq2 = 60;
+  uint8_t mapq = mapq1 < mapq2 ? mapq1 : mapq2;
+  if (mapq < 60 && force_mapq >= 0 && force_mapq < mapq) mapq = force_mapq;
+  *out_mapq = mapq;
+}
+
+// ------------------------------ trimming ------------------------------
+
+void TrimAdapter(std::vector<char>& r1, std::vector<char>& r2,
+                 std::vector<char>& neg1, std::vector<char>& neg2,
+                 int min_read_length) {
+  bool swapped = r1.size() > r2.size();
+  std::vector<char>& a = swapped ? r2 : r1;        // shorter "read1"
+  std::vector<char>& negb = swapped ? neg1 : neg2; // rc of longer "read2"
+  int read1_length = (int)std::min(r1.size(), r2.size());
+  int read2_length = (int)std::max(r1.size(), r2.size());
+  int seed_length = min_read_length / 2;
+  const int et = 1;
+
+  for (int si = 0; si < et + 1; ++si) {
+    if ((si + 1) * seed_length > (int)a.size()) break;
+    const char* seed = a.data() + si * seed_length;
+    const char* hay = negb.data();
+    int hay_len = (int)negb.size();
+    int start = 0;
+    bool merged = false;
+    while (start + seed_length <= hay_len) {
+      const char* found = std::search(hay + start, hay + hay_len, seed,
+                                      seed + seed_length);
+      if (found == hay + hay_len) break;
+      int ssp = (int)(found - hay);
+      bool before_ok = ssp >= si * seed_length;
+      bool overlap_ok =
+          read2_length - ssp + seed_length * si >= min_read_length;
+      if (!(before_ok && overlap_ok)) {
+        start = ssp + 1;
+        continue;
+      }
+      bool can_merge = true;
+      int num_errors = 0;
+      for (int i = 0; i < seed_length * si; ++i) {
+        if (negb[ssp - si * seed_length + i] != a[i]) ++num_errors;
+        if (num_errors > et) {
+          can_merge = false;
+          break;
+        }
+      }
+      if (can_merge) {
+        for (int i = seed_length;
+             i + ssp < read2_length && si * seed_length + i < read1_length;
+             ++i) {
+          if (negb[ssp + i] != a[si * seed_length + i]) ++num_errors;
+          if (num_errors > et) {
+            can_merge = false;
+            break;
+          }
+        }
+      }
+      if (can_merge) {
+        int overlap = read2_length - ssp + si * seed_length;
+        int off2 = 0;
+        if (overlap > read1_length) {
+          off2 = overlap - read1_length;
+          overlap = read1_length;
+        }
+        auto trim = [](std::vector<char>& seq, std::vector<char>& negseq,
+                       int keep) {
+          if (keep >= (int)seq.size()) return;
+          int drop = (int)seq.size() - keep;
+          negseq.erase(negseq.begin(), negseq.begin() + drop);
+          seq.resize(keep);
+        };
+        if (!swapped) {
+          trim(r1, neg1, overlap);
+          trim(r2, neg2, overlap + off2);
+        } else {
+          trim(r1, neg1, overlap + off2);
+          trim(r2, neg2, overlap);
+        }
+        merged = true;
+        break;
+      }
+      start = ssp + 1;
+    }
+    if (merged) break;
+  }
+}
+
+// ------------------------------ context ------------------------------
+
+struct CnContext {
+  IndexView idx;
+  RefView ref;
+  MappingParams mp;
+  MMCache cache;
+  std::mt19937 generator;
+  // scratch
+  SeedState s1, s2;
+  VerifyState vs1, vs2;
+  std::vector<uint8_t> codes1, codes2, neg_codes1, neg_codes2;
+  std::vector<char> read1, read2, neg1, neg2;
+  struct HistEntry {
+    std::vector<Minimizer> mzs;
+    std::vector<Candidate> pos, neg;
+    uint32_t rep;
+  };
+  std::vector<std::pair<HistEntry, HistEntry>> history;
+
+  CnContext(int64_t cache_size, int k)
+      : cache(cache_size, k), generator(11) {}
+};
+
+}  // namespace
+
+extern "C" {
+
+CnContext* cn_create(const uint64_t* hash_keys, const uint64_t* offsets,
+                     const uint32_t* counts, int64_t num_keys,
+                     const uint64_t* occurrences, const char* ref_bytes,
+                     const int64_t* ref_offsets, int32_t num_refs, int k,
+                     int w, int error_threshold, int min_num_seeds, int f0,
+                     int f1, int max_num_best, int max_insert_size,
+                     int min_read_length, int drop_repetitive_reads,
+                     int64_t cache_size, int trim_adapters) {
+  // note: the caller pads ref_bytes with trailing sentinel 'N's -- the
+  // traceback window can legitimately read up to e-1 bytes past the last
+  // sequence (the reference reads adjacent heap bytes there)
+  CnContext* ctx = new CnContext(cache_size, k);
+  ctx->idx = {hash_keys, offsets, counts, num_keys, occurrences, k, w};
+  ctx->ref = {ref_bytes, ref_offsets, num_refs};
+  ctx->mp = {error_threshold, min_num_seeds,       f0,
+             f1,              max_num_best,        max_insert_size,
+             min_read_length, drop_repetitive_reads,
+             trim_adapters != 0, false};
+  return ctx;
+}
+
+void cn_destroy(CnContext* ctx) { delete ctx; }
+
+// Returns number of emitted records. stats: [candidates, mappings,
+// mapped_reads, uniquely_mapped_reads, cache_hits]
+int64_t cn_map_pairs(
+    CnContext* ctx, const char* r1_bytes, const int64_t* r1_offsets,
+    const char* r2_bytes, const int64_t* r2_offsets, int64_t num_pairs,
+    int64_t base_read_id, int64_t cache_update_threshold, int32_t* out_rid,
+    uint32_t* out_read_id, uint32_t* out_start, uint16_t* out_flen,
+    uint8_t* out_mapq, uint8_t* out_dir, uint8_t* out_uniq,
+    uint16_t* out_posalen, uint16_t* out_negalen, int64_t* stats) {
+  const MappingParams& mp = ctx->mp;
+  const IndexView& idx = ctx->idx;
+  const RefView& ref = ctx->ref;
+  int e = mp.error_threshold;
+  int64_t out_n = 0;
+  int64_t st_cand = 0, st_map = 0, st_mapped = 0, st_uniq = 0, st_hits = 0;
+
+  ctx->history.clear();
+  if (cache_update_threshold > 0)
+    ctx->history.resize((size_t)num_pairs);
+  std::vector<uint8_t> hist_valid(num_pairs, 0);
+
+  std::vector<int> best_indices(mp.max_num_best_mappings);
+
+  for (int64_t pi = 0; pi < num_pairs; ++pi) {
+    int l1 = (int)(r1_offsets[pi + 1] - r1_offsets[pi]);
+    int l2 = (int)(r2_offsets[pi + 1] - r2_offsets[pi]);
+    if (l1 < mp.min_read_length || l2 < mp.min_read_length) continue;
+
+    // copy reads (trim mutates)
+    ctx->read1.assign(r1_bytes + r1_offsets[pi],
+                      r1_bytes + r1_offsets[pi + 1]);
+    ctx->read2.assign(r2_bytes + r2_offsets[pi],
+                      r2_bytes + r2_offsets[pi + 1]);
+    auto make_neg = [](const std::vector<char>& s, std::vector<char>& o) {
+      o.resize(s.size());
+      static const char code_char[8] = {'A', 'C', 'G', 'T',
+                                        'N', 'N', 'N', 'N'};
+      for (size_t i = 0; i < s.size(); ++i) {
+        uint8_t c = kCharToCode[(uint8_t)s[s.size() - 1 - i]];
+        o[i] = code_char[c < 4 ? (3 ^ c) : 7];
+      }
+    };
+    make_neg(ctx->read1, ctx->neg1);
+    make_neg(ctx->read2, ctx->neg2);
+    if (mp.trim_adapters)
+      TrimAdapter(ctx->read1, ctx->read2, ctx->neg1, ctx->neg2,
+                  mp.min_read_length);
+    l1 = (int)ctx->read1.size();
+    l2 = (int)ctx->read2.size();
+
+    ctx->codes1.resize(l1);
+    ctx->codes2.resize(l2);
+    for (int i = 0; i < l1; ++i)
+      ctx->codes1[i] = kCharToCode[(uint8_t)ctx->read1[i]];
+    for (int i = 0; i < l2; ++i)
+      ctx->codes2[i] = kCharToCode[(uint8_t)ctx->read2[i]];
+
+    SeedState& s1 = ctx->s1;
+    SeedState& s2 = ctx->s2;
+    s1.Clear();
+    s2.Clear();
+    GenerateMinimizers(ctx->codes1.data(), l1, idx.k, idx.w, s1.minimizers);
+    GenerateMinimizers(ctx->codes2.data(), l2, idx.k, idx.w, s2.minimizers);
+    if (s1.minimizers.empty() || s2.minimizers.empty()) continue;
+
+    int q1 = ctx->cache.Query(s1.minimizers, l1, s1.positive_candidates,
+                              s1.negative_candidates,
+                              s1.repetitive_seed_length);
+    if (q1 == -1) GenerateCandidates(idx, mp, s1);
+    int q2 = ctx->cache.Query(s2.minimizers, l2, s2.positive_candidates,
+                              s2.negative_candidates,
+                              s2.repetitive_seed_length);
+    if (q2 == -1) GenerateCandidates(idx, mp, s2);
+    if (q1 >= 0 || q2 >= 0) ++st_hits;
+
+    if (pi < cache_update_threshold) {
+      auto& he = ctx->history[pi];
+      he.first.mzs = s1.minimizers;
+      he.first.pos = s1.positive_candidates;
+      he.first.neg = s1.negative_candidates;
+      he.first.rep = s1.repetitive_seed_length;
+      he.second.mzs = s2.minimizers;
+      he.second.pos = s2.positive_candidates;
+      he.second.neg = s2.negative_candidates;
+      he.second.rep = s2.repetitive_seed_length;
+      hist_valid[pi] = 1;
+    }
+
+    int supplement_result =
+        SupplementCandidates(idx, mp, 2 * mp.max_insert_size, s1, s2);
+    size_t n1 = s1.NumCandidates();
+    size_t n2 = s2.NumCandidates();
+
+    if (n1 > 0 && n2 > 0) {
+      // move to buffers and reduce
+      s1.pos_buf = std::move(s1.positive_candidates);
+      s1.neg_buf = std::move(s1.negative_candidates);
+      s2.pos_buf = std::move(s2.positive_candidates);
+      s2.neg_buf = std::move(s2.negative_candidates);
+      s1.positive_candidates.clear();
+      s1.negative_candidates.clear();
+      s2.positive_candidates.clear();
+      s2.negative_candidates.clear();
+      ReduceOneDirection(mp.max_insert_size, s1.pos_buf, s2.neg_buf,
+                         s1.positive_candidates, s2.negative_candidates);
+      ReduceOneDirection(mp.max_insert_size, s1.neg_buf, s2.pos_buf,
+                         s1.negative_candidates, s2.positive_candidates);
+      n1 = s1.NumCandidates();
+      n2 = s2.NumCandidates();
+    }
+    if (n1 == 0 || n2 == 0) continue;
+    st_cand += (int64_t)(n1 + n2);
+
+    VerifyCandidates(mp, ref, ctx->read1.data(), ctx->neg1.data(), l1, s1,
+                     ctx->vs1);
+    VerifyCandidates(mp, ref, ctx->read2.data(), ctx->neg2.data(), l2, s2,
+                     ctx->vs2);
+    if (ctx->vs1.NumDraft() == 0 || ctx->vs2.NumDraft() == 0) continue;
+
+    auto by_pos = [](const DraftMapping& a, const DraftMapping& b) {
+      return a.position < b.position;
+    };
+    std::sort(ctx->vs1.positive_mappings.begin(),
+              ctx->vs1.positive_mappings.end(), by_pos);
+    std::sort(ctx->vs1.negative_mappings.begin(),
+              ctx->vs1.negative_mappings.end(), by_pos);
+    std::sort(ctx->vs2.positive_mappings.begin(),
+              ctx->vs2.positive_mappings.end(), by_pos);
+    std::sort(ctx->vs2.negative_mappings.begin(),
+              ctx->vs2.negative_mappings.end(), by_pos);
+
+    PairedState ps;
+    ps.min_sum_errors = 2 * e + 1;
+    ps.second_min_sum_errors = 2 * e + 1;
+    ps.num_best_mappings = 0;
+    ps.num_second_best_mappings = 0;
+    EnumeratePairs(mp, false, l1, l2, ctx->vs1.positive_mappings,
+                   ctx->vs2.negative_mappings, ps, ps.f1r2);
+    EnumeratePairs(mp, true, l1, l2, ctx->vs1.negative_mappings,
+                   ctx->vs2.positive_mappings, ps, ps.f2r1);
+
+    if (ps.num_best_mappings > mp.drop_repetitive_reads) continue;
+    if (ps.num_best_mappings == 1) st_uniq += 2;
+    st_map += 2 * std::min(ps.num_best_mappings, mp.max_num_best_mappings);
+    if (ps.num_best_mappings > 0) st_mapped += 2;
+    if (ps.num_best_mappings == 0) continue;
+
+    for (int i = 0; i < mp.max_num_best_mappings; ++i) best_indices[i] = i;
+    if (ps.num_best_mappings > mp.max_num_best_mappings) {
+      for (int i = mp.max_num_best_mappings; i < ps.num_best_mappings; ++i) {
+        int j = LibstdcppUniformInt(ctx->generator, 0, i);
+        if (j < mp.max_num_best_mappings) best_indices[j] = i;
+      }
+      std::sort(best_indices.begin(),
+                best_indices.begin() + mp.max_num_best_mappings);
+    }
+    int to_report =
+        std::min(mp.max_num_best_mappings, ps.num_best_mappings);
+    int force_mapq = supplement_result != 0 ? 0 : -1;
+    int is_unique = (ps.num_best_mappings == 1 ||
+                     ctx->vs1.num_best_mappings == 1 ||
+                     ctx->vs2.num_best_mappings == 1)
+                        ? 1
+                        : 0;
+
+    int best_mapping_index = 0, num_reported = 0;
+    for (int direction = 0; direction < 2 && num_reported != to_report;
+         ++direction) {
+      if (direction == 1 && num_reported == to_report) break;
+      bool f_neg = direction == 1;
+      const auto& m1 =
+          f_neg ? ctx->vs1.negative_mappings : ctx->vs1.positive_mappings;
+      const auto& m2 =
+          f_neg ? ctx->vs2.positive_mappings : ctx->vs2.negative_mappings;
+      const auto& best = f_neg ? ps.f2r1 : ps.f1r2;
+      for (const auto& pr : best) {
+        const DraftMapping& d1 = m1[pr.first];
+        const DraftMapping& d2 = m2[pr.second];
+        if (d1.num_errors + d2.num_errors > ps.min_sum_errors) continue;
+        if (best_mapping_index == best_indices[num_reported]) {
+          // position recovery for both ends
+          auto recover = [&](const DraftMapping& d, bool neg, int L,
+                             const char* fwd_text, const char* neg_text,
+                             uint32_t* rs, uint32_t* re) {
+            uint32_t rid = (uint32_t)(d.position >> 32);
+            uint32_t ref_position = (uint32_t)d.position;
+            int64_t rl = ref.Len(rid);
+            int64_t vws;
+            if ((uint64_t)ref_position + 1 > (uint64_t)(L + e))
+              vws = (int64_t)ref_position + 1 - L - e;
+            else
+              vws = 0;
+            if ((uint64_t)ref_position + e >= (uint64_t)rl)
+              vws = (int64_t)(uint32_t)(rl - e - L);
+            if (vws > rl) vws = 0;
+            int start_off = e;
+            BandedTraceback(e, d.num_errors, ref.Seq(rid) + vws,
+                            neg ? neg_text : fwd_text, L, &start_off);
+            *rs = (uint32_t)(vws + start_off);
+            *re = ref_position;
+          };
+          uint32_t rs1, re1, rs2, re2;
+          recover(d1, f_neg, l1, ctx->read1.data(), ctx->neg1.data(), &rs1,
+                  &re1);
+          recover(d2, !f_neg, l2, ctx->read2.data(), ctx->neg2.data(), &rs2,
+                  &re2);
+          uint16_t al1 = (uint16_t)(re1 - rs1 + 1);
+          uint16_t al2 = (uint16_t)(re2 - rs2 + 1);
+          uint8_t mapq;
+          MapqPairedEnd(mp, d1.num_errors, d2.num_errors, al1, al2, l1, l2,
+                        force_mapq, ps, ctx->vs1, ctx->vs2,
+                        s1.repetitive_seed_length, s2.repetitive_seed_length,
+                        &mapq);
+          uint32_t frag_start = f_neg ? rs2 : rs1;
+          uint16_t frag_len = f_neg ? (uint16_t)(re1 - rs2 + 1)
+                                    : (uint16_t)(re2 - rs1 + 1);
+          out_rid[out_n] = (int32_t)(d1.position >> 32);
+          out_read_id[out_n] = (uint32_t)(base_read_id + pi);
+          out_start[out_n] = frag_start;
+          out_flen[out_n] = frag_len;
+          out_mapq[out_n] = mapq & 0x3F;
+          out_dir[out_n] = f_neg ? 0 : 1;
+          out_uniq[out_n] = (uint8_t)is_unique;
+          out_posalen[out_n] = f_neg ? al2 : al1;
+          out_negalen[out_n] = f_neg ? al1 : al2;
+          ++out_n;
+          ++num_reported;
+          if (num_reported ==
+              std::min(mp.max_num_best_mappings, ps.num_best_mappings))
+            break;
+        }
+        ++best_mapping_index;
+      }
+    }
+  }
+
+  // cache updates in pair order, end1 then end2
+  for (int64_t pi = 0; pi < std::min((int64_t)ctx->history.size(),
+                                     cache_update_threshold);
+       ++pi) {
+    if (!hist_valid[pi]) continue;
+    auto& he = ctx->history[pi];
+    ctx->cache.Update(he.first.mzs, he.first.pos, he.first.neg,
+                      he.first.rep);
+    ctx->cache.Update(he.second.mzs, he.second.pos, he.second.neg,
+                      he.second.rep);
+  }
+
+  stats[0] = st_cand;
+  stats[1] = st_map;
+  stats[2] = st_mapped;
+  stats[3] = st_uniq;
+  stats[4] = st_hits;
+  return out_n;
+}
+
+}  // extern "C"
+
+// ------------------------------ FASTQ reader ------------------------------
+
+namespace {
+
+struct FastxReader {
+  gzFile f;
+  std::vector<char> buf;
+  size_t pos = 0, len = 0;
+  bool eof = false;
+  std::vector<char> seqs;       // concatenated batch sequences
+  std::vector<int64_t> offsets; // n+1
+
+  explicit FastxReader(const char* path) : f(gzopen(path, "r")) {
+    buf.resize(1 << 20);
+  }
+  ~FastxReader() {
+    if (f) gzclose(f);
+  }
+  bool ok() const { return f != nullptr; }
+
+  // reads one line (without newline) appending to out; returns false on EOF
+  bool ReadLine(std::string& out) {
+    out.clear();
+    while (true) {
+      if (pos >= len) {
+        if (eof) return !out.empty();
+        int n = gzread(f, buf.data(), (unsigned)buf.size());
+        if (n <= 0) {
+          eof = true;
+          return !out.empty();
+        }
+        len = (size_t)n;
+        pos = 0;
+      }
+      char* nl = (char*)memchr(buf.data() + pos, '\n', len - pos);
+      if (nl) {
+        out.append(buf.data() + pos, nl - (buf.data() + pos));
+        pos = nl - buf.data() + 1;
+        if (!out.empty() && out.back() == '\r') out.pop_back();
+        return true;
+      }
+      out.append(buf.data() + pos, len - pos);
+      pos = len;
+    }
+  }
+
+  // kseq-equivalent record parse; returns #records loaded (<= max_n)
+  int64_t ReadBatch(int64_t max_n) {
+    seqs.clear();
+    offsets.clear();
+    offsets.push_back(0);
+    std::string line, seq;
+    int64_t n = 0;
+    while (n < max_n) {
+      if (!ReadLine(line)) break;
+      if (line.empty()) continue;
+      if (line[0] == '@') {
+        if (!ReadLine(seq)) break;
+        std::string plus, qual;
+        ReadLine(plus);
+        ReadLine(qual);
+        if (seq.empty()) continue;  // kseq skips zero-length records
+        seqs.insert(seqs.end(), seq.begin(), seq.end());
+        offsets.push_back((int64_t)seqs.size());
+        ++n;
+      } else if (line[0] == '>') {
+        // FASTA record: accumulate until next header
+        seq.clear();
+        while (true) {
+          std::string nxt;
+          if (!ReadLine(nxt)) break;
+          if (!nxt.empty() && (nxt[0] == '>' || nxt[0] == '@')) {
+            // push back: emulate by prepending to buffer is complex; FASTA
+            // reads are rare in the mapping path -- handled in Python
+            break;
+          }
+          seq += nxt;
+        }
+        if (seq.empty()) continue;
+        seqs.insert(seqs.end(), seq.begin(), seq.end());
+        offsets.push_back((int64_t)seqs.size());
+        ++n;
+      }
+    }
+    return n;
+  }
+};
+
+// --------------------------- postprocess + write ---------------------------
+
+struct PEOut {
+  // parallel arrays of emitted records
+  const int32_t* rid;
+  const uint32_t* read_id;
+  const uint32_t* start;
+  const uint16_t* flen;
+  const uint8_t* mapq;
+  const uint8_t* dir;
+  const uint8_t* uniq;
+  const uint16_t* posalen;
+  const uint16_t* negalen;
+  int64_t n;
+};
+
+}  // namespace
+
+extern "C" {
+
+FastxReader* cn_fastx_open(const char* path) {
+  FastxReader* r = new FastxReader(path);
+  if (!r->ok()) {
+    delete r;
+    return nullptr;
+  }
+  return r;
+}
+
+void cn_fastx_close(FastxReader* r) { delete r; }
+
+int64_t cn_fastx_read_batch(FastxReader* r, int64_t max_n,
+                            const char** seq_bytes,
+                            const int64_t** offsets) {
+  int64_t n = r->ReadBatch(max_n);
+  *seq_bytes = r->seqs.data();
+  *offsets = r->offsets.data();
+  return n;
+}
+
+// Sort + Tn5 + dedup + mapq-filter + write PE BED/TagAlign records.
+// format: 0 = BED, 1 = TagAlign(BEDPE). Returns #records written
+// (post-filter). dedup_mode: 0 none, 1 in-memory semantics.
+int64_t cn_postprocess_write(
+    const char* out_path, int format, int mapq_threshold, int tn5_shift,
+    int dedup_mode, const char* ref_names_bytes,
+    const int64_t* ref_name_offsets, int32_t num_refs, int32_t* rid,
+    uint32_t* read_id, uint32_t* start, uint16_t* flen, uint8_t* mapq,
+    uint8_t* dir, uint8_t* uniq, uint16_t* posalen, uint16_t* negalen,
+    int64_t n, int64_t* out_stats /*[3]: written, uni, multi*/) {
+  // Tn5 shift first (in-memory order: Tn5 then dedup, chromap.h:1322-1334)
+  if (tn5_shift) {
+    for (int64_t i = 0; i < n; ++i) {
+      start[i] += 4;
+      posalen[i] = (uint16_t)(posalen[i] - 4);
+      flen[i] = (uint16_t)(flen[i] - 9);
+      negalen[i] = (uint16_t)(negalen[i] - 5);
+    }
+  }
+  std::vector<int64_t> order(n);
+  std::iota(order.begin(), order.end(), 0);
+  std::sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
+    if (rid[a] != rid[b]) return rid[a] < rid[b];
+    if (start[a] != start[b]) return start[a] < start[b];
+    if (flen[a] != flen[b]) return flen[a] < flen[b];
+    if (mapq[a] != mapq[b]) return mapq[a] < mapq[b];
+    if (dir[a] != dir[b]) return dir[a] < dir[b];
+    if (uniq[a] != uniq[b]) return uniq[a] < uniq[b];
+    if (read_id[a] != read_id[b]) return read_id[a] < read_id[b];
+    if (posalen[a] != posalen[b]) return posalen[a] < posalen[b];
+    return negalen[a] < negalen[b];
+  });
+
+  FILE* out = fopen(out_path, "w");
+  if (!out) return -1;
+  std::vector<char> iobuf(1 << 20);
+  setvbuf(out, iobuf.data(), _IOFBF, iobuf.size());
+
+  int64_t written = 0, uni = 0, multi = 0;
+  auto emit = [&](int64_t idx, uint32_t dups) {
+    if (mapq[idx] < mapq_threshold) return;
+    uint32_t nd = dups > 255 ? 255 : dups;
+    const char* name = ref_names_bytes + ref_name_offsets[rid[idx]];
+    int name_len =
+        (int)(ref_name_offsets[rid[idx] + 1] - ref_name_offsets[rid[idx]]);
+    uint32_t s = start[idx];
+    uint32_t e2 = s + flen[idx];
+    if (format == 0) {
+      fprintf(out, "%.*s\t%u\t%u\tN\t%u\t%c\t%u\n", name_len, name, s, e2,
+              (unsigned)mapq[idx], dir[idx] ? '+' : '-', nd);
+    } else {
+      uint32_t pos_end = s + posalen[idx];
+      uint32_t neg_end = s + flen[idx];
+      uint32_t neg_start = neg_end - negalen[idx];
+      if (dir[idx]) {
+        fprintf(out, "%.*s\t%u\t%u\tN\t%u\t+\n%.*s\t%u\t%u\tN\t%u\t-\t%u\n",
+                name_len, name, s, pos_end, (unsigned)mapq[idx], name_len,
+                name, neg_start, neg_end, (unsigned)mapq[idx], nd);
+      } else {
+        fprintf(out, "%.*s\t%u\t%u\tN\t%u\t-\n%.*s\t%u\t%u\tN\t%u\t+\t%u\n",
+                name_len, name, neg_start, neg_end, (unsigned)mapq[idx],
+                name_len, name, s, pos_end, (unsigned)mapq[idx], nd);
+      }
+    }
+    ++written;
+    if (uniq[idx])
+      ++uni;
+    else
+      ++multi;
+  };
+
+  if (dedup_mode == 0) {
+    for (int64_t oi = 0; oi < n; ++oi) emit(order[oi], 1);
+  } else {
+    // adjacent-equal collapse keeping the last (mapping_processor.h:161-202)
+    int64_t group_count = 0;
+    for (int64_t oi = 0; oi < n; ++oi) {
+      int64_t idx = order[oi];
+      ++group_count;
+      bool last_of_group =
+          oi + 1 >= n ||
+          rid[order[oi + 1]] != rid[idx] ||
+          start[order[oi + 1]] != start[idx] ||
+          flen[order[oi + 1]] != flen[idx];
+      if (last_of_group) {
+        emit(idx, (uint32_t)group_count);
+        group_count = 0;
+      }
+    }
+  }
+  fclose(out);
+  out_stats[0] = written;
+  out_stats[1] = uni;
+  out_stats[2] = multi;
+  return written;
+}
+
+}  // extern "C"

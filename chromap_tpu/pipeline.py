@@ -381,8 +381,29 @@ class MappingPipeline:
             self.mappings_on_refs[rid].append(record)
             self.num_mappings_in_mem += 1
 
+        native_engine = None
+        if cfg.native_engine_eligible(paired=True):
+            try:
+                from .native import NativeEngine
+                native_engine = NativeEngine(cfg, self.index, self.ref_seqs)
+                log("Using native host engine.")
+            except Exception as exc:
+                log(f"Native engine unavailable ({exc}); "
+                    "falling back to batch engine.")
+                native_engine = None
+
+        # full-native fast path: native FASTQ IO + mapping + postprocess
+        if (native_engine is not None and not cfg.read_format
+                and self.summary is None and not cfg.allocate_multi_mappings
+                and not cfg.matrix_output_prefix
+                and (cfg.output_format == "bed"
+                     or (cfg.output_format == "tagalign"
+                         and not cfg.low_memory_mode))):
+            self._map_paired_end_full_native(native_engine)
+            return
+
         batch_mapper = None
-        if cfg.batch_engine_eligible(paired=True):
+        if native_engine is None and cfg.batch_engine_eligible(paired=True):
             from .batch.pipeline import BatchMapper
             batch_mapper = BatchMapper(cfg, self.index, self.ref_seqs,
                                        self.ref_lengths, self.selector,
@@ -406,7 +427,10 @@ class MappingPipeline:
             self.num_reads += 2 * len(batch1)
             threshold = self.cache_paired.get_update_threshold(
                 len(batch1), self.num_reads, True, cfg.cache_update_param)
-            if batch_mapper is not None:
+            if native_engine is not None:
+                self._map_batch_native(native_engine, batch1, batch2,
+                                       threshold, emit)
+            elif batch_mapper is not None:
                 batch_mapper.map_pairs(batch1, batch2, generator, emit,
                                        trim=cfg.trim_adapters,
                                        cache=self.cache_paired,
@@ -650,6 +674,91 @@ class MappingPipeline:
         spill_mappings(cfg, self.mappings_on_refs, self.temp_shard_paths,
                        base=base)
         self.num_mappings_in_mem = 0
+
+    def _map_paired_end_full_native(self, engine) -> None:
+        """Native IO + mapping + postprocess + write; no Python per-read or
+        per-record objects anywhere on the hot path."""
+        import time as _time
+
+        from .native import NativeFastxReader, native_postprocess_write
+
+        cfg = self.cfg
+        t_map = _time.time()
+        chunks: List[dict] = []
+        base_read_id = 0
+        for file_index in range(len(cfg.read_file1_paths)):
+            r1 = NativeFastxReader(cfg.read_file1_paths[file_index])
+            r2 = NativeFastxReader(cfg.read_file2_paths[file_index])
+            while True:
+                n1, b1, o1 = r1.read_batch(cfg.read_batch_size)
+                n2, b2, o2 = r2.read_batch(cfg.read_batch_size)
+                if n1 != n2:
+                    raise RuntimeError(
+                        "Numbers of reads and barcodes don't match!")
+                if n1 == 0:
+                    break
+                self.num_reads += 2 * n1
+                threshold = self.cache_paired.get_update_threshold(
+                    n1, self.num_reads, True, cfg.cache_update_param)
+                out, stats = engine.map_pairs_raw(b1, o1, b2, o2, n1,
+                                                  base_read_id, threshold)
+                base_read_id += n1
+                chunks.append(out)
+                self.num_candidates += int(stats[0])
+                self.num_mappings += int(stats[1])
+                self.num_mapped_reads += int(stats[2])
+                self.num_uniquely_mapped_reads += int(stats[3])
+                self.cache_hits += int(stats[4])
+                log(f"Mapped {n1} read pairs.")
+            r1.close()
+            r2.close()
+        log(f"Mapped all reads in {_time.time() - t_map:.2f}s.")
+        self._output_stats()
+
+        arrays = {key: (np.concatenate([c[key] for c in chunks])
+                        if chunks else np.empty(0))
+                  for key in (chunks[0] if chunks else
+                              {"rid": None, "read_id": None, "start": None,
+                               "flen": None, "mapq": None, "dir": None,
+                               "uniq": None, "posalen": None,
+                               "negalen": None})}
+        written, uni, multi = native_postprocess_write(
+            cfg, self.ref_names, arrays, tn5=cfg.tn5_shift,
+            dedup=cfg.remove_pcr_duplicates)
+        if cfg.remove_pcr_duplicates:
+            log(f"{uni + multi} mappings left after deduplication.")
+        log(f"# uni-mappings: {uni}, # multi-mappings: {multi}, "
+            f"total: {uni + multi}.")
+        log(f"Number of output mappings (passed filters): {written}")
+
+    def _map_batch_native(self, engine, batch1, batch2, threshold,
+                          emit) -> None:
+        """Map one batch through the C++ host engine."""
+        from .mapping.records import PEBedRecord
+        from .summary import CACHEHIT, TOTAL
+
+        base_read_id = batch1[0].read_id if batch1 else 0
+        reads1 = [bytes(r.seq) for r in batch1]
+        reads2 = [bytes(r.seq) for r in batch2]
+        out, stats = engine.map_pairs(reads1, reads2, base_read_id, threshold)
+        rid_a = out["rid"]
+        for i in range(len(rid_a)):
+            rec = PEBedRecord(
+                read_id=int(out["read_id"][i]), barcode=0,
+                start=int(out["start"][i]), length=int(out["flen"][i]),
+                mapq=int(out["mapq"][i]), direction=int(out["dir"][i]),
+                is_unique=int(out["uniq"][i]), num_dups=1,
+                positive_alignment_length=int(out["posalen"][i]),
+                negative_alignment_length=int(out["negalen"][i]))
+            emit(int(rid_a[i]), rec)
+        self.num_candidates += int(stats[0])
+        self.num_mappings += int(stats[1])
+        self.num_mapped_reads += int(stats[2])
+        self.num_uniquely_mapped_reads += int(stats[3])
+        self.cache_hits += int(stats[4])
+        if self.summary is not None:
+            self.summary.update_count(0, TOTAL, len(batch1))
+            self.summary.update_count(0, CACHEHIT, int(stats[4]))
 
     def _shard_filter_pairs(self, batch1, batch2, batch_bc):
         """Multi-host sharding: keep reads assigned to this shard
