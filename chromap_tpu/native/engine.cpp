@@ -923,9 +923,16 @@ bool TryShortcut(const MappingParams& mp, const RefView& ref,
   return true;
 }
 
+struct ExtVerify {
+  const int32_t* errors;
+  const int32_t* ends;
+  int64_t cursor;
+};
+
 void VerifyCandidates(const MappingParams& mp, const RefView& ref,
                       const char* read, const char* neg_read, int read_length,
-                      SeedState& st, VerifyState& vs) {
+                      SeedState& st, VerifyState& vs,
+                      ExtVerify* ext = nullptr) {
   vs.Reset(mp.error_threshold);
   if (TryShortcut(mp, ref, st, read_length, vs)) return;
   std::sort(st.positive_candidates.begin(), st.positive_candidates.end(),
@@ -945,6 +952,23 @@ void VerifyCandidates(const MappingParams& mp, const RefView& ref,
     const char* text = neg ? neg_read : read;
     bool grouped = num_lanes > 0 && (int)cands.size() >= num_lanes;
 
+    int64_t strand_cursor_start = 0;
+    int64_t strand_valid_total = 0;
+    if (ext) {
+      strand_cursor_start = ext->cursor;
+      for (size_t ci = 0; ci < cands.size(); ++ci) {
+        const Candidate& c = cands[ci];
+        uint32_t rid = (uint32_t)(c.position >> 32);
+        uint32_t position = (uint32_t)c.position;
+        if (neg) position = (uint32_t)(position - read_length + 1);
+        int64_t rl = rid < (uint32_t)ref.num_refs ? ref.Len(rid) : 0;
+        if (rid >= (uint32_t)ref.num_refs || position < (uint32_t)e ||
+            position >= rl || position + read_length + e >= rl)
+          continue;
+        ++strand_valid_total;
+      }
+    }
+
     uint32_t threshold = 0;
     std::vector<const Candidate*> group;
     for (size_t ci = 0; ci < cands.size(); ++ci) {
@@ -959,8 +983,15 @@ void VerifyCandidates(const MappingParams& mp, const RefView& ref,
         continue;
       if (!grouped) {
         int end_pos = read_length;
-        int ne = BandedAlign(e, ref.Seq(rid) + position - e, text,
-                             read_length, &end_pos);
+        int ne;
+        if (ext) {
+          ne = ext->errors[ext->cursor];
+          end_pos = ext->ends[ext->cursor];
+          ++ext->cursor;
+        } else {
+          ne = BandedAlign(e, ref.Seq(rid) + position - e, text,
+                           read_length, &end_pos);
+        }
         if (ne <= e) {
           UpdateCounters(vs, ne);
           uint64_t draft =
@@ -977,8 +1008,15 @@ void VerifyCandidates(const MappingParams& mp, const RefView& ref,
         uint32_t gpos = (uint32_t)gc->position;
         if (neg) gpos = (uint32_t)(gpos - read_length + 1);
         int end_pos = read_length - 1;
-        int ne = BandedAlign(e, ref.Seq(grid) + gpos - e, text, read_length,
-                             &end_pos);
+        int ne;
+        if (ext) {
+          ne = ext->errors[ext->cursor];
+          end_pos = ext->ends[ext->cursor];
+          ++ext->cursor;
+        } else {
+          ne = BandedAlign(e, ref.Seq(grid) + gpos - e, text, read_length,
+                           &end_pos);
+        }
         if (ne <= e) {
           UpdateCounters(vs, ne);
           uint64_t draft =
@@ -997,8 +1035,15 @@ void VerifyCandidates(const MappingParams& mp, const RefView& ref,
       uint32_t gpos = (uint32_t)gc->position;
       if (neg) gpos = (uint32_t)(gpos - read_length + 1);
       int end_pos = read_length - 1;
-      int ne = BandedAlign(e, ref.Seq(grid) + gpos - e, text, read_length,
-                           &end_pos);
+      int ne;
+      if (ext) {
+        ne = ext->errors[ext->cursor];
+        end_pos = ext->ends[ext->cursor];
+        ++ext->cursor;
+      } else {
+        ne = BandedAlign(e, ref.Seq(grid) + gpos - e, text, read_length,
+                         &end_pos);
+      }
       if (ne <= e) {
         UpdateCounters(vs, ne);
         uint64_t draft = neg ? gc->position - read_length + 1 - e + end_pos
@@ -1007,6 +1052,52 @@ void VerifyCandidates(const MappingParams& mp, const RefView& ref,
       }
     }
     group.clear();
+    if (ext) ext->cursor = strand_cursor_start + strand_valid_total;
+  }
+}
+
+// Collect verification work items (pattern offsets into the concatenated
+// reference codes and oriented text codes) for one read; order matches the
+// ext-mode consumption order in VerifyCandidates exactly.
+void CollectVerification(const MappingParams& mp, const RefView& ref,
+                         const int64_t* ref_global_offsets, const char* read,
+                         const char* neg_read, int read_length, SeedState& st,
+                         std::vector<int64_t>& pattern_starts,
+                         std::vector<int32_t>& text_offsets,
+                         std::vector<int32_t>& text_lengths,
+                         std::vector<uint8_t>& text_codes) {
+  VerifyState tmp;
+  tmp.Reset(mp.error_threshold);
+  if (TryShortcut(mp, ref, st, read_length, tmp)) return;
+  std::sort(st.positive_candidates.begin(), st.positive_candidates.end(),
+            CandidateLess);
+  std::sort(st.negative_candidates.begin(), st.negative_candidates.end(),
+            CandidateLess);
+  int e = mp.error_threshold;
+  for (int strand = 0; strand < 2; ++strand) {
+    bool neg = strand == 1;
+    const std::vector<Candidate>& cands =
+        neg ? st.negative_candidates : st.positive_candidates;
+    const char* text = neg ? neg_read : read;
+    int32_t text_off = -1;
+    for (size_t ci = 0; ci < cands.size(); ++ci) {
+      const Candidate& c = cands[ci];
+      uint32_t rid = (uint32_t)(c.position >> 32);
+      uint32_t position = (uint32_t)c.position;
+      if (neg) position = (uint32_t)(position - read_length + 1);
+      int64_t rl = rid < (uint32_t)ref.num_refs ? ref.Len(rid) : 0;
+      if (rid >= (uint32_t)ref.num_refs || position < (uint32_t)e ||
+          position >= rl || position + read_length + e >= rl)
+        continue;
+      if (text_off < 0) {
+        text_off = (int32_t)text_codes.size();
+        for (int i = 0; i < read_length; ++i)
+          text_codes.push_back(kCharToCode[(uint8_t)text[i]]);
+      }
+      pattern_starts.push_back(ref_global_offsets[rid] + position - e);
+      text_offsets.push_back(text_off);
+      text_lengths.push_back(read_length);
+    }
   }
 }
 
@@ -1293,6 +1384,12 @@ struct CnContext {
   };
   std::vector<std::pair<HistEntry, HistEntry>> history;
 
+  // device-verification work buffers (phase split)
+  std::vector<int64_t> wb_pattern_starts;
+  std::vector<int32_t> wb_text_offsets;
+  std::vector<int32_t> wb_text_lengths;
+  std::vector<uint8_t> wb_text_codes;
+
   CnContext(int64_t cache_size, int k)
       : cache(cache_size, k), generator(11) {}
 };
@@ -1326,13 +1423,16 @@ void cn_destroy(CnContext* ctx) { delete ctx; }
 
 // Returns number of emitted records. stats: [candidates, mappings,
 // mapped_reads, uniquely_mapped_reads, cache_hits]
-int64_t cn_map_pairs(
+// collect_mode: gather verification work items instead of mapping.
+// ext_err/ext_end: precomputed verification results (device kernel).
+static int64_t MapPairsCore(
     CnContext* ctx, const char* r1_bytes, const int64_t* r1_offsets,
     const char* r2_bytes, const int64_t* r2_offsets, int64_t num_pairs,
     int64_t base_read_id, int64_t cache_update_threshold, int32_t* out_rid,
     uint32_t* out_read_id, uint32_t* out_start, uint16_t* out_flen,
     uint8_t* out_mapq, uint8_t* out_dir, uint8_t* out_uniq,
-    uint16_t* out_posalen, uint16_t* out_negalen, int64_t* stats) {
+    uint16_t* out_posalen, uint16_t* out_negalen, int64_t* stats,
+    int collect_mode, const int32_t* ext_err, const int32_t* ext_end) {
   const MappingParams& mp = ctx->mp;
   const IndexView& idx = ctx->idx;
   const RefView& ref = ctx->ref;
@@ -1341,9 +1441,18 @@ int64_t cn_map_pairs(
   int64_t st_cand = 0, st_map = 0, st_mapped = 0, st_uniq = 0, st_hits = 0;
 
   ctx->history.clear();
-  if (cache_update_threshold > 0)
+  if (cache_update_threshold > 0 && !collect_mode)
     ctx->history.resize((size_t)num_pairs);
   std::vector<uint8_t> hist_valid(num_pairs, 0);
+
+  ExtVerify ext_state = {ext_err, ext_end, 0};
+  ExtVerify* ext = ext_err ? &ext_state : nullptr;
+  if (collect_mode) {
+    ctx->wb_pattern_starts.clear();
+    ctx->wb_text_offsets.clear();
+    ctx->wb_text_lengths.clear();
+    ctx->wb_text_codes.clear();
+  }
 
   std::vector<int> best_indices(mp.max_num_best_mappings);
 
@@ -1399,7 +1508,7 @@ int64_t cn_map_pairs(
     if (q2 == -1) GenerateCandidates(idx, mp, s2);
     if (q1 >= 0 || q2 >= 0) ++st_hits;
 
-    if (pi < cache_update_threshold) {
+    if (pi < cache_update_threshold && !collect_mode) {
       auto& he = ctx->history[pi];
       he.first.mzs = s1.minimizers;
       he.first.pos = s1.positive_candidates;
@@ -1437,10 +1546,22 @@ int64_t cn_map_pairs(
     if (n1 == 0 || n2 == 0) continue;
     st_cand += (int64_t)(n1 + n2);
 
+    if (collect_mode) {
+      CollectVerification(mp, ref, ref.offsets, ctx->read1.data(),
+                          ctx->neg1.data(), l1, s1, ctx->wb_pattern_starts,
+                          ctx->wb_text_offsets, ctx->wb_text_lengths,
+                          ctx->wb_text_codes);
+      CollectVerification(mp, ref, ref.offsets, ctx->read2.data(),
+                          ctx->neg2.data(), l2, s2, ctx->wb_pattern_starts,
+                          ctx->wb_text_offsets, ctx->wb_text_lengths,
+                          ctx->wb_text_codes);
+      continue;
+    }
+
     VerifyCandidates(mp, ref, ctx->read1.data(), ctx->neg1.data(), l1, s1,
-                     ctx->vs1);
+                     ctx->vs1, ext);
     VerifyCandidates(mp, ref, ctx->read2.data(), ctx->neg2.data(), l2, s2,
-                     ctx->vs2);
+                     ctx->vs2, ext);
     if (ctx->vs1.NumDraft() == 0 || ctx->vs2.NumDraft() == 0) continue;
 
     auto by_pos = [](const DraftMapping& a, const DraftMapping& b) {
@@ -1561,8 +1682,8 @@ int64_t cn_map_pairs(
   }
 
   // cache updates in pair order, end1 then end2
-  for (int64_t pi = 0; pi < std::min((int64_t)ctx->history.size(),
-                                     cache_update_threshold);
+  for (int64_t pi = 0; !collect_mode &&
+       pi < std::min((int64_t)ctx->history.size(), cache_update_threshold);
        ++pi) {
     if (!hist_valid[pi]) continue;
     auto& he = ctx->history[pi];
@@ -1572,12 +1693,65 @@ int64_t cn_map_pairs(
                       he.second.rep);
   }
 
-  stats[0] = st_cand;
-  stats[1] = st_map;
-  stats[2] = st_mapped;
-  stats[3] = st_uniq;
-  stats[4] = st_hits;
-  return out_n;
+  if (stats) {
+    stats[0] = st_cand;
+    stats[1] = st_map;
+    stats[2] = st_mapped;
+    stats[3] = st_uniq;
+    stats[4] = st_hits;
+  }
+  return collect_mode ? (int64_t)ctx->wb_pattern_starts.size() : out_n;
+}
+
+int64_t cn_map_pairs(
+    CnContext* ctx, const char* r1_bytes, const int64_t* r1_offsets,
+    const char* r2_bytes, const int64_t* r2_offsets, int64_t num_pairs,
+    int64_t base_read_id, int64_t cache_update_threshold, int32_t* out_rid,
+    uint32_t* out_read_id, uint32_t* out_start, uint16_t* out_flen,
+    uint8_t* out_mapq, uint8_t* out_dir, uint8_t* out_uniq,
+    uint16_t* out_posalen, uint16_t* out_negalen, int64_t* stats) {
+  return MapPairsCore(ctx, r1_bytes, r1_offsets, r2_bytes, r2_offsets,
+                      num_pairs, base_read_id, cache_update_threshold,
+                      out_rid, out_read_id, out_start, out_flen, out_mapq,
+                      out_dir, out_uniq, out_posalen, out_negalen, stats, 0,
+                      nullptr, nullptr);
+}
+
+// Phase 1 for device verification: collect all verification work items.
+int64_t cn_collect_pairs(CnContext* ctx, const char* r1_bytes,
+                         const int64_t* r1_offsets, const char* r2_bytes,
+                         const int64_t* r2_offsets, int64_t num_pairs,
+                         const int64_t** pattern_starts,
+                         const int32_t** text_offsets,
+                         const int32_t** text_lengths,
+                         const uint8_t** text_codes,
+                         int64_t* text_codes_len) {
+  int64_t n = MapPairsCore(ctx, r1_bytes, r1_offsets, r2_bytes, r2_offsets,
+                           num_pairs, 0, 0, nullptr, nullptr, nullptr,
+                           nullptr, nullptr, nullptr, nullptr, nullptr,
+                           nullptr, nullptr, 1, nullptr, nullptr);
+  *pattern_starts = ctx->wb_pattern_starts.data();
+  *text_offsets = ctx->wb_text_offsets.data();
+  *text_lengths = ctx->wb_text_lengths.data();
+  *text_codes = ctx->wb_text_codes.data();
+  *text_codes_len = (int64_t)ctx->wb_text_codes.size();
+  return n;
+}
+
+// Phase 2: consume device-computed (errors, ends) in collection order.
+int64_t cn_map_pairs_ext(
+    CnContext* ctx, const char* r1_bytes, const int64_t* r1_offsets,
+    const char* r2_bytes, const int64_t* r2_offsets, int64_t num_pairs,
+    int64_t base_read_id, int64_t cache_update_threshold,
+    const int32_t* errors, const int32_t* ends, int32_t* out_rid,
+    uint32_t* out_read_id, uint32_t* out_start, uint16_t* out_flen,
+    uint8_t* out_mapq, uint8_t* out_dir, uint8_t* out_uniq,
+    uint16_t* out_posalen, uint16_t* out_negalen, int64_t* stats) {
+  return MapPairsCore(ctx, r1_bytes, r1_offsets, r2_bytes, r2_offsets,
+                      num_pairs, base_read_id, cache_update_threshold,
+                      out_rid, out_read_id, out_start, out_flen, out_mapq,
+                      out_dir, out_uniq, out_posalen, out_negalen, stats, 0,
+                      errors, ends);
 }
 
 }  // extern "C"

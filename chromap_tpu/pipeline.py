@@ -700,8 +700,18 @@ class MappingPipeline:
                 self.num_reads += 2 * n1
                 threshold = self.cache_paired.get_update_threshold(
                     n1, self.num_reads, True, cfg.cache_update_param)
-                out, stats = engine.map_pairs_raw(b1, o1, b2, o2, n1,
-                                                  base_read_id, threshold)
+                if cfg.use_device:
+                    from .utils import encode_sequence as _enc
+                    if not hasattr(self, "_ref_codes_concat"):
+                        self._ref_codes_concat = np.concatenate(
+                            [_enc(x) for x in self.ref_seqs]
+                            + [np.full(64, 4, dtype=np.uint8)])
+                    out, stats = engine.map_pairs_device(
+                        b1, o1, b2, o2, n1, base_read_id, threshold,
+                        self._ref_codes_concat, use_pallas=True)
+                else:
+                    out, stats = engine.map_pairs_raw(b1, o1, b2, o2, n1,
+                                                      base_read_id, threshold)
                 base_read_id += n1
                 chunks.append(out)
                 self.num_candidates += int(stats[0])
