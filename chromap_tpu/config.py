@@ -90,8 +90,6 @@ class MappingConfig:
     def native_engine_eligible(self, paired: bool) -> bool:
         if self.engine in ("per_read", "batch"):
             return False
-        if not paired:
-            return False
         if self.num_shards > 1:
             # sharded batches have non-contiguous read ids; route through
             # the Python engines for now

@@ -92,10 +92,19 @@ def load_library():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p,
     ]
+    lib.cn_map_single.restype = ctypes.c_int64
+    lib.cn_map_single.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_char_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
     lib.cn_postprocess_write.restype = ctypes.c_int64
     lib.cn_postprocess_write.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_int, ctypes.c_int, ctypes.c_char_p, ctypes.c_void_p,
+        ctypes.c_int32,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
@@ -184,6 +193,32 @@ class NativeEngine:
             out[key] = out[key][:count]
         return out, stats
 
+
+    def map_single_raw(self, r_bytes, r_off_ptr, n: int, base_read_id: int,
+                       cache_update_threshold: int) -> Tuple[dict, np.ndarray]:
+        """Single-end mapping (mapping_generator.h:114-157 selection)."""
+        cap = max(1, n * max(1, self.cfg.max_num_best_mappings))
+        out = {
+            "rid": np.empty(cap, dtype=np.int32),
+            "read_id": np.empty(cap, dtype=np.uint32),
+            "start": np.empty(cap, dtype=np.uint32),
+            "flen": np.empty(cap, dtype=np.uint16),
+            "mapq": np.empty(cap, dtype=np.uint8),
+            "dir": np.empty(cap, dtype=np.uint8),
+            "uniq": np.empty(cap, dtype=np.uint8),
+        }
+        stats = np.zeros(5, dtype=np.int64)
+        count = self.lib.cn_map_single(
+            self.ctx, r_bytes, r_off_ptr, n, base_read_id,
+            cache_update_threshold,
+            _ptr(out["rid"]), _ptr(out["read_id"]), _ptr(out["start"]),
+            _ptr(out["flen"]), _ptr(out["mapq"]), _ptr(out["dir"]),
+            _ptr(out["uniq"]), _ptr(stats))
+        for key in out:
+            out[key] = out[key][:count]
+        out["posalen"] = np.zeros(count, dtype=np.uint16)
+        out["negalen"] = np.zeros(count, dtype=np.uint16)
+        return out, stats
 
     def map_pairs_device(self, r1_bytes, r1_off_ptr, r2_bytes, r2_off_ptr,
                          n: int, base_read_id: int,
@@ -282,8 +317,9 @@ class NativeFastxReader:
 
 
 def native_postprocess_write(cfg, ref_names: List[bytes], arrays: dict,
-                             tn5: bool, dedup: bool) -> Tuple[int, int, int]:
-    """Sort/Tn5/dedup/filter/write PE records natively. Returns
+                             tn5: bool, dedup: bool,
+                             se_mode: bool = False) -> Tuple[int, int, int]:
+    """Sort/Tn5/dedup/filter/write PE (or SE) records natively. Returns
     (written, uni, multi)."""
     lib = load_library()
     names_bytes = b"".join(ref_names)
@@ -294,7 +330,7 @@ def native_postprocess_write(cfg, ref_names: List[bytes], arrays: dict,
     fmt = 0 if cfg.output_format == "bed" else 1
     res = lib.cn_postprocess_write(
         cfg.mapping_output_file_path.encode(), fmt, cfg.mapq_threshold,
-        1 if tn5 else 0, 1 if dedup else 0, names_bytes,
+        1 if tn5 else 0, 1 if dedup else 0, 1 if se_mode else 0, names_bytes,
         _ptr(name_offsets), len(ref_names), _ptr(arrays["rid"]),
         _ptr(arrays["read_id"]), _ptr(arrays["start"]), _ptr(arrays["flen"]),
         _ptr(arrays["mapq"]), _ptr(arrays["dir"]), _ptr(arrays["uniq"]),

@@ -1754,6 +1754,146 @@ int64_t cn_map_pairs_ext(
                       errors, ends);
 }
 
+
+// --------------------------- single-end mapping ---------------------------
+
+int64_t cn_map_single(
+    CnContext* ctx, const char* r_bytes, const int64_t* r_offsets,
+    int64_t num_reads, int64_t base_read_id, int64_t cache_update_threshold,
+    int32_t* out_rid, uint32_t* out_read_id, uint32_t* out_start,
+    uint16_t* out_flen, uint8_t* out_mapq, uint8_t* out_dir,
+    uint8_t* out_uniq, int64_t* stats) {
+  const MappingParams& mp = ctx->mp;
+  const IndexView& idx = ctx->idx;
+  const RefView& ref = ctx->ref;
+  int e = mp.error_threshold;
+  int64_t out_n = 0;
+  int64_t st_cand = 0, st_map = 0, st_mapped = 0, st_uniq = 0, st_hits = 0;
+
+  ctx->history.clear();
+  if (cache_update_threshold > 0) ctx->history.resize((size_t)num_reads);
+  std::vector<uint8_t> hist_valid(num_reads, 0);
+  std::vector<int> best_indices(mp.max_num_best_mappings);
+
+  for (int64_t pi = 0; pi < num_reads; ++pi) {
+    int l1 = (int)(r_offsets[pi + 1] - r_offsets[pi]);
+    if (l1 < mp.min_read_length) continue;
+    ctx->read1.assign(r_bytes + r_offsets[pi], r_bytes + r_offsets[pi + 1]);
+    ctx->neg1.resize(l1);
+    static const char code_char[8] = {'A', 'C', 'G', 'T', 'N', 'N', 'N', 'N'};
+    for (int i = 0; i < l1; ++i) {
+      uint8_t c = kCharToCode[(uint8_t)ctx->read1[l1 - 1 - i]];
+      ctx->neg1[i] = code_char[c < 4 ? (3 ^ c) : 7];
+    }
+    ctx->codes1.resize(l1);
+    for (int i = 0; i < l1; ++i)
+      ctx->codes1[i] = kCharToCode[(uint8_t)ctx->read1[i]];
+
+    SeedState& s1 = ctx->s1;
+    s1.Clear();
+    GenerateMinimizers(ctx->codes1.data(), l1, idx.k, idx.w, s1.minimizers);
+    if (s1.minimizers.empty()) continue;
+    int q1 = ctx->cache.Query(s1.minimizers, l1, s1.positive_candidates,
+                              s1.negative_candidates,
+                              s1.repetitive_seed_length);
+    if (q1 == -1) GenerateCandidates(idx, mp, s1);
+    else ++st_hits;
+    if (pi < cache_update_threshold) {
+      auto& he = ctx->history[pi];
+      he.first.mzs = s1.minimizers;
+      he.first.pos = s1.positive_candidates;
+      he.first.neg = s1.negative_candidates;
+      he.first.rep = s1.repetitive_seed_length;
+      hist_valid[pi] = 1;
+    }
+    if (s1.NumCandidates() == 0) continue;
+    st_cand += (int64_t)s1.NumCandidates();
+
+    VerifyCandidates(mp, ref, ctx->read1.data(), ctx->neg1.data(), l1, s1,
+                     ctx->vs1);
+    if (ctx->vs1.NumDraft() == 0) continue;
+    VerifyState& vs = ctx->vs1;
+
+    st_map += std::min(vs.num_best_mappings, mp.max_num_best_mappings);
+    ++st_mapped;
+    if (vs.num_best_mappings == 1) ++st_uniq;
+
+    for (int i = 0; i < mp.max_num_best_mappings; ++i) best_indices[i] = i;
+    if (vs.num_best_mappings > mp.max_num_best_mappings) {
+      std::mt19937 gen(11);  // fresh per read (mg.h:128)
+      for (int i = mp.max_num_best_mappings; i < vs.num_best_mappings; ++i) {
+        int j = LibstdcppUniformInt(gen, 0, i);
+        if (j < mp.max_num_best_mappings) best_indices[j] = i;
+      }
+      std::sort(best_indices.begin(),
+                best_indices.begin() + mp.max_num_best_mappings);
+    }
+    int to_report = std::min(vs.num_best_mappings, mp.max_num_best_mappings);
+    int is_unique = vs.num_best_mappings == 1 ? 1 : 0;
+
+    int best_mapping_index = 0, num_reported = 0;
+    for (int strand = 0; strand < 2 && num_reported != to_report; ++strand) {
+      bool neg = strand == 1;
+      const auto& mappings = neg ? vs.negative_mappings
+                                 : vs.positive_mappings;
+      for (const auto& d : mappings) {
+        if (d.num_errors > vs.min_num_errors) continue;
+        if (best_mapping_index == best_indices[num_reported]) {
+          uint32_t rid = (uint32_t)(d.position >> 32);
+          uint32_t ref_position = (uint32_t)d.position;
+          int64_t rl = ref.Len(rid);
+          int64_t vws;
+          if ((uint64_t)ref_position + 1 > (uint64_t)(l1 + e))
+            vws = (int64_t)ref_position + 1 - l1 - e;
+          else
+            vws = 0;
+          if ((uint64_t)ref_position + e >= (uint64_t)rl)
+            vws = (int64_t)(uint32_t)(rl - e - l1);
+          if (vws > rl) vws = 0;
+          int start_off = e;
+          BandedTraceback(e, d.num_errors, ref.Seq(rid) + vws,
+                          neg ? ctx->neg1.data() : ctx->read1.data(), l1,
+                          &start_off);
+          uint32_t rs = (uint32_t)(vws + start_off);
+          uint16_t alen = (uint16_t)(ref_position - rs + 1);
+          uint8_t mapq = MapqSingleEnd(mp, d.num_errors, alen, l1, e, vs,
+                                       s1.repetitive_seed_length);
+          out_rid[out_n] = (int32_t)rid;
+          out_read_id[out_n] = (uint32_t)(base_read_id + pi);
+          out_start[out_n] = rs;
+          out_flen[out_n] = alen;
+          out_mapq[out_n] = mapq & 0x3F;
+          out_dir[out_n] = neg ? 0 : 1;
+          out_uniq[out_n] = (uint8_t)is_unique;
+          ++out_n;
+          ++num_reported;
+          if (num_reported ==
+              std::min(mp.max_num_best_mappings, vs.num_best_mappings))
+            break;
+        }
+        ++best_mapping_index;
+      }
+    }
+  }
+
+  for (int64_t pi = 0;
+       pi < std::min((int64_t)ctx->history.size(), cache_update_threshold);
+       ++pi) {
+    if (!hist_valid[pi]) continue;
+    auto& he = ctx->history[pi];
+    ctx->cache.Update(he.first.mzs, he.first.pos, he.first.neg, he.first.rep);
+  }
+
+  if (stats) {
+    stats[0] = st_cand;
+    stats[1] = st_map;
+    stats[2] = st_mapped;
+    stats[3] = st_uniq;
+    stats[4] = st_hits;
+  }
+  return out_n;
+}
+
 }  // extern "C"
 
 // ------------------------------ FASTQ reader ------------------------------
@@ -1889,7 +2029,7 @@ int64_t cn_fastx_read_batch(FastxReader* r, int64_t max_n,
 // (post-filter). dedup_mode: 0 none, 1 in-memory semantics.
 int64_t cn_postprocess_write(
     const char* out_path, int format, int mapq_threshold, int tn5_shift,
-    int dedup_mode, const char* ref_names_bytes,
+    int dedup_mode, int se_mode, const char* ref_names_bytes,
     const int64_t* ref_name_offsets, int32_t num_refs, int32_t* rid,
     uint32_t* read_id, uint32_t* start, uint16_t* flen, uint8_t* mapq,
     uint8_t* dir, uint8_t* uniq, uint16_t* posalen, uint16_t* negalen,
@@ -1897,10 +2037,15 @@ int64_t cn_postprocess_write(
   // Tn5 shift first (in-memory order: Tn5 then dedup, chromap.h:1322-1334)
   if (tn5_shift) {
     for (int64_t i = 0; i < n; ++i) {
-      start[i] += 4;
-      posalen[i] = (uint16_t)(posalen[i] - 4);
-      flen[i] = (uint16_t)(flen[i] - 9);
-      negalen[i] = (uint16_t)(negalen[i] - 5);
+      if (se_mode) {  // mapping.h:73-83 (SE: strand-dependent shift)
+        if (dir[i]) start[i] += 4;
+        else flen[i] = (uint16_t)(flen[i] - 5);
+      } else {
+        start[i] += 4;
+        posalen[i] = (uint16_t)(posalen[i] - 4);
+        flen[i] = (uint16_t)(flen[i] - 9);
+        negalen[i] = (uint16_t)(negalen[i] - 5);
+      }
     }
   }
   std::vector<int64_t> order(n);
@@ -1931,7 +2076,7 @@ int64_t cn_postprocess_write(
         (int)(ref_name_offsets[rid[idx] + 1] - ref_name_offsets[rid[idx]]);
     uint32_t s = start[idx];
     uint32_t e2 = s + flen[idx];
-    if (format == 0) {
+    if (format == 0 || se_mode) {
       fprintf(out, "%.*s\t%u\t%u\tN\t%u\t%c\t%u\n", name_len, name, s, e2,
               (unsigned)mapq[idx], dir[idx] ? '+' : '-', nd);
     } else {
@@ -1967,7 +2112,7 @@ int64_t cn_postprocess_write(
           oi + 1 >= n ||
           rid[order[oi + 1]] != rid[idx] ||
           start[order[oi + 1]] != start[idx] ||
-          flen[order[oi + 1]] != flen[idx];
+          (!se_mode && flen[order[oi + 1]] != flen[idx]);
       if (last_of_group) {
         emit(idx, (uint32_t)group_count);
         group_count = 0;

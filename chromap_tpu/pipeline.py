@@ -276,6 +276,26 @@ class MappingPipeline:
             self.mappings_on_refs[rid].append(record)
             self.num_mappings_in_mem += 1
 
+        native_engine = None
+        if cfg.native_engine_eligible(paired=False):
+            try:
+                from .native import NativeEngine
+                native_engine = NativeEngine(cfg, self.index, self.ref_seqs)
+                log("Using native host engine.")
+            except Exception as exc:
+                log(f"Native engine unavailable ({exc}); "
+                    "falling back to Python engine.")
+                native_engine = None
+
+        # full-native fast path: native FASTQ IO + mapping + postprocess
+        if (native_engine is not None and not cfg.read_format
+                and self.summary is None and not cfg.allocate_multi_mappings
+                and not cfg.matrix_output_prefix
+                and not cfg.low_memory_mode
+                and cfg.output_format in ("bed", "tagalign")):
+            self._map_single_end_full_native(native_engine)
+            return
+
         t_map = time.time()
         while True:
             batch = stream.read_batch(cfg.read_batch_size)
@@ -296,6 +316,12 @@ class MappingPipeline:
             from .summary import TOTAL
             threshold = self.cache_single.get_update_threshold(
                 len(batch), self.num_reads, False, 0.01)
+            if native_engine is not None:
+                self._map_batch_native_se(native_engine, batch, threshold,
+                                          emit)
+                self._maybe_spill()
+                log(f"Mapped {len(batch)} reads.")
+                continue
             history = ([{}] if threshold > 0 else None)
             nonwhitelist_count = 0
             for bi, rec in enumerate(batch):
@@ -768,6 +794,85 @@ class MappingPipeline:
         self.cache_hits += int(stats[4])
         if self.summary is not None:
             self.summary.update_count(0, TOTAL, len(batch1))
+            self.summary.update_count(0, CACHEHIT, int(stats[4]))
+
+    def _map_single_end_full_native(self, engine) -> None:
+        """SE native IO + mapping + postprocess + write (cn_map_single)."""
+        import time as _time
+
+        from .native import NativeFastxReader, native_postprocess_write
+
+        cfg = self.cfg
+        t_map = _time.time()
+        chunks: List[dict] = []
+        base_read_id = 0
+        for file_index in range(len(cfg.read_file1_paths)):
+            r1 = NativeFastxReader(cfg.read_file1_paths[file_index])
+            while True:
+                n1, b1, o1 = r1.read_batch(cfg.read_batch_size)
+                if n1 == 0:
+                    break
+                self.num_reads += n1
+                threshold = self.cache_single.get_update_threshold(
+                    n1, self.num_reads, False, 0.01)
+                out, stats = engine.map_single_raw(b1, o1, n1, base_read_id,
+                                                   threshold)
+                base_read_id += n1
+                chunks.append(out)
+                self.num_candidates += int(stats[0])
+                self.num_mappings += int(stats[1])
+                self.num_mapped_reads += int(stats[2])
+                self.num_uniquely_mapped_reads += int(stats[3])
+                self.cache_hits += int(stats[4])
+                log(f"Mapped {n1} reads.")
+            r1.close()
+        log(f"Mapped all reads in {_time.time() - t_map:.2f}s.")
+        self._output_stats()
+
+        keys = ("rid", "read_id", "start", "flen", "mapq", "dir", "uniq",
+                "posalen", "negalen")
+        arrays = {key: (np.concatenate([c[key] for c in chunks])
+                        if chunks else np.empty(0))
+                  for key in keys}
+        written, uni, multi = native_postprocess_write(
+            cfg, self.ref_names, arrays, tn5=cfg.tn5_shift,
+            dedup=cfg.remove_pcr_duplicates, se_mode=True)
+        if cfg.remove_pcr_duplicates:
+            log(f"{uni + multi} mappings left after deduplication.")
+        log(f"# uni-mappings: {uni}, # multi-mappings: {multi}, "
+            f"total: {uni + multi}.")
+        log(f"Number of output mappings (passed filters): {written}")
+
+    def _map_batch_native_se(self, engine, batch, threshold, emit) -> None:
+        """Map one single-end batch through the C++ host engine."""
+        from .mapping.records import SEBedRecord
+        from .summary import CACHEHIT, TOTAL
+
+        base_read_id = batch[0].read_id if batch else 0
+        reads = [bytes(r.seq) for r in batch]
+        n = len(reads)
+        r_bytes = b"".join(reads)
+        r_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum([len(r) for r in reads], out=r_off[1:])
+        import ctypes as _ct
+        out, stats = engine.map_single_raw(
+            r_bytes, r_off.ctypes.data_as(_ct.c_void_p), n, base_read_id,
+            threshold)
+        rid_a = out["rid"]
+        for i in range(len(rid_a)):
+            rec = SEBedRecord(
+                read_id=int(out["read_id"][i]), barcode=0,
+                start=int(out["start"][i]), length=int(out["flen"][i]),
+                mapq=int(out["mapq"][i]), direction=int(out["dir"][i]),
+                is_unique=int(out["uniq"][i]), num_dups=1)
+            emit(int(rid_a[i]), rec)
+        self.num_candidates += int(stats[0])
+        self.num_mappings += int(stats[1])
+        self.num_mapped_reads += int(stats[2])
+        self.num_uniquely_mapped_reads += int(stats[3])
+        self.cache_hits += int(stats[4])
+        if self.summary is not None:
+            self.summary.update_count(0, TOTAL, n)
             self.summary.update_count(0, CACHEHIT, int(stats[4]))
 
     def _shard_filter_pairs(self, batch1, batch2, batch_bc):

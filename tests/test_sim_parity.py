@@ -27,6 +27,9 @@ def sim_data(tmp_path_factory):
 
 CASES = [
     ("sim_default.bed", [], ["batch", "per_read"]),
+    ("sim_se.bed", ["--se"], ["auto", "per_read"]),
+    ("sim_se_tn5.bed", ["--se", "--Tn5-shift", "--remove-pcr-duplicates",
+                        "-q", "0"], ["auto"]),
     ("sim_chip.bed", ["-l", "2000", "--remove-pcr-duplicates"], ["batch"]),
     ("sim_n3.bed", ["-n", "3", "-q", "0"], ["batch"]),
     ("sim_alloc.bed", ["--allocate-multi-mappings", "-q", "0"], ["batch"]),
@@ -38,11 +41,16 @@ CASES = [
 def test_sim_parity(golden, extra, engines, sim_data, golden_dir, tmp_path):
     for engine in engines:
         out = tmp_path / f"{engine}_{golden}"
+        single_end = "--se" in extra
+        extra_args = [a for a in extra if a != "--se"]
         args = [sys.executable, "-m", "chromap_tpu.cli",
                 "--engine", engine,
                 "-x", f"{sim_data}/index", "-r", f"{sim_data}/ref.fa",
-                "-1", f"{sim_data}/r1.fq", "-2", f"{sim_data}/r2.fq",
-                "-o", str(out)] + extra
+                "-1", f"{sim_data}/r1.fq",
+                "-o", str(out)] + extra_args
+        if not single_end:
+            args[args.index("-1") + 2:args.index("-1") + 2] = [
+                "-2", f"{sim_data}/r2.fq"]
         result = subprocess.run(args, capture_output=True, text=True)
         assert result.returncode == 0, result.stderr
         assert out.read_bytes() == (golden_dir / golden).read_bytes(), \
