@@ -169,13 +169,63 @@ struct IndexView {
   const uint64_t* occurrences;
   int k, w;
 
+  // Open-addressing probe table over (hash_keys -> offset,count). The
+  // reference reaches its (offset,count) through a khash lookup
+  // (src/index_utils.h:13-58); a flat power-of-two linear-probe table is
+  // the same O(1) access without the vendored macros. Each 16-byte entry
+  // holds key+1 (0 = empty) and the value packed as offset<<24 | count,
+  // so a hit costs one cache-line touch.
+  struct HtEntry {
+    uint64_t key1;
+    uint64_t val;
+  };
+  std::vector<HtEntry> ht;
+  uint64_t ht_mask = 0;
+  static constexpr uint64_t kCntBits = 24;
+  static constexpr uint64_t kCntMask = (1ull << kCntBits) - 1;
+
+  void BuildProbeTable() {
+    uint64_t cap = 16;
+    while (cap < (uint64_t)num_keys + (uint64_t)num_keys / 2) cap <<= 1;
+    ht_mask = cap - 1;
+    ht.assign(cap, {0, 0});
+    for (int64_t i = 0; i < num_keys; ++i) {
+      uint64_t h = hash_keys[i];
+      uint64_t cnt = counts[i] < kCntMask ? counts[i] : kCntMask;
+      uint64_t s = (h * 0x9E3779B97F4A7C15ull) >> 1;
+      for (s &= ht_mask;; s = (s + 1) & ht_mask) {
+        if (ht[s].key1 == 0) {
+          ht[s] = {h + 1, (offsets[i] << kCntBits) | cnt};
+          break;
+        }
+      }
+    }
+  }
+
   // returns (offset, count) or count==0 if absent
   inline std::pair<int64_t, uint32_t> Lookup(uint64_t h) const {
-    const uint64_t* lo =
-        std::lower_bound(hash_keys, hash_keys + num_keys, h);
-    if (lo == hash_keys + num_keys || *lo != h) return {0, 0};
-    int64_t i = lo - hash_keys;
-    return {(int64_t)offsets[i], counts[i]};
+    if (h + 1 == 0) {  // key would alias the empty marker: exact search
+      const uint64_t* lo =
+          std::lower_bound(hash_keys, hash_keys + num_keys, h);
+      if (lo == hash_keys + num_keys || *lo != h) return {0, 0};
+      int64_t i = lo - hash_keys;
+      return {(int64_t)offsets[i], counts[i]};
+    }
+    uint64_t s = (h * 0x9E3779B97F4A7C15ull) >> 1;
+    for (s &= ht_mask;; s = (s + 1) & ht_mask) {
+      const HtEntry& en = ht[s];
+      if (en.key1 == h + 1) {
+        uint32_t cnt = (uint32_t)(en.val & kCntMask);
+        if (cnt == kCntMask) {  // saturated: fall back to the exact row
+          const uint64_t* lo =
+              std::lower_bound(hash_keys, hash_keys + num_keys, h);
+          int64_t i = lo - hash_keys;
+          return {(int64_t)offsets[i], counts[i]};
+        }
+        return {(int64_t)(en.val >> kCntBits), cnt};
+      }
+      if (en.key1 == 0) return {0, 0};
+    }
   }
 };
 
@@ -1411,6 +1461,7 @@ CnContext* cn_create(const uint64_t* hash_keys, const uint64_t* offsets,
   // sequence (the reference reads adjacent heap bytes there)
   CnContext* ctx = new CnContext(cache_size, k);
   ctx->idx = {hash_keys, offsets, counts, num_keys, occurrences, k, w};
+  ctx->idx.BuildProbeTable();
   ctx->ref = {ref_bytes, ref_offsets, num_refs};
   ctx->mp = {error_threshold, min_num_seeds,       f0,
              f1,              max_num_best,        max_insert_size,
