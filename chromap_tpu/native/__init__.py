@@ -92,6 +92,17 @@ def load_library():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p,
     ]
+    lib.cn_map_pairs_dev.restype = ctypes.c_int64
+    lib.cn_map_pairs_dev.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_char_p, ctypes.c_void_p,
+        ctypes.c_char_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p,
+    ]
     lib.cn_map_single.restype = ctypes.c_int64
     lib.cn_map_single.argtypes = [
         ctypes.c_void_p,
@@ -218,6 +229,41 @@ class NativeEngine:
             out[key] = out[key][:count]
         out["posalen"] = np.zeros(count, dtype=np.uint16)
         out["negalen"] = np.zeros(count, dtype=np.uint16)
+        return out, stats
+
+    def map_pairs_dev_seeded(self, r1_bytes, r1_off_ptr, r2_bytes,
+                             r2_off_ptr, n: int, base_read_id: int,
+                             read_meta: np.ndarray, cand_pos: np.ndarray,
+                             cand_meta: np.ndarray) -> Tuple[dict, np.ndarray]:
+        """Finish mapping from device-computed seeding + verification
+        (ops/device_seed.py): reduce, selection, MAPQ, records run natively;
+        flagged pairs re-run the exact host path."""
+        read_meta = np.ascontiguousarray(read_meta, dtype=np.uint64)
+        cand_pos = np.ascontiguousarray(cand_pos, dtype=np.uint64)
+        cand_meta = np.ascontiguousarray(cand_meta, dtype=np.uint32)
+        cap = max(1, n * max(1, self.cfg.max_num_best_mappings))
+        out = {
+            "rid": np.empty(cap, dtype=np.int32),
+            "read_id": np.empty(cap, dtype=np.uint32),
+            "start": np.empty(cap, dtype=np.uint32),
+            "flen": np.empty(cap, dtype=np.uint16),
+            "mapq": np.empty(cap, dtype=np.uint8),
+            "dir": np.empty(cap, dtype=np.uint8),
+            "uniq": np.empty(cap, dtype=np.uint8),
+            "posalen": np.empty(cap, dtype=np.uint16),
+            "negalen": np.empty(cap, dtype=np.uint16),
+        }
+        stats = np.zeros(5, dtype=np.int64)
+        count = self.lib.cn_map_pairs_dev(
+            self.ctx, r1_bytes, r1_off_ptr, r2_bytes, r2_off_ptr,
+            n, base_read_id, _ptr(read_meta), _ptr(cand_pos),
+            _ptr(cand_meta),
+            _ptr(out["rid"]), _ptr(out["read_id"]), _ptr(out["start"]),
+            _ptr(out["flen"]), _ptr(out["mapq"]), _ptr(out["dir"]),
+            _ptr(out["uniq"]), _ptr(out["posalen"]), _ptr(out["negalen"]),
+            _ptr(stats))
+        for key in out:
+            out[key] = out[key][:count]
         return out, stats
 
     def map_pairs_device(self, r1_bytes, r1_off_ptr, r2_bytes, r2_off_ptr,

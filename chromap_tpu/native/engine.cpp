@@ -62,9 +62,14 @@ struct Minimizer {
   uint64_t hit;  // (pos << 1) | strand, sequence index 0 for reads
 };
 
+constexpr uint32_t kNoExt = 0xFFFFFFFFu;
+
 struct Candidate {
   uint64_t position;  // rid<<32 | start
   uint8_t count;
+  // device-precomputed verification (err<<8 | end_pos), kNoExt when the
+  // banded alignment must run natively
+  uint32_t ext = kNoExt;
 };
 
 inline bool CandidateLess(const Candidate& a, const Candidate& b) {
@@ -251,12 +256,14 @@ struct RepStats {
 
 struct SeedState {
   std::vector<Minimizer> minimizers;
+  uint32_t num_minimizers = 0;
   std::vector<uint64_t> positive_hits, negative_hits;
   std::vector<Candidate> positive_candidates, negative_candidates;
   std::vector<Candidate> pos_buf, neg_buf;
   uint32_t repetitive_seed_length = 0;
   void Clear() {
     minimizers.clear();
+    num_minimizers = 0;
     positive_hits.clear();
     negative_hits.clear();
     positive_candidates.clear();
@@ -939,7 +946,7 @@ inline void UpdateCounters(VerifyState& vs, int num_errors) {
 bool TryShortcut(const MappingParams& mp, const RefView& ref,
                  const SeedState& st, int read_length, VerifyState& vs) {
   if (st.NumCandidates() != 1) return false;
-  uint32_t num_minimizers = st.minimizers.size();
+  uint32_t num_minimizers = st.num_minimizers;
   int num_hits = 0;
   const Candidate* cand = nullptr;
   bool neg = false;
@@ -978,6 +985,42 @@ struct ExtVerify {
   const int32_t* ends;
   int64_t cursor;
 };
+
+// Device-seeded batch view (ops/device_seed.py download format). Rows are
+// interleaved (r1 of pair 0, r2 of pair 0, r1 of pair 1, ...). read_meta
+// packs mm_count | rep_len<<8 | flags<<24 | n_pos<<32 | n_neg<<40;
+// cand_meta packs count | err<<8 | end<<16.
+struct DevSeedView {
+  const uint64_t* read_meta;
+  const uint64_t* cand_pos;
+  const uint32_t* cand_meta;
+};
+
+constexpr uint64_t kDevFlagFallback = 1;
+constexpr uint64_t kDevFlagAugment = 2;
+
+// Unpacks one device-seeded read into a SeedState (minus minimizers).
+static void LoadDevSeed(const DevSeedView& dev, uint64_t meta,
+                        int64_t cursor, SeedState& st, uint32_t* mm_count) {
+  *mm_count = (uint32_t)(meta & 0xFF);
+  st.repetitive_seed_length = (uint32_t)((meta >> 8) & 0xFFFF);
+  int n_pos = (int)((meta >> 32) & 0xFF);
+  int n_neg = (int)((meta >> 40) & 0xFF);
+  st.positive_candidates.resize(n_pos);
+  st.negative_candidates.resize(n_neg);
+  for (int i = 0; i < n_pos; ++i) {
+    uint32_t m = dev.cand_meta[cursor + i];
+    uint32_t ext = (((m >> 8) & 0xFF) << 8) | ((m >> 16) & 0xFF);
+    st.positive_candidates[i] = {dev.cand_pos[cursor + i],
+                                 (uint8_t)(m & 0xFF), ext};
+  }
+  for (int i = 0; i < n_neg; ++i) {
+    uint32_t m = dev.cand_meta[cursor + n_pos + i];
+    uint32_t ext = (((m >> 8) & 0xFF) << 8) | ((m >> 16) & 0xFF);
+    st.negative_candidates[i] = {dev.cand_pos[cursor + n_pos + i],
+                                 (uint8_t)(m & 0xFF), ext};
+  }
+}
 
 void VerifyCandidates(const MappingParams& mp, const RefView& ref,
                       const char* read, const char* neg_read, int read_length,
@@ -1038,6 +1081,9 @@ void VerifyCandidates(const MappingParams& mp, const RefView& ref,
           ne = ext->errors[ext->cursor];
           end_pos = ext->ends[ext->cursor];
           ++ext->cursor;
+        } else if (c.ext != kNoExt) {
+          ne = (int)(c.ext >> 8);
+          end_pos = (int)(c.ext & 0xFF);
         } else {
           ne = BandedAlign(e, ref.Seq(rid) + position - e, text,
                            read_length, &end_pos);
@@ -1063,6 +1109,9 @@ void VerifyCandidates(const MappingParams& mp, const RefView& ref,
           ne = ext->errors[ext->cursor];
           end_pos = ext->ends[ext->cursor];
           ++ext->cursor;
+        } else if (gc->ext != kNoExt) {
+          ne = (int)(gc->ext >> 8);
+          end_pos = (int)(gc->ext & 0xFF);
         } else {
           ne = BandedAlign(e, ref.Seq(grid) + gpos - e, text, read_length,
                            &end_pos);
@@ -1090,6 +1139,9 @@ void VerifyCandidates(const MappingParams& mp, const RefView& ref,
         ne = ext->errors[ext->cursor];
         end_pos = ext->ends[ext->cursor];
         ++ext->cursor;
+      } else if (gc->ext != kNoExt) {
+        ne = (int)(gc->ext >> 8);
+        end_pos = (int)(gc->ext & 0xFF);
       } else {
         ne = BandedAlign(e, ref.Seq(grid) + gpos - e, text, read_length,
                          &end_pos);
@@ -1483,7 +1535,8 @@ static int64_t MapPairsCore(
     uint32_t* out_read_id, uint32_t* out_start, uint16_t* out_flen,
     uint8_t* out_mapq, uint8_t* out_dir, uint8_t* out_uniq,
     uint16_t* out_posalen, uint16_t* out_negalen, int64_t* stats,
-    int collect_mode, const int32_t* ext_err, const int32_t* ext_end) {
+    int collect_mode, const int32_t* ext_err, const int32_t* ext_end,
+    const DevSeedView* dev = nullptr) {
   const MappingParams& mp = ctx->mp;
   const IndexView& idx = ctx->idx;
   const RefView& ref = ctx->ref;
@@ -1506,8 +1559,29 @@ static int64_t MapPairsCore(
   }
 
   std::vector<int> best_indices(mp.max_num_best_mappings);
+  int64_t dev_cursor = 0;
 
   for (int64_t pi = 0; pi < num_pairs; ++pi) {
+    // device-seed bookkeeping: the candidate cursor advances for every
+    // pair in order, whichever path handles it
+    uint64_t dmeta1 = 0, dmeta2 = 0;
+    int64_t dcur1 = 0, dcur2 = 0;
+    bool dev_pair = false;
+    if (dev) {
+      dmeta1 = dev->read_meta[2 * pi];
+      dmeta2 = dev->read_meta[2 * pi + 1];
+      int n1c = (int)((dmeta1 >> 32) & 0xFF) + (int)((dmeta1 >> 40) & 0xFF);
+      int n2c = (int)((dmeta2 >> 32) & 0xFF) + (int)((dmeta2 >> 40) & 0xFF);
+      dcur1 = dev_cursor;
+      dcur2 = dev_cursor + n1c;
+      dev_cursor = dcur2 + n2c;
+      uint64_t f1 = (dmeta1 >> 24) & 0xFF, f2 = (dmeta2 >> 24) & 0xFF;
+      bool fb = ((f1 | f2) & kDevFlagFallback) != 0;
+      // mate rescue would run (candidate_processor.cc:75-231): exact path
+      bool rescue = ((f1 & kDevFlagAugment) && n2c > 0) ||
+                    ((f2 & kDevFlagAugment) && n1c > 0);
+      dev_pair = !fb && !rescue && !mp.trim_adapters;
+    }
     int l1 = (int)(r1_offsets[pi + 1] - r1_offsets[pi]);
     int l2 = (int)(r2_offsets[pi + 1] - r2_offsets[pi]);
     if (l1 < mp.min_read_length || l2 < mp.min_read_length) continue;
@@ -1545,19 +1619,29 @@ static int64_t MapPairsCore(
     SeedState& s2 = ctx->s2;
     s1.Clear();
     s2.Clear();
-    GenerateMinimizers(ctx->codes1.data(), l1, idx.k, idx.w, s1.minimizers);
-    GenerateMinimizers(ctx->codes2.data(), l2, idx.k, idx.w, s2.minimizers);
-    if (s1.minimizers.empty() || s2.minimizers.empty()) continue;
+    if (dev_pair) {
+      LoadDevSeed(*dev, dmeta1, dcur1, s1, &s1.num_minimizers);
+      LoadDevSeed(*dev, dmeta2, dcur2, s2, &s2.num_minimizers);
+      if (s1.num_minimizers == 0 || s2.num_minimizers == 0) continue;
+    } else {
+      GenerateMinimizers(ctx->codes1.data(), l1, idx.k, idx.w,
+                         s1.minimizers);
+      GenerateMinimizers(ctx->codes2.data(), l2, idx.k, idx.w,
+                         s2.minimizers);
+      s1.num_minimizers = (uint32_t)s1.minimizers.size();
+      s2.num_minimizers = (uint32_t)s2.minimizers.size();
+      if (s1.minimizers.empty() || s2.minimizers.empty()) continue;
 
-    int q1 = ctx->cache.Query(s1.minimizers, l1, s1.positive_candidates,
-                              s1.negative_candidates,
-                              s1.repetitive_seed_length);
-    if (q1 == -1) GenerateCandidates(idx, mp, s1);
-    int q2 = ctx->cache.Query(s2.minimizers, l2, s2.positive_candidates,
-                              s2.negative_candidates,
-                              s2.repetitive_seed_length);
-    if (q2 == -1) GenerateCandidates(idx, mp, s2);
-    if (q1 >= 0 || q2 >= 0) ++st_hits;
+      int q1 = ctx->cache.Query(s1.minimizers, l1, s1.positive_candidates,
+                                s1.negative_candidates,
+                                s1.repetitive_seed_length);
+      if (q1 == -1) GenerateCandidates(idx, mp, s1);
+      int q2 = ctx->cache.Query(s2.minimizers, l2, s2.positive_candidates,
+                                s2.negative_candidates,
+                                s2.repetitive_seed_length);
+      if (q2 == -1) GenerateCandidates(idx, mp, s2);
+      if (q1 >= 0 || q2 >= 0) ++st_hits;
+    }
 
     if (pi < cache_update_threshold && !collect_mode) {
       auto& he = ctx->history[pi];
@@ -1573,7 +1657,9 @@ static int64_t MapPairsCore(
     }
 
     int supplement_result =
-        SupplementCandidates(idx, mp, 2 * mp.max_insert_size, s1, s2);
+        dev_pair ? 0
+                 : SupplementCandidates(idx, mp, 2 * mp.max_insert_size, s1,
+                                        s2);
     size_t n1 = s1.NumCandidates();
     size_t n2 = s2.NumCandidates();
 
@@ -1766,6 +1852,26 @@ int64_t cn_map_pairs(
                       out_rid, out_read_id, out_start, out_flen, out_mapq,
                       out_dir, out_uniq, out_posalen, out_negalen, stats, 0,
                       nullptr, nullptr);
+}
+
+// Device-seeded mapping: candidates + verification results come from the
+// TPU front end (ops/device_seed.py); flagged pairs re-run the exact
+// native path. The candidate cache is disabled (it is a host-seeding
+// memoization; outputs are identical without it).
+int64_t cn_map_pairs_dev(
+    CnContext* ctx, const char* r1_bytes, const int64_t* r1_offsets,
+    const char* r2_bytes, const int64_t* r2_offsets, int64_t num_pairs,
+    int64_t base_read_id, const uint64_t* read_meta,
+    const uint64_t* cand_pos, const uint32_t* cand_meta, int32_t* out_rid,
+    uint32_t* out_read_id, uint32_t* out_start, uint16_t* out_flen,
+    uint8_t* out_mapq, uint8_t* out_dir, uint8_t* out_uniq,
+    uint16_t* out_posalen, uint16_t* out_negalen, int64_t* stats) {
+  DevSeedView dev = {read_meta, cand_pos, cand_meta};
+  return MapPairsCore(ctx, r1_bytes, r1_offsets, r2_bytes, r2_offsets,
+                      num_pairs, base_read_id, /*cache_update_threshold=*/0,
+                      out_rid, out_read_id, out_start, out_flen, out_mapq,
+                      out_dir, out_uniq, out_posalen, out_negalen, stats, 0,
+                      nullptr, nullptr, &dev);
 }
 
 // Phase 1 for device verification: collect all verification work items.

@@ -84,8 +84,11 @@ def _myers_kernel(e: int, read_length: int,
         peq = [(p >> 1) & _M31 for p in peq]
         return (vp_new, vn_new, num_err) + tuple(peq)
 
+    # int32 bounds keep the induction variable int32 under jax_enable_x64
+    # (Mosaic cannot lower an int64 dynamic-slice start)
     init = (zeros, zeros, zeros) + tuple(peq)
-    vp, vn, num_err, *_ = jax.lax.fori_loop(0, L, step, init)
+    vp, vn, num_err, *_ = jax.lax.fori_loop(jnp.int32(0), jnp.int32(L),
+                                            step, init)
 
     band_start = L - 1
     min_err = num_err
@@ -93,7 +96,7 @@ def _myers_kernel(e: int, read_length: int,
     for i in range(2 * e):
         num_err = num_err + ((vp >> i) & 1) - ((vn >> i) & 1)
         better = (num_err < min_err) | ((num_err == min_err) & (i + 1 == e))
-        end_pos = jnp.where(better, band_start + 1 + i, end_pos)
+        end_pos = jnp.where(better, jnp.int32(band_start + 1 + i), end_pos)
         min_err = jnp.minimum(min_err, num_err)
 
     errors_ref[...] = min_err

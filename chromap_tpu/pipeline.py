@@ -118,6 +118,7 @@ def trim_adapter_paired(rec1: SequenceRecord, rec2: SequenceRecord,
 class MappingPipeline:
     def __init__(self, cfg: MappingConfig):
         self.cfg = cfg
+        self._device_seeder = None
         self.read_format = (ReadFormat.parse(cfg.read_format)
                             if cfg.read_format else ReadFormat())
 
@@ -727,14 +728,8 @@ class MappingPipeline:
                 threshold = self.cache_paired.get_update_threshold(
                     n1, self.num_reads, True, cfg.cache_update_param)
                 if cfg.use_device:
-                    from .utils import encode_sequence as _enc
-                    if not hasattr(self, "_ref_codes_concat"):
-                        self._ref_codes_concat = np.concatenate(
-                            [_enc(x) for x in self.ref_seqs]
-                            + [np.full(64, 4, dtype=np.uint8)])
-                    out, stats = engine.map_pairs_device(
-                        b1, o1, b2, o2, n1, base_read_id, threshold,
-                        self._ref_codes_concat, use_pallas=True)
+                    out, stats = self._map_batch_device_seeded(
+                        engine, b1, o1, b2, o2, n1, base_read_id, threshold)
                 else:
                     out, stats = engine.map_pairs_raw(b1, o1, b2, o2, n1,
                                                       base_read_id, threshold)
@@ -766,6 +761,69 @@ class MappingPipeline:
         log(f"# uni-mappings: {uni}, # multi-mappings: {multi}, "
             f"total: {uni + multi}.")
         log(f"Number of output mappings (passed filters): {written}")
+
+    def _map_batch_device_seeded(self, engine, b1, o1, b2, o2, n1: int,
+                                 base_read_id: int, threshold: int):
+        """TPU front end (seeding + verification on device) + native finish.
+
+        Reads are 2-bit-coded into an interleaved (2n, L) tile and shipped
+        to the device once per batch; the download is the compact candidate
+        stream ops/device_seed.py produces. Batches the device path cannot
+        take exactly (mixed read lengths, candidate overflow) run through
+        the plain native engine instead.
+        """
+        import ctypes as _ct
+
+        cfg = self.cfg
+
+        def _i64_view(p, n):
+            return np.ctypeslib.as_array(
+                _ct.cast(p.value if hasattr(p, "value") else p,
+                         _ct.POINTER(_ct.c_int64)), shape=(n,))
+
+        offs1 = _i64_view(o1, n1 + 1)
+        offs2 = _i64_view(o2, n1 + 1)
+        raw1 = np.ctypeslib.as_array(
+            _ct.cast(b1, _ct.POINTER(_ct.c_uint8)), shape=(int(offs1[n1]),))
+        raw2 = np.ctypeslib.as_array(
+            _ct.cast(b2, _ct.POINTER(_ct.c_uint8)), shape=(int(offs2[n1]),))
+
+        len1 = np.diff(offs1)
+        len2 = np.diff(offs2)
+        L = int(len1[0]) if n1 else 0
+        uniform = (n1 > 0 and (len1 == L).all() and (len2 == L).all()
+                   and 30 <= L <= 230)
+        if not uniform or cfg.trim_adapters:
+            return engine.map_pairs_raw(b1, o1, b2, o2, n1, base_read_id,
+                                        threshold)
+
+        if self._device_seeder is None:
+            from .ops.device_seed import DeviceSeeder
+            self._device_seeder = DeviceSeeder(
+                self.index, self.ref_seqs, cfg.error_threshold,
+                cfg.min_num_seeds_required_for_mapping,
+                cfg.max_seed_frequencies)
+            log("Using TPU device seeding + verification.")
+
+        if not hasattr(self, "_code_tbl"):
+            tbl = np.full(256, 4, np.uint8)
+            for i, c in enumerate(b"ACGT"):
+                tbl[c] = i
+            for i, c in enumerate(b"acgt"):
+                tbl[c] = i
+            self._code_tbl = tbl
+        codes = np.empty((2 * n1, L), dtype=np.uint8)
+        codes[0::2] = self._code_tbl[raw1].reshape(n1, L)
+        codes[1::2] = self._code_tbl[raw2].reshape(n1, L)
+        lengths = np.full(2 * n1, L, dtype=np.int64)
+
+        meta, cand_pos, cand_meta, overflow = \
+            self._device_seeder.seed_and_verify(codes, lengths)
+        if overflow:
+            return engine.map_pairs_raw(b1, o1, b2, o2, n1, base_read_id,
+                                        threshold)
+        return engine.map_pairs_dev_seeded(b1, o1, b2, o2, n1, base_read_id,
+                                           meta, cand_pos, cand_meta)
 
     def _map_batch_native(self, engine, batch1, batch2, threshold,
                           emit) -> None:
