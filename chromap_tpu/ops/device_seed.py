@@ -34,9 +34,19 @@ from typing import Tuple
 
 import numpy as np
 
+import os
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
+# the seeding program is large (u64 emulation + sort-based probe) and slow
+# to compile; persist compiled executables across processes
+_cache_dir = os.environ.get(
+    "CHROMAP_TPU_JAX_CACHE",
+    os.path.join(os.path.expanduser("~"), ".cache", "chromap_tpu_jax"))
+if _cache_dir:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 import jax.numpy as jnp
 from jax import lax
@@ -187,17 +197,42 @@ def _emission_stage(hashes, run, lengths, k: int, w: int):
     return emit, tie
 
 
-def _compact_rows(key, order_cap: int):
-    """Per-row stable compaction: returns indices (B, cap) of the columns
-    with the smallest keys in ascending key order (pad key must be max)."""
-    order = jnp.argsort(key, axis=1)
-    return order[:, :order_cap]
+
+def _barrier(*arrays):
+    """Materialization fence: XLA's loop fusion serializes chained gathers
+    (gather-of-gather fuses into a per-element walk that runs ~100x slower
+    than the materialized form on TPU); a barrier between stages keeps each
+    gather a standalone vectorized kernel."""
+    out = lax.optimization_barrier(arrays)
+    return out if len(arrays) > 1 else out[0]
+
+def _compact_cols(mask, cap: int):
+    """Per-row stable compaction via cumsum + scatter: returns (B, cap)
+    int32 column indices of the masked columns in column order (an argsort
+    on TPU costs ~10x a scatter). Unfilled slots hold 0; callers mask on
+    position < count."""
+    B, L = mask.shape
+    dest = jnp.cumsum(mask, axis=1) - 1
+    rows = jnp.broadcast_to(
+        jnp.arange(B, dtype=jnp.int32)[:, None], (B, L))
+    cols = jnp.broadcast_to(
+        jnp.arange(L, dtype=jnp.int32)[None, :], (B, L))
+    flat_dest = jnp.where(mask & (dest < cap), rows * cap + dest, B * cap)
+    out = jnp.zeros((B * cap,), jnp.int32)
+    out = out.at[flat_dest].set(cols, mode="drop")
+    return out.reshape(B, cap)
 
 
-def _searchsorted_rows(a, v):
-    """Row-wise searchsorted right: a (B, M) ascending, v (B, S)."""
-    return jax.vmap(
-        lambda row, q: jnp.searchsorted(row, q, side="right"))(a, v)
+def _scatter_compact_flat(mask_flat, cap: int, *fields):
+    """Flat stable compaction: scatter each field's masked elements to the
+    front of a cap-sized buffer, preserving order."""
+    dest = jnp.cumsum(mask_flat) - 1
+    flat_dest = jnp.where(mask_flat & (dest < cap), dest, cap)
+    outs = []
+    for f in fields:
+        out = jnp.zeros((cap,), f.dtype)
+        outs.append(out.at[flat_dest].set(f, mode="drop"))
+    return outs
 
 
 def _cluster_scan(sort_hi, sort_lo, mm_count, num_required, e: int):
@@ -341,28 +376,30 @@ class DeviceSeeder:
             B = codes.shape[0]
 
             # ---- minimizers --------------------------------------------
-            h, strand, symmetric, run = _kmer_stage(codes, k)
-            emit, tie = _emission_stage(h, run, lengths, k, w)
+            h, strand, symmetric, run = _barrier(
+                *_kmer_stage(codes, k))
+            emit, tie = _barrier(*_emission_stage(h, run, lengths, k, w))
             mm_count = emit.sum(axis=1).astype(jnp.int32)
             bad_mz = ((tie | symmetric).any(axis=1) | (mm_count > Mcap)
                       | (lengths != L))
 
-            key = jnp.where(emit, jnp.arange(L, dtype=jnp.int32)[None, :],
-                            jnp.int32(L + 1))
-            mz_cols = _compact_rows(key, Mcap)           # (B, Mcap)
+            mz_cols = _barrier(_compact_cols(emit, Mcap))  # (B, Mcap)
             mz_valid = (jnp.arange(Mcap, dtype=jnp.int32)[None, :]
                         < jnp.minimum(mm_count, Mcap)[:, None])
-            mz_hash = jnp.take_along_axis(h, mz_cols, axis=1)
+            mz_hash, mz_strand = _barrier(
+                jnp.take_along_axis(h, mz_cols, axis=1),
+                jnp.take_along_axis(strand, mz_cols, axis=1))
             mz_pos = mz_cols.astype(jnp.uint32)
-            mz_strand = jnp.take_along_axis(strand, mz_cols, axis=1)
 
             # ---- index probe -------------------------------------------
             flat = mz_hash.reshape(-1)
-            loc = jnp.searchsorted(hash_keys, flat, side="left")
-            loc = jnp.minimum(loc, hash_keys.shape[0] - 1)
+            loc = jnp.searchsorted(hash_keys, flat, side="left",
+                                   method="sort")
+            loc = _barrier(jnp.minimum(loc, hash_keys.shape[0] - 1))
             found = (hash_keys[loc] == flat).reshape(B, Mcap) & mz_valid
             off = offsets[loc].reshape(B, Mcap)
             cnt = jnp.where(found, counts[loc].reshape(B, Mcap), 0)
+            found, off, cnt = _barrier(found, off, cnt)
 
             # round-1 frequency cap (candidate_processor.cc:24-32)
             cnt_eff = jnp.where(cnt < f0, cnt, 0)
@@ -399,16 +436,24 @@ class DeviceSeeder:
             cum = jnp.cumsum(cnt_eff, axis=1)
             slots = jnp.broadcast_to(
                 jnp.arange(Hcap, dtype=jnp.int32)[None, :], (B, Hcap))
-            mi = _searchsorted_rows(cum, slots)          # minimizer index
-            mi = jnp.minimum(mi, Mcap - 1)
+            # mi[s] = #{j : cum[j] <= s} (a searchsorted-right), computed as
+            # an inclusive prefix sum of the cum-value histogram
+            hist = jnp.zeros((B, Hcap + 1), jnp.int32)
+            hist = hist.at[
+                jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None],
+                                 (B, Mcap)),
+                jnp.minimum(cum, Hcap)].add(1, mode="drop")
+            mi = jnp.cumsum(hist[:, :Hcap], axis=1)
+            mi = _barrier(jnp.minimum(mi, Mcap - 1))
             base = jnp.where(mi > 0,
                              jnp.take_along_axis(cum, jnp.maximum(mi - 1, 0),
                                                  axis=1), 0)
             occ_idx = (jnp.take_along_axis(off, mi, axis=1)
                        + (slots - base).astype(jnp.int64))
             slot_ok = slots < jnp.minimum(total, Hcap)[:, None]
-            occ_idx = jnp.clip(occ_idx, 0, occurrences.shape[0] - 1)
-            occ = occurrences[occ_idx]
+            occ_idx = _barrier(jnp.clip(occ_idx, 0,
+                                        occurrences.shape[0] - 1))
+            occ = _barrier(occurrences[occ_idx])
             rid = (occ >> U64(33)).astype(jnp.uint32)
             ref_pos = (occ >> U64(1)).astype(jnp.uint32)
             m_strand = jnp.take_along_axis(mz_strand, mi, axis=1)
@@ -417,8 +462,8 @@ class DeviceSeeder:
             start = jnp.where(same, ref_pos - read_pos,
                               ref_pos + read_pos - U32(k - 1))
             hit_hi = jnp.where(same, rid, rid | U32(1 << 31))
-            hit_hi = jnp.where(slot_ok, hit_hi, UMAX32)
-            hit_lo = jnp.where(slot_ok, start, UMAX32)
+            hit_hi, hit_lo = _barrier(jnp.where(slot_ok, hit_hi, UMAX32),
+                                      jnp.where(slot_ok, start, UMAX32))
 
             # ---- per-read sort + cluster -------------------------------
             sort_hi, sort_lo = lax.sort((hit_hi, hit_lo), dimension=1,
@@ -439,14 +484,12 @@ class DeviceSeeder:
             # compact emitted clusters (strand-major, position order) into
             # (B, 2*Ccap)
             C2 = 2 * Ccap
-            Hp1 = cl_emit.shape[1]
-            ckey = jnp.where(cl_emit & ~fallback[:, None],
-                             jnp.arange(Hp1, dtype=jnp.int32)[None, :],
-                             jnp.int32(Hp1 + 1))
-            csel = _compact_rows(ckey, C2)               # (B, C2)
-            cand_hi = jnp.take_along_axis(cl_hi, csel, axis=1)
-            cand_lo = jnp.take_along_axis(cl_lo, csel, axis=1)
-            cand_cnt = jnp.take_along_axis(cl_cnt, csel, axis=1)
+            csel = _barrier(_compact_cols(cl_emit & ~fallback[:, None],
+                                          C2))
+            cand_hi, cand_lo, cand_cnt = _barrier(
+                jnp.take_along_axis(cl_hi, csel, axis=1),
+                jnp.take_along_axis(cl_lo, csel, axis=1),
+                jnp.take_along_axis(cl_cnt, csel, axis=1))
             cand_real = (jnp.arange(C2, dtype=jnp.int32)[None, :]
                          < n_all[:, None])
 
@@ -467,17 +510,15 @@ class DeviceSeeder:
                          | (n_pos.astype(jnp.uint64) << U64(32))
                          | (n_neg.astype(jnp.uint64) << U64(40)))
 
-            n_items = B * C2
             flat_real = cand_real.reshape(-1)
-            fkey = jnp.where(flat_real,
-                             jnp.arange(n_items, dtype=jnp.int32),
-                             jnp.int32(n_items + 1))
-            sel = jnp.argsort(fkey)[:captot]
-            sel_real = flat_real[sel]
-            sc_row = (sel // C2).astype(jnp.int32)
-            sc_hi = cand_hi.reshape(-1)[sel]
-            sc_lo = cand_lo.reshape(-1)[sel]
-            sc_cnt = cand_cnt.reshape(-1)[sel]
+            rows2 = jnp.broadcast_to(
+                jnp.arange(B, dtype=jnp.int32)[:, None],
+                (B, C2)).reshape(-1)
+            sc_hi, sc_lo, sc_cnt, sc_row = _barrier(*_scatter_compact_flat(
+                flat_real, captot, cand_hi.reshape(-1), cand_lo.reshape(-1),
+                cand_cnt.reshape(-1), rows2))
+            total_cands = flat_real.sum()
+            sel_real = jnp.arange(captot, dtype=jnp.int32) < total_cands
 
             # ---- verification (alignment.cc:141-192 per candidate) ------
             crid = sc_hi & U32(0x7FFFFFFF)
@@ -493,13 +534,14 @@ class DeviceSeeder:
 
             gidx = (pstart[:, None]
                     + jnp.arange(L + 2 * e, dtype=jnp.int64)[None, :])
-            gidx = jnp.clip(gidx, 0, ref_codes.shape[0] - 1)
-            patterns = ref_codes[gidx].astype(jnp.int32)  # (captot, L+2e)
+            gidx = _barrier(jnp.clip(gidx, 0, ref_codes.shape[0] - 1))
+            patterns = _barrier(
+                ref_codes[gidx].astype(jnp.int32))  # (captot, L+2e)
 
             rc_codes = jnp.where(codes[:, ::-1] < 4, codes[:, ::-1] ^ 3, 4)
-            text_sel = jnp.where((cneg == 1)[:, None],
-                                 rc_codes[sc_row, :],
-                                 codes[sc_row, :]).astype(jnp.int32)
+            text_sel = _barrier(jnp.where((cneg == 1)[:, None],
+                                          rc_codes[sc_row, :],
+                                          codes[sc_row, :]).astype(jnp.int32))
 
             from .pallas_myers import LANE_TILE, myers_jnp
             if use_pallas:
@@ -525,7 +567,6 @@ class DeviceSeeder:
                 sel_real,
                 sc_cnt.astype(jnp.uint32) | (err << U32(8))
                 | (endp << U32(16)), U32(0))
-            total_cands = cand_real.sum()
             return read_meta, out_pos, out_meta, total_cands
 
         return step

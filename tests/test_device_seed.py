@@ -1,0 +1,200 @@
+"""Device-seeded engine: jnp seeding/verification vs the per-read oracle,
+and end-to-end byte parity of cn_map_pairs_dev against the host engine.
+
+Runs on the CPU backend (conftest pins JAX_PLATFORMS=cpu); the device
+module enables x64 at import, which the rest of the suite tolerates
+because all kernel code is dtype-explicit.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from chromap_tpu.index.index import build_index
+from chromap_tpu.index.minimizers import generate_minimizers
+from chromap_tpu.mapping.candidates import CandidateGenerator, ReadSeedState
+from chromap_tpu.mapping.verify import banded_align
+
+K, W, E = 17, 7, 8
+F = (500, 1000)
+MIN_SEEDS = 2
+B2C = {0: b"A", 1: b"C", 2: b"G", 3: b"T", 4: b"N"}
+
+
+def _to_seq(codes):
+    return b"".join(B2C[int(c)] for c in codes)
+
+
+@pytest.fixture(scope="module")
+def small_world():
+    rng = np.random.default_rng(7)
+    core = rng.integers(0, 4, 12000, dtype=np.uint8)
+    rep = core[500:700]
+    genome = np.concatenate([core, rep, core[3000:5000], rep, rep])
+    ref_codes = [genome, rng.integers(0, 4, 4000, dtype=np.uint8)]
+    index = build_index(ref_codes, K, W)
+    ref_seqs = [_to_seq(g) for g in ref_codes]
+    return index, ref_codes, ref_seqs
+
+
+def _simulate_reads(ref_codes, rng, B, L):
+    reads = np.zeros((B, L), dtype=np.uint8)
+    for i in range(B):
+        g = ref_codes[i % len(ref_codes)]
+        st = rng.integers(0, len(g) - L)
+        r = g[st:st + L].copy()
+        for _ in range(rng.integers(0, 4)):
+            r[rng.integers(0, L)] = rng.integers(0, 4)
+        if i % 13 == 0:
+            r[rng.integers(0, L)] = 4          # N base
+        if i % 17 == 0:
+            r = rng.integers(0, 4, L, dtype=np.uint8)  # unmappable
+        if i % 19 == 0:
+            r[10:30] = r[9]                    # homopolymer: window ties
+        if rng.random() < 0.5:
+            r = np.where(r[::-1] < 4, r[::-1] ^ 3, 4).astype(np.uint8)
+        reads[i] = r
+    return reads
+
+
+def test_device_seed_matches_oracle(small_world):
+    from chromap_tpu.ops.device_seed import (FLAG_AUGMENT, FLAG_FALLBACK,
+                                             DeviceSeeder)
+
+    index, ref_codes, ref_seqs = small_world
+    rng = np.random.default_rng(3)
+    B, L = 96, 80
+    reads = _simulate_reads(ref_codes, rng, B, L)
+    lengths = np.full(B, L, dtype=np.int64)
+
+    seeder = DeviceSeeder(index, ref_seqs, E, MIN_SEEDS, F, use_pallas=False)
+    meta, cand_pos, cand_meta, overflow = seeder.seed_and_verify(
+        reads, lengths)
+    assert not overflow
+
+    gen = CandidateGenerator(index, E, MIN_SEEDS, F)
+    refcat = b"".join(ref_seqs)
+    ref_off = np.zeros(len(ref_seqs), dtype=np.int64)
+    np.cumsum([len(s) for s in ref_seqs][:-1], out=ref_off[1:])
+    ref_lens = [len(s) for s in ref_seqs]
+
+    cursor = 0
+    n_fallback = 0
+    for i in range(B):
+        m = int(meta[i])
+        mm, rep = m & 0xFF, (m >> 8) & 0xFFFF
+        flags = (m >> 24) & 0xFF
+        npos, nneg = (m >> 32) & 0xFF, (m >> 40) & 0xFF
+        dev = [(int(cand_pos[cursor + j]), int(cand_meta[cursor + j]))
+               for j in range(npos + nneg)]
+        cursor += npos + nneg
+
+        st = ReadSeedState()
+        st.minimizers = generate_minimizers(reads[i], 0, K, W)
+        gen.generate(st)
+        if flags & FLAG_FALLBACK:
+            n_fallback += 1
+            assert npos == 0 and nneg == 0
+            continue
+        assert mm == min(len(st.minimizers), 255)
+        assert rep == min(st.repetitive_seed_length, 0xFFFF)
+        assert npos == len(st.positive_candidates)
+        assert nneg == len(st.negative_candidates)
+        o_aug = not any(c.count >= len(st.minimizers) // 2
+                        for c in (st.positive_candidates
+                                  + st.negative_candidates))
+        assert bool(flags & FLAG_AUGMENT) == o_aug
+        oracle = ([(c, False) for c in st.positive_candidates]
+                  + [(c, True) for c in st.negative_candidates])
+        for (dv, ml), (oc, neg) in zip(dev, oracle):
+            assert dv == oc.position
+            assert (ml & 0xFF) == (oc.count & 0xFF)
+            derr, dend = (ml >> 8) & 0xFF, (ml >> 16) & 0xFF
+            rid = oc.position >> 32
+            pos = oc.position & 0xFFFFFFFF
+            if neg:
+                pos = (pos - L + 1) & 0xFFFFFFFF
+            rl = ref_lens[rid] if rid < len(ref_lens) else 0
+            if rid >= len(ref_lens) or pos < E or pos >= rl \
+                    or pos + L + E >= rl:
+                continue  # invalid candidate: device value never consumed
+            pat = refcat[ref_off[rid] + pos - E:
+                         ref_off[rid] + pos - E + L + 2 * E]
+            rseq = (_to_seq(np.where(reads[i][::-1] < 4,
+                                     reads[i][::-1] ^ 3, 4))
+                    if neg else _to_seq(reads[i]))
+            ne, endp = banded_align(E, pat, rseq, L)
+            if ne <= E:
+                assert derr == ne and dend == endp
+            else:
+                assert derr > E  # exact value immaterial past the threshold
+    # homopolymer reads must route to the exact path
+    assert n_fallback > 0
+
+
+def test_dev_engine_byte_parity(small_world, tmp_path):
+    """cn_map_pairs_dev output equals cn_map_pairs on simulated pairs."""
+    from chromap_tpu.native import NativeEngine, load_library
+    from chromap_tpu.ops.device_seed import DeviceSeeder
+
+    if load_library() is None:
+        pytest.skip("native engine unavailable")
+
+    index, ref_codes, ref_seqs = small_world
+    rng = np.random.default_rng(11)
+    B, L = 200, 80
+    # mates: r2 simulated near r1 on the opposite strand
+    r1 = np.zeros((B, L), dtype=np.uint8)
+    r2 = np.zeros((B, L), dtype=np.uint8)
+    for i in range(B):
+        g = ref_codes[i % len(ref_codes)]
+        st = rng.integers(0, len(g) - 400)
+        frag = g[st:st + rng.integers(2 * L, 400)].copy()
+        a = frag[:L].copy()
+        b = frag[-L:][::-1] ^ 3
+        for _ in range(rng.integers(0, 3)):
+            a[rng.integers(0, L)] = rng.integers(0, 4)
+            b[rng.integers(0, L)] = rng.integers(0, 4)
+        if i % 23 == 0:
+            a = rng.integers(0, 4, L, dtype=np.uint8)
+        if rng.random() < 0.5:
+            a, b = (b[::-1] ^ 3) % 4, (a[::-1] ^ 3) % 4
+        r1[i], r2[i] = a % 4, b % 4
+
+    class Cfg:
+        error_threshold = E
+        min_num_seeds_required_for_mapping = MIN_SEEDS
+        max_seed_frequencies = F
+        max_num_best_mappings = 1
+        max_insert_size = 1000
+        min_read_length = 30
+        drop_repetitive_reads = 500000
+        cache_size = 4000003
+        trim_adapters = False
+
+    engine = NativeEngine(Cfg(), index, ref_seqs)
+    reads1 = [_to_seq(r) for r in r1]
+    reads2 = [_to_seq(r) for r in r2]
+    out_host, _ = engine.map_pairs(reads1, reads2, 0, 0)
+
+    seeder = DeviceSeeder(index, ref_seqs, E, MIN_SEEDS, F, use_pallas=False)
+    codes = np.empty((2 * B, L), dtype=np.uint8)
+    codes[0::2] = r1
+    codes[1::2] = r2
+    meta, cand_pos, cand_meta, overflow = seeder.seed_and_verify(
+        codes, np.full(2 * B, L, dtype=np.int64))
+    assert not overflow
+
+    import ctypes
+    r1b = b"".join(reads1)
+    r2b = b"".join(reads2)
+    off = np.arange(B + 1, dtype=np.int64) * L
+    offp = off.ctypes.data_as(ctypes.c_void_p)
+    # a second engine so the mt19937 stream starts fresh for the dev run
+    engine2 = NativeEngine(Cfg(), index, ref_seqs)
+    out_dev, _ = engine2.map_pairs_dev_seeded(r1b, offp, r2b, offp, B, 0,
+                                              meta, cand_pos, cand_meta)
+    assert set(out_host) == set(out_dev)
+    for key in out_host:
+        np.testing.assert_array_equal(out_host[key], out_dev[key], err_msg=key)
