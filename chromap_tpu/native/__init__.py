@@ -21,9 +21,20 @@ _SO = os.path.join(_HERE, "_engine.so")
 _lib = None
 
 
+def _cpu_supports(flag: str) -> bool:
+    try:
+        with open("/proc/cpuinfo") as f:
+            return flag in f.read()
+    except OSError:
+        return False
+
+
 def _build() -> None:
-    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", _SO, _SRC,
-           "-lz"]
+    cmd = ["g++", "-O3", "-std=c++17", "-fopenmp-simd", "-shared", "-fPIC"]
+    # vectorizes the Hash64 lanes in GenerateMinimizers (4x uint64)
+    if _cpu_supports("avx2"):
+        cmd.append("-mavx2")
+    cmd += ["-o", _SO, _SRC, "-lz"]
     subprocess.run(cmd, check=True, capture_output=True, text=True)
 
 

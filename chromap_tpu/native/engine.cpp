@@ -89,27 +89,72 @@ void GenerateMinimizers(const uint8_t* codes, int n, int k, int w,
   out.clear();
   const uint64_t mask = (k < 32) ? ((1ull << (2 * k)) - 1) : kUmax;
   const uint64_t shift = 2 * (k - 1);
-  uint64_t fwd = 0, rc = 0;
+
+  // Pass 1 (serial, cheap): rolling 2-bit registers -> per-position kmer
+  // values. Pass 2 (auto-vectorizes): the three Hash64 mixes, which
+  // dominate this function, over independent lanes. Pass 3: the window
+  // scan, identical to the reference's queue semantics
+  // (minimizer_generator.cc:30-139).
+  static thread_local std::vector<uint64_t> fwd_v, rc_v, hash_v;
+  static thread_local std::vector<uint8_t> kind_v;  // 0 ok, 1 invalid,
+                                                    // 2 symmetric, 3 short
+  fwd_v.resize(n);
+  rc_v.resize(n);
+  hash_v.resize(n);
+  kind_v.resize(n);
+  {
+    uint64_t fwd = 0, rc = 0;
+    int run = 0;
+    for (int p = 0; p < n; ++p) {
+      uint8_t base = codes[p];
+      if (base < 4) {
+        fwd = ((fwd << 2) | base) & mask;
+        rc = (rc >> 2) | (((uint64_t)(3 ^ base)) << shift);
+        ++run;
+        fwd_v[p] = fwd;
+        rc_v[p] = rc;
+        kind_v[p] = fwd == rc ? 2 : (run >= k ? 0 : 3);
+      } else {
+        run = 0;
+        kind_v[p] = 1;
+        fwd_v[p] = 0;
+        rc_v[p] = 0;
+      }
+    }
+  }
+  {
+    uint64_t* fw = fwd_v.data();
+    uint64_t* rv = rc_v.data();
+    uint64_t* hv = hash_v.data();
+#pragma omp simd
+    for (int p = 0; p < n; ++p) fw[p] = Hash64(fw[p], mask);
+#pragma omp simd
+    for (int p = 0; p < n; ++p) rv[p] = Hash64(rv[p], mask);
+#pragma omp simd
+    for (int p = 0; p < n; ++p) {
+      uint64_t hf = fw[p], hr = rv[p];
+      uint64_t strand = hf < hr ? 0 : 1;
+      hv[p] = (Hash64(strand ? hr : hf, mask) << 1) | strand;
+    }
+  }
+
   std::vector<std::pair<uint64_t, uint64_t>> buffer(w, {kUmax, kUmax});
   std::pair<uint64_t, uint64_t> min_seed = {kUmax, kUmax};
   int min_position = 0, position_in_buffer = 0, unambiguous_length = 0;
 
   for (int p = 0; p < n; ++p) {
-    uint8_t base = codes[p];
+    uint8_t kind = kind_v[p];
     std::pair<uint64_t, uint64_t> cur = {kUmax, kUmax};
-    if (base < 4) {
-      fwd = ((fwd << 2) | base) & mask;
-      rc = (rc >> 2) | (((uint64_t)(3 ^ base)) << shift);
-      if (fwd == rc) {  // symmetric kmer: no slot
+    if (kind != 1) {
+      if (kind == 2) {  // symmetric kmer: no slot
         ++unambiguous_length;
         continue;
       }
-      uint64_t hf = Hash64(fwd, mask), hr = Hash64(rc, mask);
-      uint64_t strand = hf < hr ? 0 : 1;
       ++unambiguous_length;
       if (unambiguous_length >= k) {
-        cur.first = Hash64(strand ? hr : hf, mask);
-        cur.second = (((uint64_t)p) << 1) | strand;
+        uint64_t hs = hash_v[p];
+        cur.first = hs >> 1;
+        cur.second = (((uint64_t)p) << 1) | (hs & 1);
       }
     } else {
       unambiguous_length = 0;
@@ -194,7 +239,13 @@ struct IndexView {
     while (cap < (uint64_t)num_keys + (uint64_t)num_keys / 2) cap <<= 1;
     ht_mask = cap - 1;
     ht.assign(cap, {0, 0});
+    constexpr int64_t kPf = 16;  // overlap the random-slot cache misses
     for (int64_t i = 0; i < num_keys; ++i) {
+      if (i + kPf < num_keys) {
+        uint64_t hp = hash_keys[i + kPf];
+        __builtin_prefetch(&ht[((hp * 0x9E3779B97F4A7C15ull) >> 1)
+                               & ht_mask], 1);
+      }
       uint64_t h = hash_keys[i];
       uint64_t cnt = counts[i] < kCntMask ? counts[i] : kCntMask;
       uint64_t s = (h * 0x9E3779B97F4A7C15ull) >> 1;
@@ -297,6 +348,10 @@ int CollectHits(const IndexView& idx, const std::vector<Minimizer>& mzs,
   RepStats rep;
   rep.k = idx.k;
   rep.w = idx.w;
+  for (const auto& m : mzs) {  // overlap the probe-table cache misses
+    uint64_t s0 = ((m.hash * 0x9E3779B97F4A7C15ull) >> 1) & idx.ht_mask;
+    __builtin_prefetch(&idx.ht[s0]);
+  }
   for (const auto& m : mzs) {
     auto oc = idx.Lookup(m.hash);
     if (oc.second == 0) continue;
@@ -1544,8 +1599,10 @@ static int64_t MapPairsCore(
   int64_t out_n = 0;
   int64_t st_cand = 0, st_map = 0, st_mapped = 0, st_uniq = 0, st_hits = 0;
 
-  ctx->history.clear();
-  if (cache_update_threshold > 0 && !collect_mode)
+  // history entries are pooled across batches (their vectors keep their
+  // capacity); hist_valid gates stale entries
+  if (cache_update_threshold > 0 && !collect_mode &&
+      (int64_t)ctx->history.size() < num_pairs)
     ctx->history.resize((size_t)num_pairs);
   std::vector<uint8_t> hist_valid(num_pairs, 0);
 
@@ -2059,33 +2116,55 @@ namespace {
 
 struct FastxReader {
   gzFile f;
+  FILE* plain = nullptr;  // non-gzip fast path: skip zlib's transparent copy
   std::vector<char> buf;
   size_t pos = 0, len = 0;
   bool eof = false;
   std::vector<char> seqs;       // concatenated batch sequences
   std::vector<int64_t> offsets; // n+1
 
-  explicit FastxReader(const char* path) : f(gzopen(path, "r")) {
+  explicit FastxReader(const char* path) : f(nullptr) {
     buf.resize(1 << 20);
+    FILE* probe = fopen(path, "rb");
+    if (probe) {
+      unsigned char magic[2] = {0, 0};
+      size_t got = fread(magic, 1, 2, probe);
+      if (got == 2 && magic[0] == 0x1f && magic[1] == 0x8b) {
+        fclose(probe);
+      } else {
+        rewind(probe);
+        plain = probe;
+        setvbuf(plain, nullptr, _IONBF, 0);  // we buffer ourselves
+        return;
+      }
+    }
+    f = gzopen(path, "r");
   }
   ~FastxReader() {
     if (f) gzclose(f);
+    if (plain) fclose(plain);
   }
-  bool ok() const { return f != nullptr; }
+  bool ok() const { return f != nullptr || plain != nullptr; }
+
+  bool Refill() {
+    if (eof) return false;
+    int n = plain ? (int)fread(buf.data(), 1, buf.size(), plain)
+                  : gzread(f, buf.data(), (unsigned)buf.size());
+    if (n <= 0) {
+      eof = true;
+      return false;
+    }
+    len = (size_t)n;
+    pos = 0;
+    return true;
+  }
 
   // reads one line (without newline) appending to out; returns false on EOF
   bool ReadLine(std::string& out) {
     out.clear();
     while (true) {
       if (pos >= len) {
-        if (eof) return !out.empty();
-        int n = gzread(f, buf.data(), (unsigned)buf.size());
-        if (n <= 0) {
-          eof = true;
-          return !out.empty();
-        }
-        len = (size_t)n;
-        pos = 0;
+        if (!Refill()) return !out.empty();
       }
       char* nl = (char*)memchr(buf.data() + pos, '\n', len - pos);
       if (nl) {
@@ -2095,6 +2174,43 @@ struct FastxReader {
         return true;
       }
       out.append(buf.data() + pos, len - pos);
+      pos = len;
+    }
+  }
+
+  // appends one line directly to `sink` (no intermediate string); returns
+  // false on EOF with nothing read
+  bool ReadLineInto(std::vector<char>& sink) {
+    size_t start = sink.size();
+    while (true) {
+      if (pos >= len) {
+        if (!Refill()) return sink.size() != start;
+      }
+      char* nl = (char*)memchr(buf.data() + pos, '\n', len - pos);
+      if (nl) {
+        sink.insert(sink.end(), buf.data() + pos, nl);
+        pos = nl - buf.data() + 1;
+        if (sink.size() != start && sink.back() == '\r') sink.pop_back();
+        return true;
+      }
+      sink.insert(sink.end(), buf.data() + pos, buf.data() + len);
+      pos = len;
+    }
+  }
+
+  // skips one line; returns false on EOF with nothing read
+  bool SkipLine() {
+    bool any = false;
+    while (true) {
+      if (pos >= len) {
+        if (!Refill()) return any;
+      }
+      any = true;
+      char* nl = (char*)memchr(buf.data() + pos, '\n', len - pos);
+      if (nl) {
+        pos = nl - buf.data() + 1;
+        return true;
+      }
       pos = len;
     }
   }
@@ -2110,12 +2226,11 @@ struct FastxReader {
       if (!ReadLine(line)) break;
       if (line.empty()) continue;
       if (line[0] == '@') {
-        if (!ReadLine(seq)) break;
-        std::string plus, qual;
-        ReadLine(plus);
-        ReadLine(qual);
-        if (seq.empty()) continue;  // kseq skips zero-length records
-        seqs.insert(seqs.end(), seq.begin(), seq.end());
+        size_t before = seqs.size();
+        if (!ReadLineInto(seqs)) break;
+        SkipLine();
+        SkipLine();
+        if (seqs.size() == before) continue;  // kseq skips empty records
         offsets.push_back((int64_t)seqs.size());
         ++n;
       } else if (line[0] == '>') {
