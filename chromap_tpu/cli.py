@@ -85,6 +85,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cell-by-bin", action="store_true")
     p.add_argument("--bin-size", type=int, default=None)
     p.add_argument("--depth-cutoff", type=int, default=None)
+    # parsed-but-unused in the reference too (mapping_parameters.h:61-62 are
+    # never read by feature_barcode_matrix.cc); kept for CLI parity
+    p.add_argument("--peak-min-length", type=int, default=None)
+    p.add_argument("--peak-merge-max-length", type=int, default=None)
     # TPU execution
     p.add_argument("--device", action="store_true",
                    help="route hot kernels through JAX/Pallas on TPU")
@@ -211,6 +215,10 @@ def parse_args_and_run(argv: Optional[List[str]] = None) -> int:
         cfg.bin_size = args.bin_size
     if args.depth_cutoff is not None:
         cfg.depth_cutoff_to_call_peak = args.depth_cutoff
+    if args.peak_min_length is not None:
+        cfg.peak_min_length = args.peak_min_length
+    if args.peak_merge_max_length is not None:
+        cfg.peak_merge_max_length = args.peak_merge_max_length
 
     if args.BED:
         cfg.output_format = "bed"

@@ -57,6 +57,10 @@ class MappingConfig:
     cell_by_bin: bool = False
     bin_size: int = 5000
     depth_cutoff_to_call_peak: int = 3
+    # accepted but unused, exactly like the reference (mapping_parameters.h:
+    # 61-62 are parsed by the driver and never read)
+    peak_min_length: int = 30
+    peak_merge_max_length: int = 30
     matrix_output_prefix: str = ""
 
     reference_file_path: str = ""

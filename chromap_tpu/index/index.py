@@ -83,6 +83,17 @@ def build_index(reference_codes: List[np.ndarray], k: int, w: int) -> MinimizerI
     Stable sort by (hash, hit) reproduces the reference's occurrence-list
     ordering (index.cc:26 stable_sort with Minimizer::operator<).
     """
+    try:
+        from ..native import native_build_index_arrays
+        arrays = native_build_index_arrays(reference_codes, k, w)
+    except Exception:
+        arrays = None
+    if arrays is not None:
+        hash_keys, offsets, counts, occurrences = arrays
+        return MinimizerIndex(kmer_size=k, window_size=w,
+                              hash_keys=hash_keys, offsets=offsets,
+                              counts=counts, occurrences=occurrences)
+
     from ..ops.minimizer_vector import generate_minimizer_arrays_fast
 
     all_hashes: List[np.ndarray] = []

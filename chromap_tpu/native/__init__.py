@@ -122,6 +122,17 @@ def load_library():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
     ]
+    lib.cn_index_begin.restype = ctypes.c_void_p
+    lib.cn_index_begin.argtypes = [ctypes.c_int, ctypes.c_int]
+    lib.cn_index_add.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                 ctypes.c_int64, ctypes.c_uint32]
+    lib.cn_index_finalize.restype = ctypes.c_int64
+    lib.cn_index_finalize.argtypes = [ctypes.c_void_p,
+                                      ctypes.POINTER(ctypes.c_int64)]
+    lib.cn_index_export.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                    ctypes.c_void_p, ctypes.c_void_p,
+                                    ctypes.c_void_p]
+    lib.cn_index_destroy.argtypes = [ctypes.c_void_p]
     lib.cn_postprocess_write.restype = ctypes.c_int64
     lib.cn_postprocess_write.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -395,3 +406,31 @@ def native_postprocess_write(cfg, ref_names: List[bytes], arrays: dict,
     if res < 0:
         raise IOError(f"cannot write {cfg.mapping_output_file_path}")
     return int(stats[0]), int(stats[1]), int(stats[2])
+
+
+def native_build_index_arrays(reference_codes, k: int, w: int):
+    """Minimizer collection + (hash, hit) sort + unique/count pass in C++
+    (the exact Index::Construct pipeline, index.cc:12-89). Returns
+    (hash_keys, offsets, counts, occurrences) or None when the native
+    library is unavailable."""
+    lib = load_library()
+    if lib is None:
+        return None
+    b = lib.cn_index_begin(k, w)
+    try:
+        for seq_index, codes in enumerate(reference_codes):
+            arr = np.ascontiguousarray(codes, dtype=np.uint8)
+            lib.cn_index_add(b, _ptr(arr), len(arr), seq_index)
+        num_keys = ctypes.c_int64()
+        total = lib.cn_index_finalize(b, ctypes.byref(num_keys))
+        if total == 0:
+            raise ValueError("Reference produced no minimizers")
+        hash_keys = np.empty(num_keys.value, dtype=np.uint64)
+        offsets = np.empty(num_keys.value, dtype=np.uint64)
+        counts = np.empty(num_keys.value, dtype=np.uint32)
+        occurrences = np.empty(total, dtype=np.uint64)
+        lib.cn_index_export(b, _ptr(hash_keys), _ptr(offsets), _ptr(counts),
+                            _ptr(occurrences))
+        return hash_keys, offsets, counts, occurrences
+    finally:
+        lib.cn_index_destroy(b)

@@ -85,125 +85,133 @@ struct DraftMapping {
 // ------------------------- minimizer extraction -------------------------
 
 void GenerateMinimizers(const uint8_t* codes, int n, int k, int w,
-                        std::vector<Minimizer>& out) {
-  out.clear();
+                        std::vector<Minimizer>& out,
+                        uint64_t hit_base = 0, bool append = false) {
+  if (!append) out.clear();
   const uint64_t mask = (k < 32) ? ((1ull << (2 * k)) - 1) : kUmax;
   const uint64_t shift = 2 * (k - 1);
 
-  // Pass 1 (serial, cheap): rolling 2-bit registers -> per-position kmer
-  // values. Pass 2 (auto-vectorizes): the three Hash64 mixes, which
-  // dominate this function, over independent lanes. Pass 3: the window
-  // scan, identical to the reference's queue semantics
-  // (minimizer_generator.cc:30-139).
+  // Blocked three-pass structure: a serial rolling pass fills per-position
+  // kmer values, the three Hash64 mixes run as independent auto-vectorized
+  // lanes, then the window scan consumes them (exact queue semantics of
+  // minimizer_generator.cc:30-139). Blocks bound the working set to a few
+  // MB: on this kernel, first-touch page faults on genome-sized scratch
+  // arrays cost far more than the hashing itself.
+  constexpr int kBlock = 1 << 20;
   static thread_local std::vector<uint64_t> fwd_v, rc_v, hash_v;
   static thread_local std::vector<uint8_t> kind_v;  // 0 ok, 1 invalid,
                                                     // 2 symmetric, 3 short
-  fwd_v.resize(n);
-  rc_v.resize(n);
-  hash_v.resize(n);
-  kind_v.resize(n);
-  {
-    uint64_t fwd = 0, rc = 0;
-    int run = 0;
-    for (int p = 0; p < n; ++p) {
-      uint8_t base = codes[p];
-      if (base < 4) {
-        fwd = ((fwd << 2) | base) & mask;
-        rc = (rc >> 2) | (((uint64_t)(3 ^ base)) << shift);
-        ++run;
-        fwd_v[p] = fwd;
-        rc_v[p] = rc;
-        kind_v[p] = fwd == rc ? 2 : (run >= k ? 0 : 3);
-      } else {
-        run = 0;
-        kind_v[p] = 1;
-        fwd_v[p] = 0;
-        rc_v[p] = 0;
-      }
-    }
-  }
-  {
-    uint64_t* fw = fwd_v.data();
-    uint64_t* rv = rc_v.data();
-    uint64_t* hv = hash_v.data();
-#pragma omp simd
-    for (int p = 0; p < n; ++p) fw[p] = Hash64(fw[p], mask);
-#pragma omp simd
-    for (int p = 0; p < n; ++p) rv[p] = Hash64(rv[p], mask);
-#pragma omp simd
-    for (int p = 0; p < n; ++p) {
-      uint64_t hf = fw[p], hr = rv[p];
-      uint64_t strand = hf < hr ? 0 : 1;
-      hv[p] = (Hash64(strand ? hr : hf, mask) << 1) | strand;
-    }
+  const int blk = n < kBlock ? n : kBlock;
+  if ((int)fwd_v.size() < blk) {
+    fwd_v.resize(blk);
+    rc_v.resize(blk);
+    hash_v.resize(blk);
+    kind_v.resize(blk);
   }
 
   std::vector<std::pair<uint64_t, uint64_t>> buffer(w, {kUmax, kUmax});
   std::pair<uint64_t, uint64_t> min_seed = {kUmax, kUmax};
   int min_position = 0, position_in_buffer = 0, unambiguous_length = 0;
+  uint64_t fwd = 0, rc = 0;
+  int run = 0;
 
-  for (int p = 0; p < n; ++p) {
-    uint8_t kind = kind_v[p];
-    std::pair<uint64_t, uint64_t> cur = {kUmax, kUmax};
-    if (kind != 1) {
-      if (kind == 2) {  // symmetric kmer: no slot
+  for (int b0 = 0; b0 < n; b0 += blk) {
+    const int m = std::min(blk, n - b0);
+    for (int i = 0; i < m; ++i) {
+      uint8_t base = codes[b0 + i];
+      if (base < 4) {
+        fwd = ((fwd << 2) | base) & mask;
+        rc = (rc >> 2) | (((uint64_t)(3 ^ base)) << shift);
+        ++run;
+        fwd_v[i] = fwd;
+        rc_v[i] = rc;
+        kind_v[i] = fwd == rc ? 2 : (run >= k ? 0 : 3);
+      } else {
+        run = 0;
+        kind_v[i] = 1;
+        fwd_v[i] = 0;
+        rc_v[i] = 0;
+      }
+    }
+    {
+      uint64_t* fw = fwd_v.data();
+      uint64_t* rv = rc_v.data();
+      uint64_t* hv = hash_v.data();
+#pragma omp simd
+      for (int i = 0; i < m; ++i) fw[i] = Hash64(fw[i], mask);
+#pragma omp simd
+      for (int i = 0; i < m; ++i) rv[i] = Hash64(rv[i], mask);
+#pragma omp simd
+      for (int i = 0; i < m; ++i) {
+        uint64_t hf = fw[i], hr = rv[i];
+        uint64_t strand = hf < hr ? 0 : 1;
+        hv[i] = (Hash64(strand ? hr : hf, mask) << 1) | strand;
+      }
+    }
+
+    for (int i = 0; i < m; ++i) {
+      uint8_t kind = kind_v[i];
+      std::pair<uint64_t, uint64_t> cur = {kUmax, kUmax};
+      if (kind != 1) {
+        if (kind == 2) {  // symmetric kmer: no slot
+          ++unambiguous_length;
+          continue;
+        }
         ++unambiguous_length;
-        continue;
-      }
-      ++unambiguous_length;
-      if (unambiguous_length >= k) {
-        uint64_t hs = hash_v[p];
-        cur.first = hs >> 1;
-        cur.second = (((uint64_t)p) << 1) | (hs & 1);
-      }
-    } else {
-      unambiguous_length = 0;
-    }
-
-    buffer[position_in_buffer] = cur;
-    if (unambiguous_length == w + k - 1 && min_seed.first != kUmax &&
-        min_seed.first < cur.first) {
-      for (int j = position_in_buffer + 1; j < w; ++j)
-        if (min_seed.first == buffer[j].first &&
-            buffer[j].second != min_seed.second)
-          out.push_back({buffer[j].first, buffer[j].second});
-      for (int j = 0; j < position_in_buffer; ++j)
-        if (min_seed.first == buffer[j].first &&
-            buffer[j].second != min_seed.second)
-          out.push_back({buffer[j].first, buffer[j].second});
-    }
-
-    if (cur.first <= min_seed.first) {
-      if (unambiguous_length >= w + k && min_seed.first != kUmax)
-        out.push_back({min_seed.first, min_seed.second});
-      min_seed = cur;
-      min_position = position_in_buffer;
-    } else if (position_in_buffer == min_position) {
-      if (unambiguous_length >= w + k - 1 && min_seed.first != kUmax)
-        out.push_back({min_seed.first, min_seed.second});
-      min_seed = {kUmax, kUmax};
-      for (int j = position_in_buffer + 1; j < w; ++j)
-        if (min_seed.first >= buffer[j].first) {
-          min_seed = buffer[j];
-          min_position = j;
+        if (unambiguous_length >= k) {
+          uint64_t hs = hash_v[i];
+          cur.first = hs >> 1;
+          cur.second = hit_base | (((uint64_t)(b0 + i)) << 1) | (hs & 1);
         }
-      for (int j = 0; j <= position_in_buffer; ++j)
-        if (min_seed.first >= buffer[j].first) {
-          min_seed = buffer[j];
-          min_position = j;
-        }
-      if (unambiguous_length >= w + k - 1 && min_seed.first != kUmax) {
+      } else {
+        unambiguous_length = 0;
+      }
+
+      buffer[position_in_buffer] = cur;
+      if (unambiguous_length == w + k - 1 && min_seed.first != kUmax &&
+          min_seed.first < cur.first) {
         for (int j = position_in_buffer + 1; j < w; ++j)
           if (min_seed.first == buffer[j].first &&
-              min_seed.second != buffer[j].second)
+              buffer[j].second != min_seed.second)
             out.push_back({buffer[j].first, buffer[j].second});
-        for (int j = 0; j <= position_in_buffer; ++j)
+        for (int j = 0; j < position_in_buffer; ++j)
           if (min_seed.first == buffer[j].first &&
-              min_seed.second != buffer[j].second)
+              buffer[j].second != min_seed.second)
             out.push_back({buffer[j].first, buffer[j].second});
       }
+
+      if (cur.first <= min_seed.first) {
+        if (unambiguous_length >= w + k && min_seed.first != kUmax)
+          out.push_back({min_seed.first, min_seed.second});
+        min_seed = cur;
+        min_position = position_in_buffer;
+      } else if (position_in_buffer == min_position) {
+        if (unambiguous_length >= w + k - 1 && min_seed.first != kUmax)
+          out.push_back({min_seed.first, min_seed.second});
+        min_seed = {kUmax, kUmax};
+        for (int j = position_in_buffer + 1; j < w; ++j)
+          if (min_seed.first >= buffer[j].first) {
+            min_seed = buffer[j];
+            min_position = j;
+          }
+        for (int j = 0; j <= position_in_buffer; ++j)
+          if (min_seed.first >= buffer[j].first) {
+            min_seed = buffer[j];
+            min_position = j;
+          }
+        if (unambiguous_length >= w + k - 1 && min_seed.first != kUmax) {
+          for (int j = position_in_buffer + 1; j < w; ++j)
+            if (min_seed.first == buffer[j].first &&
+                min_seed.second != buffer[j].second)
+              out.push_back({buffer[j].first, buffer[j].second});
+          for (int j = 0; j <= position_in_buffer; ++j)
+            if (min_seed.first == buffer[j].first &&
+                min_seed.second != buffer[j].second)
+              out.push_back({buffer[j].first, buffer[j].second});
+        }
+      }
+      if (++position_in_buffer == w) position_in_buffer = 0;
     }
-    if (++position_in_buffer == w) position_in_buffer = 0;
   }
   if (min_seed.first != kUmax)
     out.push_back({min_seed.first, min_seed.second});
@@ -2275,6 +2283,78 @@ struct PEOut {
 }  // namespace
 
 extern "C" {
+
+// ------------------------- index construction -------------------------
+// Native equivalent of Index::Construct (index.cc:12-89): minimizer
+// collection per reference sequence, a sort by (hash, hit) matching
+// Minimizer::operator< (minimizer.h:34-44), and a unique/count pass that
+// yields the same four arrays the Python index stores.
+
+struct IndexBuilder {
+  int k, w;
+  std::vector<Minimizer> mzs;
+  int64_t num_keys = 0;
+};
+
+IndexBuilder* cn_index_begin(int k, int w) {
+  IndexBuilder* b = new IndexBuilder();
+  b->k = k;
+  b->w = w;
+  return b;
+}
+
+void cn_index_add(IndexBuilder* b, const uint8_t* codes, int64_t n,
+                  uint32_t seq_index) {
+  // append straight into the builder: every page here is a page the final
+  // index needs anyway (fresh-page faults dominate genome-scale builds on
+  // ballooned kernels, so no scratch copies)
+  size_t expect = b->mzs.size() + (size_t)(n / 4 + 64);
+  if (b->mzs.capacity() < expect) b->mzs.reserve(expect);
+  GenerateMinimizers(codes, (int)n, b->k, b->w, b->mzs,
+                     ((uint64_t)seq_index) << 33, /*append=*/true);
+}
+
+// sorts and counts unique keys; returns total minimizers, sets *num_keys
+int64_t cn_index_finalize(IndexBuilder* b, int64_t* num_keys) {
+  std::sort(b->mzs.begin(), b->mzs.end(),
+            [](const Minimizer& a, const Minimizer& c) {
+              if (a.hash != c.hash) return a.hash < c.hash;
+              return a.hit < c.hit;
+            });
+  int64_t keys = 0;
+  uint64_t prev = 0;
+  bool first = true;
+  for (const auto& m : b->mzs) {
+    if (first || m.hash != prev) ++keys;
+    prev = m.hash;
+    first = false;
+  }
+  b->num_keys = keys;
+  *num_keys = keys;
+  return (int64_t)b->mzs.size();
+}
+
+void cn_index_export(IndexBuilder* b, uint64_t* hash_keys, uint64_t* offsets,
+                     uint32_t* counts, uint64_t* occurrences) {
+  int64_t ki = -1;
+  uint64_t prev = 0;
+  bool first = true;
+  for (int64_t i = 0; i < (int64_t)b->mzs.size(); ++i) {
+    const Minimizer& m = b->mzs[i];
+    occurrences[i] = m.hit;
+    if (first || m.hash != prev) {
+      ++ki;
+      hash_keys[ki] = m.hash;
+      offsets[ki] = (uint64_t)i;
+      counts[ki] = 0;
+    }
+    ++counts[ki];
+    prev = m.hash;
+    first = false;
+  }
+}
+
+void cn_index_destroy(IndexBuilder* b) { delete b; }
 
 FastxReader* cn_fastx_open(const char* path) {
   FastxReader* r = new FastxReader(path);
