@@ -63,6 +63,7 @@ def load_library():
         ctypes.c_int, ctypes.c_int, ctypes.c_int64, ctypes.c_int,
     ]
     lib.cn_destroy.argtypes = [ctypes.c_void_p]
+    lib.cn_set_num_threads.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.cn_map_pairs.restype = ctypes.c_int64
     lib.cn_map_pairs.argtypes = [
         ctypes.c_void_p,
@@ -178,6 +179,9 @@ class NativeEngine:
             cfg.max_num_best_mappings, cfg.max_insert_size,
             cfg.min_read_length, cfg.drop_repetitive_reads, cfg.cache_size,
             1 if cfg.trim_adapters else 0)
+        nt = getattr(cfg, "num_threads", 1) or 1
+        if nt > 1:
+            self.lib.cn_set_num_threads(self.ctx, int(nt))
 
     def __del__(self):
         if getattr(self, "ctx", None) and self.lib is not None:

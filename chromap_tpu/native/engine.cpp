@@ -26,6 +26,7 @@
 #include <string>
 #include <unordered_map>
 #include <vector>
+#include <thread>
 
 #include <zlib.h>
 
@@ -1531,17 +1532,34 @@ void TrimAdapter(std::vector<char>& r1, std::vector<char>& r2,
 
 // ------------------------------ context ------------------------------
 
+// per-pair working state for the seed+verify phase; pooled so vectors
+// keep their capacity across batches
+struct PairScratch {
+  SeedState s1, s2;
+  VerifyState vs1, vs2;
+  std::vector<uint8_t> codes1, codes2;
+  std::vector<char> read1, read2, neg1, neg2;
+  int l1 = 0, l2 = 0;
+  int supplement_result = 0;
+  uint8_t status = 0;  // 0 skip, 1 ok
+  uint8_t cache_hit = 0;
+  int64_t n_cand = 0;
+};
+
 struct CnContext {
   IndexView idx;
   RefView ref;
   MappingParams mp;
   MMCache cache;
   std::mt19937 generator;
+  int num_threads = 1;
   // scratch
   SeedState s1, s2;
   VerifyState vs1, vs2;
   std::vector<uint8_t> codes1, codes2, neg_codes1, neg_codes2;
   std::vector<char> read1, read2, neg1, neg2;
+  PairScratch ps;                    // single-thread pair scratch
+  std::vector<PairScratch> mt_work;  // per-pair states (threaded phase 1)
   struct HistEntry {
     std::vector<Minimizer> mzs;
     std::vector<Candidate> pos, neg;
@@ -1587,74 +1605,40 @@ CnContext* cn_create(const uint64_t* hash_keys, const uint64_t* offsets,
 
 void cn_destroy(CnContext* ctx) { delete ctx; }
 
-// Returns number of emitted records. stats: [candidates, mappings,
-// mapped_reads, uniquely_mapped_reads, cache_hits]
-// collect_mode: gather verification work items instead of mapping.
-// ext_err/ext_end: precomputed verification results (device kernel).
-static int64_t MapPairsCore(
-    CnContext* ctx, const char* r1_bytes, const int64_t* r1_offsets,
-    const char* r2_bytes, const int64_t* r2_offsets, int64_t num_pairs,
-    int64_t base_read_id, int64_t cache_update_threshold, int32_t* out_rid,
-    uint32_t* out_read_id, uint32_t* out_start, uint16_t* out_flen,
-    uint8_t* out_mapq, uint8_t* out_dir, uint8_t* out_uniq,
-    uint16_t* out_posalen, uint16_t* out_negalen, int64_t* stats,
-    int collect_mode, const int32_t* ext_err, const int32_t* ext_end,
-    const DevSeedView* dev = nullptr) {
+// Threaded mapping (the analog of the reference's OpenMP taskloop,
+// chromap.h:851-1143): phase 1 (seed+verify) fans out over pairs, phase 2
+// (selection, RNG, records) stays sequential, so output is byte-identical
+// at any thread count -- unlike the reference, whose multi-threaded tie
+// sampling is schedule-dependent.
+void cn_set_num_threads(CnContext* ctx, int t) {
+  ctx->num_threads = t < 1 ? 1 : t;
+}
+
+// Seed + verify one pair into `sc` (the parallel-safe first half of the
+// mapping loop; writes only sc, ctx->history[pi]/hist_valid[pi], and -- in
+// collect mode, single-threaded only -- ctx->wb_*). sc.status: 0 skipped,
+// 1 mapped state ready, 2 collected.
+static void SeedAndVerifyPair(
+    CnContext* ctx, int64_t pi, const char* r1_bytes,
+    const int64_t* r1_offsets, const char* r2_bytes,
+    const int64_t* r2_offsets, int64_t cache_update_threshold,
+    uint8_t* hist_valid, const DevSeedView* dev, bool dev_pair,
+    uint64_t dmeta1, uint64_t dmeta2, int64_t dcur1, int64_t dcur2,
+    int collect_mode, ExtVerify* ext, PairScratch& sc) {
   const MappingParams& mp = ctx->mp;
   const IndexView& idx = ctx->idx;
   const RefView& ref = ctx->ref;
-  int e = mp.error_threshold;
-  int64_t out_n = 0;
-  int64_t st_cand = 0, st_map = 0, st_mapped = 0, st_uniq = 0, st_hits = 0;
-
-  // history entries are pooled across batches (their vectors keep their
-  // capacity); hist_valid gates stale entries
-  if (cache_update_threshold > 0 && !collect_mode &&
-      (int64_t)ctx->history.size() < num_pairs)
-    ctx->history.resize((size_t)num_pairs);
-  std::vector<uint8_t> hist_valid(num_pairs, 0);
-
-  ExtVerify ext_state = {ext_err, ext_end, 0};
-  ExtVerify* ext = ext_err ? &ext_state : nullptr;
-  if (collect_mode) {
-    ctx->wb_pattern_starts.clear();
-    ctx->wb_text_offsets.clear();
-    ctx->wb_text_lengths.clear();
-    ctx->wb_text_codes.clear();
-  }
-
-  std::vector<int> best_indices(mp.max_num_best_mappings);
-  int64_t dev_cursor = 0;
-
-  for (int64_t pi = 0; pi < num_pairs; ++pi) {
-    // device-seed bookkeeping: the candidate cursor advances for every
-    // pair in order, whichever path handles it
-    uint64_t dmeta1 = 0, dmeta2 = 0;
-    int64_t dcur1 = 0, dcur2 = 0;
-    bool dev_pair = false;
-    if (dev) {
-      dmeta1 = dev->read_meta[2 * pi];
-      dmeta2 = dev->read_meta[2 * pi + 1];
-      int n1c = (int)((dmeta1 >> 32) & 0xFF) + (int)((dmeta1 >> 40) & 0xFF);
-      int n2c = (int)((dmeta2 >> 32) & 0xFF) + (int)((dmeta2 >> 40) & 0xFF);
-      dcur1 = dev_cursor;
-      dcur2 = dev_cursor + n1c;
-      dev_cursor = dcur2 + n2c;
-      uint64_t f1 = (dmeta1 >> 24) & 0xFF, f2 = (dmeta2 >> 24) & 0xFF;
-      bool fb = ((f1 | f2) & kDevFlagFallback) != 0;
-      // mate rescue would run (candidate_processor.cc:75-231): exact path
-      bool rescue = ((f1 & kDevFlagAugment) && n2c > 0) ||
-                    ((f2 & kDevFlagAugment) && n1c > 0);
-      dev_pair = !fb && !rescue && !mp.trim_adapters;
-    }
+  sc.status = 0;
+  sc.cache_hit = 0;
+  sc.n_cand = 0;
     int l1 = (int)(r1_offsets[pi + 1] - r1_offsets[pi]);
     int l2 = (int)(r2_offsets[pi + 1] - r2_offsets[pi]);
-    if (l1 < mp.min_read_length || l2 < mp.min_read_length) continue;
+    if (l1 < mp.min_read_length || l2 < mp.min_read_length) return;
 
     // copy reads (trim mutates)
-    ctx->read1.assign(r1_bytes + r1_offsets[pi],
+    sc.read1.assign(r1_bytes + r1_offsets[pi],
                       r1_bytes + r1_offsets[pi + 1]);
-    ctx->read2.assign(r2_bytes + r2_offsets[pi],
+    sc.read2.assign(r2_bytes + r2_offsets[pi],
                       r2_bytes + r2_offsets[pi + 1]);
     auto make_neg = [](const std::vector<char>& s, std::vector<char>& o) {
       o.resize(s.size());
@@ -1665,37 +1649,37 @@ static int64_t MapPairsCore(
         o[i] = code_char[c < 4 ? (3 ^ c) : 7];
       }
     };
-    make_neg(ctx->read1, ctx->neg1);
-    make_neg(ctx->read2, ctx->neg2);
+    make_neg(sc.read1, sc.neg1);
+    make_neg(sc.read2, sc.neg2);
     if (mp.trim_adapters)
-      TrimAdapter(ctx->read1, ctx->read2, ctx->neg1, ctx->neg2,
+      TrimAdapter(sc.read1, sc.read2, sc.neg1, sc.neg2,
                   mp.min_read_length);
-    l1 = (int)ctx->read1.size();
-    l2 = (int)ctx->read2.size();
+    l1 = (int)sc.read1.size();
+    l2 = (int)sc.read2.size();
 
-    ctx->codes1.resize(l1);
-    ctx->codes2.resize(l2);
+    sc.codes1.resize(l1);
+    sc.codes2.resize(l2);
     for (int i = 0; i < l1; ++i)
-      ctx->codes1[i] = kCharToCode[(uint8_t)ctx->read1[i]];
+      sc.codes1[i] = kCharToCode[(uint8_t)sc.read1[i]];
     for (int i = 0; i < l2; ++i)
-      ctx->codes2[i] = kCharToCode[(uint8_t)ctx->read2[i]];
+      sc.codes2[i] = kCharToCode[(uint8_t)sc.read2[i]];
 
-    SeedState& s1 = ctx->s1;
-    SeedState& s2 = ctx->s2;
+    SeedState& s1 = sc.s1;
+    SeedState& s2 = sc.s2;
     s1.Clear();
     s2.Clear();
     if (dev_pair) {
       LoadDevSeed(*dev, dmeta1, dcur1, s1, &s1.num_minimizers);
       LoadDevSeed(*dev, dmeta2, dcur2, s2, &s2.num_minimizers);
-      if (s1.num_minimizers == 0 || s2.num_minimizers == 0) continue;
+      if (s1.num_minimizers == 0 || s2.num_minimizers == 0) return;
     } else {
-      GenerateMinimizers(ctx->codes1.data(), l1, idx.k, idx.w,
+      GenerateMinimizers(sc.codes1.data(), l1, idx.k, idx.w,
                          s1.minimizers);
-      GenerateMinimizers(ctx->codes2.data(), l2, idx.k, idx.w,
+      GenerateMinimizers(sc.codes2.data(), l2, idx.k, idx.w,
                          s2.minimizers);
       s1.num_minimizers = (uint32_t)s1.minimizers.size();
       s2.num_minimizers = (uint32_t)s2.minimizers.size();
-      if (s1.minimizers.empty() || s2.minimizers.empty()) continue;
+      if (s1.minimizers.empty() || s2.minimizers.empty()) return;
 
       int q1 = ctx->cache.Query(s1.minimizers, l1, s1.positive_candidates,
                                 s1.negative_candidates,
@@ -1705,7 +1689,7 @@ static int64_t MapPairsCore(
                                 s2.negative_candidates,
                                 s2.repetitive_seed_length);
       if (q2 == -1) GenerateCandidates(idx, mp, s2);
-      if (q1 >= 0 || q2 >= 0) ++st_hits;
+      if (q1 >= 0 || q2 >= 0) sc.cache_hit = 1;
     }
 
     if (pi < cache_update_threshold && !collect_mode) {
@@ -1745,48 +1729,162 @@ static int64_t MapPairsCore(
       n1 = s1.NumCandidates();
       n2 = s2.NumCandidates();
     }
-    if (n1 == 0 || n2 == 0) continue;
-    st_cand += (int64_t)(n1 + n2);
+    if (n1 == 0 || n2 == 0) return;
+    sc.n_cand = (int64_t)(n1 + n2);
 
     if (collect_mode) {
-      CollectVerification(mp, ref, ref.offsets, ctx->read1.data(),
-                          ctx->neg1.data(), l1, s1, ctx->wb_pattern_starts,
+      CollectVerification(mp, ref, ref.offsets, sc.read1.data(),
+                          sc.neg1.data(), l1, s1, ctx->wb_pattern_starts,
                           ctx->wb_text_offsets, ctx->wb_text_lengths,
                           ctx->wb_text_codes);
-      CollectVerification(mp, ref, ref.offsets, ctx->read2.data(),
-                          ctx->neg2.data(), l2, s2, ctx->wb_pattern_starts,
+      CollectVerification(mp, ref, ref.offsets, sc.read2.data(),
+                          sc.neg2.data(), l2, s2, ctx->wb_pattern_starts,
                           ctx->wb_text_offsets, ctx->wb_text_lengths,
                           ctx->wb_text_codes);
-      continue;
+      sc.status = 2;
+      return;
     }
 
-    VerifyCandidates(mp, ref, ctx->read1.data(), ctx->neg1.data(), l1, s1,
-                     ctx->vs1, ext);
-    VerifyCandidates(mp, ref, ctx->read2.data(), ctx->neg2.data(), l2, s2,
-                     ctx->vs2, ext);
-    if (ctx->vs1.NumDraft() == 0 || ctx->vs2.NumDraft() == 0) continue;
+    VerifyCandidates(mp, ref, sc.read1.data(), sc.neg1.data(), l1, s1,
+                     sc.vs1, ext);
+    VerifyCandidates(mp, ref, sc.read2.data(), sc.neg2.data(), l2, s2,
+                     sc.vs2, ext);
+    if (sc.vs1.NumDraft() == 0 || sc.vs2.NumDraft() == 0) return;
 
     auto by_pos = [](const DraftMapping& a, const DraftMapping& b) {
       return a.position < b.position;
     };
-    std::sort(ctx->vs1.positive_mappings.begin(),
-              ctx->vs1.positive_mappings.end(), by_pos);
-    std::sort(ctx->vs1.negative_mappings.begin(),
-              ctx->vs1.negative_mappings.end(), by_pos);
-    std::sort(ctx->vs2.positive_mappings.begin(),
-              ctx->vs2.positive_mappings.end(), by_pos);
-    std::sort(ctx->vs2.negative_mappings.begin(),
-              ctx->vs2.negative_mappings.end(), by_pos);
+    std::sort(sc.vs1.positive_mappings.begin(),
+              sc.vs1.positive_mappings.end(), by_pos);
+    std::sort(sc.vs1.negative_mappings.begin(),
+              sc.vs1.negative_mappings.end(), by_pos);
+    std::sort(sc.vs2.positive_mappings.begin(),
+              sc.vs2.positive_mappings.end(), by_pos);
+    std::sort(sc.vs2.negative_mappings.begin(),
+              sc.vs2.negative_mappings.end(), by_pos);
+    sc.l1 = l1;
+    sc.l2 = l2;
+    sc.supplement_result = supplement_result;
+    sc.status = 1;
+
+}
+
+// Returns number of emitted records. stats: [candidates, mappings,
+// mapped_reads, uniquely_mapped_reads, cache_hits]
+// collect_mode: gather verification work items instead of mapping.
+// ext_err/ext_end: precomputed verification results (device kernel).
+static int64_t MapPairsCore(
+    CnContext* ctx, const char* r1_bytes, const int64_t* r1_offsets,
+    const char* r2_bytes, const int64_t* r2_offsets, int64_t num_pairs,
+    int64_t base_read_id, int64_t cache_update_threshold, int32_t* out_rid,
+    uint32_t* out_read_id, uint32_t* out_start, uint16_t* out_flen,
+    uint8_t* out_mapq, uint8_t* out_dir, uint8_t* out_uniq,
+    uint16_t* out_posalen, uint16_t* out_negalen, int64_t* stats,
+    int collect_mode, const int32_t* ext_err, const int32_t* ext_end,
+    const DevSeedView* dev = nullptr) {
+  const MappingParams& mp = ctx->mp;
+  const IndexView& idx = ctx->idx;
+  const RefView& ref = ctx->ref;
+  int e = mp.error_threshold;
+  int64_t out_n = 0;
+  int64_t st_cand = 0, st_map = 0, st_mapped = 0, st_uniq = 0, st_hits = 0;
+
+  // history entries are pooled across batches (their vectors keep their
+  // capacity); hist_valid gates stale entries
+  if (cache_update_threshold > 0 && !collect_mode &&
+      (int64_t)ctx->history.size() < num_pairs)
+    ctx->history.resize((size_t)num_pairs);
+  std::vector<uint8_t> hist_valid(num_pairs, 0);
+
+  ExtVerify ext_state = {ext_err, ext_end, 0};
+  ExtVerify* ext = ext_err ? &ext_state : nullptr;
+  if (collect_mode) {
+    ctx->wb_pattern_starts.clear();
+    ctx->wb_text_offsets.clear();
+    ctx->wb_text_lengths.clear();
+    ctx->wb_text_codes.clear();
+  }
+
+  std::vector<int> best_indices(mp.max_num_best_mappings);
+
+  // device-seed bookkeeping: per-pair flags and candidate cursors (the
+  // cursor advances for every pair in order, whichever path handles it)
+  std::vector<uint64_t> dmeta;
+  std::vector<int64_t> dcurs;
+  std::vector<uint8_t> devflag;
+  if (dev) {
+    dmeta.resize(2 * num_pairs);
+    dcurs.resize(2 * num_pairs);
+    devflag.resize(num_pairs);
+    int64_t cursor = 0;
+    for (int64_t pi = 0; pi < num_pairs; ++pi) {
+      uint64_t m1 = dev->read_meta[2 * pi];
+      uint64_t m2 = dev->read_meta[2 * pi + 1];
+      int n1c = (int)((m1 >> 32) & 0xFF) + (int)((m1 >> 40) & 0xFF);
+      int n2c = (int)((m2 >> 32) & 0xFF) + (int)((m2 >> 40) & 0xFF);
+      dmeta[2 * pi] = m1;
+      dmeta[2 * pi + 1] = m2;
+      dcurs[2 * pi] = cursor;
+      dcurs[2 * pi + 1] = cursor + n1c;
+      cursor += n1c + n2c;
+      uint64_t f1 = (m1 >> 24) & 0xFF, f2 = (m2 >> 24) & 0xFF;
+      bool fb = ((f1 | f2) & kDevFlagFallback) != 0;
+      // mate rescue would run (candidate_processor.cc:75-231): exact path
+      bool rescue = ((f1 & kDevFlagAugment) && n2c > 0) ||
+                    ((f2 & kDevFlagAugment) && n1c > 0);
+      devflag[pi] = (!fb && !rescue && !mp.trim_adapters) ? 1 : 0;
+    }
+  }
+
+  // threaded phase 1: seed + verify every pair into pooled per-pair
+  // states; selection stays sequential below so the output (including the
+  // reservoir-sampling RNG stream) is byte-identical at any thread count.
+  const bool mt = ctx->num_threads > 1 && !collect_mode && ext == nullptr;
+  if (mt) {
+    if ((int64_t)ctx->mt_work.size() < num_pairs)
+      ctx->mt_work.resize((size_t)num_pairs);
+    int T = ctx->num_threads;
+    auto run_range = [&](int64_t lo, int64_t hi) {
+      for (int64_t pi = lo; pi < hi; ++pi)
+        SeedAndVerifyPair(ctx, pi, r1_bytes, r1_offsets, r2_bytes,
+                          r2_offsets, cache_update_threshold,
+                          hist_valid.data(), dev,
+                          dev && devflag[pi], dev ? dmeta[2 * pi] : 0,
+                          dev ? dmeta[2 * pi + 1] : 0,
+                          dev ? dcurs[2 * pi] : 0,
+                          dev ? dcurs[2 * pi + 1] : 0, 0, nullptr,
+                          ctx->mt_work[pi]);
+    };
+    std::vector<std::thread> threads;
+    for (int t = 1; t < T; ++t)
+      threads.emplace_back(run_range, num_pairs * t / T,
+                           num_pairs * (t + 1) / T);
+    run_range(0, num_pairs / T);
+    for (auto& th : threads) th.join();
+  }
+
+  for (int64_t pi = 0; pi < num_pairs; ++pi) {
+    PairScratch& sc = mt ? ctx->mt_work[pi] : ctx->ps;
+    if (!mt)
+      SeedAndVerifyPair(ctx, pi, r1_bytes, r1_offsets, r2_bytes, r2_offsets,
+                        cache_update_threshold, hist_valid.data(), dev,
+                        dev && devflag[pi], dev ? dmeta[2 * pi] : 0,
+                        dev ? dmeta[2 * pi + 1] : 0,
+                        dev ? dcurs[2 * pi] : 0,
+                        dev ? dcurs[2 * pi + 1] : 0, collect_mode, ext, sc);
+    st_hits += sc.cache_hit;
+    if (sc.status != 1) continue;
+    st_cand += sc.n_cand;
 
     PairedState ps;
     ps.min_sum_errors = 2 * e + 1;
     ps.second_min_sum_errors = 2 * e + 1;
     ps.num_best_mappings = 0;
     ps.num_second_best_mappings = 0;
-    EnumeratePairs(mp, false, l1, l2, ctx->vs1.positive_mappings,
-                   ctx->vs2.negative_mappings, ps, ps.f1r2);
-    EnumeratePairs(mp, true, l1, l2, ctx->vs1.negative_mappings,
-                   ctx->vs2.positive_mappings, ps, ps.f2r1);
+    EnumeratePairs(mp, false, sc.l1, sc.l2, sc.vs1.positive_mappings,
+                   sc.vs2.negative_mappings, ps, ps.f1r2);
+    EnumeratePairs(mp, true, sc.l1, sc.l2, sc.vs1.negative_mappings,
+                   sc.vs2.positive_mappings, ps, ps.f2r1);
 
     if (ps.num_best_mappings > mp.drop_repetitive_reads) continue;
     if (ps.num_best_mappings == 1) st_uniq += 2;
@@ -1805,10 +1903,10 @@ static int64_t MapPairsCore(
     }
     int to_report =
         std::min(mp.max_num_best_mappings, ps.num_best_mappings);
-    int force_mapq = supplement_result != 0 ? 0 : -1;
+    int force_mapq = sc.supplement_result != 0 ? 0 : -1;
     int is_unique = (ps.num_best_mappings == 1 ||
-                     ctx->vs1.num_best_mappings == 1 ||
-                     ctx->vs2.num_best_mappings == 1)
+                     sc.vs1.num_best_mappings == 1 ||
+                     sc.vs2.num_best_mappings == 1)
                         ? 1
                         : 0;
 
@@ -1818,9 +1916,9 @@ static int64_t MapPairsCore(
       if (direction == 1 && num_reported == to_report) break;
       bool f_neg = direction == 1;
       const auto& m1 =
-          f_neg ? ctx->vs1.negative_mappings : ctx->vs1.positive_mappings;
+          f_neg ? sc.vs1.negative_mappings : sc.vs1.positive_mappings;
       const auto& m2 =
-          f_neg ? ctx->vs2.positive_mappings : ctx->vs2.negative_mappings;
+          f_neg ? sc.vs2.positive_mappings : sc.vs2.negative_mappings;
       const auto& best = f_neg ? ps.f2r1 : ps.f1r2;
       for (const auto& pr : best) {
         const DraftMapping& d1 = m1[pr.first];
@@ -1849,16 +1947,16 @@ static int64_t MapPairsCore(
             *re = ref_position;
           };
           uint32_t rs1, re1, rs2, re2;
-          recover(d1, f_neg, l1, ctx->read1.data(), ctx->neg1.data(), &rs1,
+          recover(d1, f_neg, sc.l1, sc.read1.data(), sc.neg1.data(), &rs1,
                   &re1);
-          recover(d2, !f_neg, l2, ctx->read2.data(), ctx->neg2.data(), &rs2,
+          recover(d2, !f_neg, sc.l2, sc.read2.data(), sc.neg2.data(), &rs2,
                   &re2);
           uint16_t al1 = (uint16_t)(re1 - rs1 + 1);
           uint16_t al2 = (uint16_t)(re2 - rs2 + 1);
           uint8_t mapq;
-          MapqPairedEnd(mp, d1.num_errors, d2.num_errors, al1, al2, l1, l2,
-                        force_mapq, ps, ctx->vs1, ctx->vs2,
-                        s1.repetitive_seed_length, s2.repetitive_seed_length,
+          MapqPairedEnd(mp, d1.num_errors, d2.num_errors, al1, al2, sc.l1, sc.l2,
+                        force_mapq, ps, sc.vs1, sc.vs2,
+                        sc.s1.repetitive_seed_length, sc.s2.repetitive_seed_length,
                         &mapq);
           uint32_t frag_start = f_neg ? rs2 : rs1;
           uint16_t frag_len = f_neg ? (uint16_t)(re1 - rs2 + 1)

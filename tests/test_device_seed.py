@@ -198,3 +198,50 @@ def test_dev_engine_byte_parity(small_world, tmp_path):
     assert set(out_host) == set(out_dev)
     for key in out_host:
         np.testing.assert_array_equal(out_host[key], out_dev[key], err_msg=key)
+
+
+def test_mt_engine_byte_parity(small_world):
+    """cn_map_pairs output is byte-identical at any thread count (phase-1
+    fan-out, sequential selection preserves the RNG stream)."""
+    from chromap_tpu.native import NativeEngine, load_library
+
+    if load_library() is None:
+        pytest.skip("native engine unavailable")
+
+    index, ref_codes, ref_seqs = small_world
+    rng = np.random.default_rng(21)
+    B, L = 300, 80
+    reads1, reads2 = [], []
+    for i in range(B):
+        g = ref_codes[i % len(ref_codes)]
+        st = rng.integers(0, len(g) - 400)
+        frag = g[st:st + rng.integers(2 * L, 400)].copy()
+        a, b = frag[:L].copy(), (frag[-L:][::-1] ^ 3) % 4
+        for _ in range(rng.integers(0, 3)):
+            a[rng.integers(0, L)] = rng.integers(0, 4)
+        reads1.append(_to_seq(a % 4))
+        reads2.append(_to_seq(b))
+
+    class Cfg:
+        error_threshold = E
+        min_num_seeds_required_for_mapping = MIN_SEEDS
+        max_seed_frequencies = F
+        max_num_best_mappings = 1
+        max_insert_size = 1000
+        min_read_length = 30
+        drop_repetitive_reads = 500000
+        cache_size = 4000003
+        trim_adapters = False
+        num_threads = 1
+
+    outs = []
+    for t in (1, 2, 5):
+        cfg = Cfg()
+        cfg.num_threads = t
+        engine = NativeEngine(cfg, index, ref_seqs)
+        out, _ = engine.map_pairs(reads1, reads2, 0, B)  # cache updates on
+        outs.append(out)
+    for out in outs[1:]:
+        for key in outs[0]:
+            np.testing.assert_array_equal(outs[0][key], out[key],
+                                          err_msg=key)
