@@ -2088,36 +2088,53 @@ int64_t cn_map_single(
   const RefView& ref = ctx->ref;
   int e = mp.error_threshold;
   int64_t out_n = 0;
-  int64_t st_cand = 0, st_map = 0, st_mapped = 0, st_uniq = 0, st_hits = 0;
 
   ctx->history.clear();
   if (cache_update_threshold > 0) ctx->history.resize((size_t)num_reads);
   std::vector<uint8_t> hist_valid(num_reads, 0);
-  std::vector<int> best_indices(mp.max_num_best_mappings);
 
-  for (int64_t pi = 0; pi < num_reads; ++pi) {
+  // Single-end selection draws from a fresh mt19937(11) per read
+  // (mapping_generator.h:128), so whole reads parallelize -- including
+  // selection -- with ordered per-range output buffers.
+  struct SEEmit {
+    std::vector<int32_t> rid;
+    std::vector<uint32_t> read_id, start;
+    std::vector<uint16_t> flen;
+    std::vector<uint8_t> mapq, dir, uniq;
+    int64_t st_cand = 0, st_map = 0, st_mapped = 0, st_uniq = 0,
+            st_hits = 0;
+  };
+  struct SEScratch {
+    SeedState s1;
+    VerifyState vs1;
+    std::vector<char> read1, neg1;
+    std::vector<uint8_t> codes1;
+    std::vector<int> best_indices;
+  };
+
+  auto process = [&](int64_t pi, SEScratch& sc, SEEmit& em) {
     int l1 = (int)(r_offsets[pi + 1] - r_offsets[pi]);
-    if (l1 < mp.min_read_length) continue;
-    ctx->read1.assign(r_bytes + r_offsets[pi], r_bytes + r_offsets[pi + 1]);
-    ctx->neg1.resize(l1);
+    if (l1 < mp.min_read_length) return;
+    sc.read1.assign(r_bytes + r_offsets[pi], r_bytes + r_offsets[pi + 1]);
+    sc.neg1.resize(l1);
     static const char code_char[8] = {'A', 'C', 'G', 'T', 'N', 'N', 'N', 'N'};
     for (int i = 0; i < l1; ++i) {
-      uint8_t c = kCharToCode[(uint8_t)ctx->read1[l1 - 1 - i]];
-      ctx->neg1[i] = code_char[c < 4 ? (3 ^ c) : 7];
+      uint8_t c = kCharToCode[(uint8_t)sc.read1[l1 - 1 - i]];
+      sc.neg1[i] = code_char[c < 4 ? (3 ^ c) : 7];
     }
-    ctx->codes1.resize(l1);
+    sc.codes1.resize(l1);
     for (int i = 0; i < l1; ++i)
-      ctx->codes1[i] = kCharToCode[(uint8_t)ctx->read1[i]];
+      sc.codes1[i] = kCharToCode[(uint8_t)sc.read1[i]];
 
-    SeedState& s1 = ctx->s1;
+    SeedState& s1 = sc.s1;
     s1.Clear();
-    GenerateMinimizers(ctx->codes1.data(), l1, idx.k, idx.w, s1.minimizers);
-    if (s1.minimizers.empty()) continue;
+    GenerateMinimizers(sc.codes1.data(), l1, idx.k, idx.w, s1.minimizers);
+    if (s1.minimizers.empty()) return;
     int q1 = ctx->cache.Query(s1.minimizers, l1, s1.positive_candidates,
                               s1.negative_candidates,
                               s1.repetitive_seed_length);
     if (q1 == -1) GenerateCandidates(idx, mp, s1);
-    else ++st_hits;
+    else ++em.st_hits;
     if (pi < cache_update_threshold) {
       auto& he = ctx->history[pi];
       he.first.mzs = s1.minimizers;
@@ -2126,18 +2143,20 @@ int64_t cn_map_single(
       he.first.rep = s1.repetitive_seed_length;
       hist_valid[pi] = 1;
     }
-    if (s1.NumCandidates() == 0) continue;
-    st_cand += (int64_t)s1.NumCandidates();
+    if (s1.NumCandidates() == 0) return;
+    em.st_cand += (int64_t)s1.NumCandidates();
 
-    VerifyCandidates(mp, ref, ctx->read1.data(), ctx->neg1.data(), l1, s1,
-                     ctx->vs1);
-    if (ctx->vs1.NumDraft() == 0) continue;
-    VerifyState& vs = ctx->vs1;
+    VerifyCandidates(mp, ref, sc.read1.data(), sc.neg1.data(), l1, s1,
+                     sc.vs1);
+    if (sc.vs1.NumDraft() == 0) return;
+    VerifyState& vs = sc.vs1;
 
-    st_map += std::min(vs.num_best_mappings, mp.max_num_best_mappings);
-    ++st_mapped;
-    if (vs.num_best_mappings == 1) ++st_uniq;
+    em.st_map += std::min(vs.num_best_mappings, mp.max_num_best_mappings);
+    ++em.st_mapped;
+    if (vs.num_best_mappings == 1) ++em.st_uniq;
 
+    std::vector<int>& best_indices = sc.best_indices;
+    best_indices.resize(mp.max_num_best_mappings);
     for (int i = 0; i < mp.max_num_best_mappings; ++i) best_indices[i] = i;
     if (vs.num_best_mappings > mp.max_num_best_mappings) {
       std::mt19937 gen(11);  // fresh per read (mg.h:128)
@@ -2172,20 +2191,19 @@ int64_t cn_map_single(
           if (vws > rl) vws = 0;
           int start_off = e;
           BandedTraceback(e, d.num_errors, ref.Seq(rid) + vws,
-                          neg ? ctx->neg1.data() : ctx->read1.data(), l1,
+                          neg ? sc.neg1.data() : sc.read1.data(), l1,
                           &start_off);
           uint32_t rs = (uint32_t)(vws + start_off);
           uint16_t alen = (uint16_t)(ref_position - rs + 1);
           uint8_t mapq = MapqSingleEnd(mp, d.num_errors, alen, l1, e, vs,
                                        s1.repetitive_seed_length);
-          out_rid[out_n] = (int32_t)rid;
-          out_read_id[out_n] = (uint32_t)(base_read_id + pi);
-          out_start[out_n] = rs;
-          out_flen[out_n] = alen;
-          out_mapq[out_n] = mapq & 0x3F;
-          out_dir[out_n] = neg ? 0 : 1;
-          out_uniq[out_n] = (uint8_t)is_unique;
-          ++out_n;
+          em.rid.push_back((int32_t)rid);
+          em.read_id.push_back((uint32_t)(base_read_id + pi));
+          em.start.push_back(rs);
+          em.flen.push_back(alen);
+          em.mapq.push_back(mapq & 0x3F);
+          em.dir.push_back(neg ? 0 : 1);
+          em.uniq.push_back((uint8_t)is_unique);
           ++num_reported;
           if (num_reported ==
               std::min(mp.max_num_best_mappings, vs.num_best_mappings))
@@ -2194,6 +2212,38 @@ int64_t cn_map_single(
         ++best_mapping_index;
       }
     }
+  };
+
+  const int T = ctx->num_threads > 1 ? ctx->num_threads : 1;
+  std::vector<SEEmit> emits(T);
+  {
+    auto run_range = [&](int t) {
+      SEScratch sc;
+      int64_t lo = num_reads * t / T, hi = num_reads * (t + 1) / T;
+      for (int64_t pi = lo; pi < hi; ++pi) process(pi, sc, emits[t]);
+    };
+    std::vector<std::thread> threads;
+    for (int t = 1; t < T; ++t) threads.emplace_back(run_range, t);
+    run_range(0);
+    for (auto& th : threads) th.join();
+  }
+  int64_t st_cand = 0, st_map = 0, st_mapped = 0, st_uniq = 0, st_hits = 0;
+  for (const auto& em : emits) {
+    for (size_t i = 0; i < em.rid.size(); ++i) {
+      out_rid[out_n] = em.rid[i];
+      out_read_id[out_n] = em.read_id[i];
+      out_start[out_n] = em.start[i];
+      out_flen[out_n] = em.flen[i];
+      out_mapq[out_n] = em.mapq[i];
+      out_dir[out_n] = em.dir[i];
+      out_uniq[out_n] = em.uniq[i];
+      ++out_n;
+    }
+    st_cand += em.st_cand;
+    st_map += em.st_map;
+    st_mapped += em.st_mapped;
+    st_uniq += em.st_uniq;
+    st_hits += em.st_hits;
   }
 
   for (int64_t pi = 0;
