@@ -68,6 +68,9 @@ def main():
         max_insert_size=2000,
         use_device=use_device,
         engine="auto",
+        # all host cores feed the chip; the baseline is explicitly the
+        # single-thread reference (output is thread-count-invariant here)
+        num_threads=os.cpu_count() or 1,
     )
     # best of 3 to damp the (noisy, 1-vCPU) host's timing variance
     dt = None

@@ -116,6 +116,8 @@ def parse_args_and_run(argv: Optional[List[str]] = None) -> int:
 
     if args.build_index:
         icfg = IndexConfig()
+        if args.num_threads:
+            icfg.num_threads = args.num_threads
         if args.min_frag_length is not None:
             if args.min_frag_length <= 60:
                 icfg.kmer_size, icfg.window_size = 17, 7

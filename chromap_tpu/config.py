@@ -13,6 +13,7 @@ class IndexConfig:
     window_size: int = 7
     reference_file_path: str = ""
     index_output_file_path: str = ""
+    num_threads: int = 1
 
 
 @dataclass

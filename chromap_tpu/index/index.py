@@ -77,7 +77,8 @@ class MinimizerIndex:
                 f"average spacing: {num_bases / max(total, 1):.3f}")
 
 
-def build_index(reference_codes: List[np.ndarray], k: int, w: int) -> MinimizerIndex:
+def build_index(reference_codes: List[np.ndarray], k: int, w: int,
+                num_threads: int = 1) -> MinimizerIndex:
     """Collect minimizers over all reference sequences and pack the index.
 
     Stable sort by (hash, hit) reproduces the reference's occurrence-list
@@ -85,7 +86,8 @@ def build_index(reference_codes: List[np.ndarray], k: int, w: int) -> MinimizerI
     """
     try:
         from ..native import native_build_index_arrays
-        arrays = native_build_index_arrays(reference_codes, k, w)
+        arrays = native_build_index_arrays(reference_codes, k, w,
+                                           num_threads)
     except Exception:
         arrays = None
     if arrays is not None:

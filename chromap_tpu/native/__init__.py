@@ -124,7 +124,7 @@ def load_library():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
     ]
     lib.cn_index_begin.restype = ctypes.c_void_p
-    lib.cn_index_begin.argtypes = [ctypes.c_int, ctypes.c_int]
+    lib.cn_index_begin.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int]
     lib.cn_index_add.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                  ctypes.c_int64, ctypes.c_uint32]
     lib.cn_index_finalize.restype = ctypes.c_int64
@@ -412,7 +412,8 @@ def native_postprocess_write(cfg, ref_names: List[bytes], arrays: dict,
     return int(stats[0]), int(stats[1]), int(stats[2])
 
 
-def native_build_index_arrays(reference_codes, k: int, w: int):
+def native_build_index_arrays(reference_codes, k: int, w: int,
+                              num_threads: int = 1):
     """Minimizer collection + (hash, hit) sort + unique/count pass in C++
     (the exact Index::Construct pipeline, index.cc:12-89). Returns
     (hash_keys, offsets, counts, occurrences) or None when the native
@@ -420,7 +421,7 @@ def native_build_index_arrays(reference_codes, k: int, w: int):
     lib = load_library()
     if lib is None:
         return None
-    b = lib.cn_index_begin(k, w)
+    b = lib.cn_index_begin(k, w, int(num_threads))
     try:
         for seq_index, codes in enumerate(reference_codes):
             arr = np.ascontiguousarray(codes, dtype=np.uint8)

@@ -27,6 +27,7 @@
 #include <unordered_map>
 #include <vector>
 #include <thread>
+#include <atomic>
 
 #include <zlib.h>
 
@@ -87,7 +88,8 @@ struct DraftMapping {
 
 void GenerateMinimizers(const uint8_t* codes, int n, int k, int w,
                         std::vector<Minimizer>& out,
-                        uint64_t hit_base = 0, bool append = false) {
+                        uint64_t hit_base = 0, bool append = false,
+                        bool final_flush = true) {
   if (!append) out.clear();
   const uint64_t mask = (k < 32) ? ((1ull << (2 * k)) - 1) : kUmax;
   const uint64_t shift = 2 * (k - 1);
@@ -214,7 +216,7 @@ void GenerateMinimizers(const uint8_t* codes, int n, int k, int w,
       if (++position_in_buffer == w) position_in_buffer = 0;
     }
   }
-  if (min_seed.first != kUmax)
+  if (final_flush && min_seed.first != kUmax)
     out.push_back({min_seed.first, min_seed.second});
 }
 
@@ -2439,15 +2441,16 @@ extern "C" {
 // yields the same four arrays the Python index stores.
 
 struct IndexBuilder {
-  int k, w;
+  int k, w, num_threads = 1;
   std::vector<Minimizer> mzs;
   int64_t num_keys = 0;
 };
 
-IndexBuilder* cn_index_begin(int k, int w) {
+IndexBuilder* cn_index_begin(int k, int w, int num_threads) {
   IndexBuilder* b = new IndexBuilder();
   b->k = k;
   b->w = w;
+  b->num_threads = num_threads < 1 ? 1 : num_threads;
   return b;
 }
 
@@ -2458,17 +2461,84 @@ void cn_index_add(IndexBuilder* b, const uint8_t* codes, int64_t n,
   // ballooned kernels, so no scratch copies)
   size_t expect = b->mzs.size() + (size_t)(n / 4 + 64);
   if (b->mzs.capacity() < expect) b->mzs.reserve(expect);
-  GenerateMinimizers(codes, (int)n, b->k, b->w, b->mzs,
-                     ((uint64_t)seq_index) << 33, /*append=*/true);
+  uint64_t hit_base = ((uint64_t)seq_index) << 33;
+  const int T = b->num_threads;
+  // the window state machine has bounded memory (one window plus the
+  // unambiguous-run counter, both saturating within w+k), so chunks
+  // re-derive the exact state from a warmup prefix and keep only the
+  // emissions whose position falls inside the chunk; the full (hash, hit)
+  // sort afterwards makes emission order irrelevant
+  const int64_t kChunk = 16 << 20;
+  if (T <= 1 || n <= kChunk + (int64_t)(4 * (b->k + b->w))) {
+    GenerateMinimizers(codes, (int)n, b->k, b->w, b->mzs, hit_base,
+                       /*append=*/true);
+    return;
+  }
+  const int64_t warmup = 4 * (b->k + b->w);
+  int64_t num_chunks = (n + kChunk - 1) / kChunk;
+  std::vector<std::vector<Minimizer>> parts(num_chunks);
+  std::atomic<int64_t> next{0};
+  auto worker = [&]() {
+    for (;;) {
+      int64_t c = next.fetch_add(1);
+      if (c >= num_chunks) return;
+      int64_t lo = c * kChunk;
+      int64_t hi = std::min(n, lo + kChunk);
+      int64_t scan_lo = std::max<int64_t>(0, lo - warmup);
+      int64_t scan_hi = std::min(n, hi + (int64_t)(b->k + b->w));
+      std::vector<Minimizer>& out = parts[c];
+      out.reserve((size_t)((hi - lo) / 3 + 64));
+      GenerateMinimizers(codes + scan_lo, (int)(scan_hi - scan_lo), b->k,
+                         b->w, out, 0, false,
+                         /*final_flush=*/scan_hi == n);
+      size_t kept = 0;
+      for (const Minimizer& m : out) {
+        int64_t pos = (int64_t)(m.hit >> 1) + scan_lo;
+        if (pos >= lo && pos < hi)
+          out[kept++] = {m.hash,
+                         hit_base | (((uint64_t)pos) << 1) | (m.hit & 1)};
+      }
+      out.resize(kept);
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 1; t < T; ++t) threads.emplace_back(worker);
+  worker();
+  for (auto& th : threads) th.join();
+  for (const auto& part : parts)
+    b->mzs.insert(b->mzs.end(), part.begin(), part.end());
 }
 
 // sorts and counts unique keys; returns total minimizers, sets *num_keys
 int64_t cn_index_finalize(IndexBuilder* b, int64_t* num_keys) {
-  std::sort(b->mzs.begin(), b->mzs.end(),
-            [](const Minimizer& a, const Minimizer& c) {
-              if (a.hash != c.hash) return a.hash < c.hash;
-              return a.hit < c.hit;
-            });
+  auto less = [](const Minimizer& a, const Minimizer& c) {
+    if (a.hash != c.hash) return a.hash < c.hash;
+    return a.hit < c.hit;
+  };
+  const int T = b->num_threads;
+  if (T > 1 && b->mzs.size() > (1u << 20)) {
+    // chunk sorts + merge tree
+    int64_t n = (int64_t)b->mzs.size();
+    std::vector<int64_t> bounds;
+    for (int t = 0; t <= T; ++t) bounds.push_back(n * t / T);
+    std::vector<std::thread> threads;
+    for (int t = 1; t < T; ++t)
+      threads.emplace_back([&, t]() {
+        std::sort(b->mzs.begin() + bounds[t], b->mzs.begin() + bounds[t + 1],
+                  less);
+      });
+    std::sort(b->mzs.begin() + bounds[0], b->mzs.begin() + bounds[1], less);
+    for (auto& th : threads) th.join();
+    for (int64_t step = 1; step < T; step *= 2)
+      for (int64_t t = 0; t + step < T; t += 2 * step) {
+        int64_t end = std::min<int64_t>(T, t + 2 * step);
+        std::inplace_merge(b->mzs.begin() + bounds[t],
+                           b->mzs.begin() + bounds[t + step],
+                           b->mzs.begin() + bounds[end], less);
+      }
+  } else {
+    std::sort(b->mzs.begin(), b->mzs.end(), less);
+  }
   int64_t keys = 0;
   uint64_t prev = 0;
   bool first = true;

@@ -43,7 +43,8 @@ def construct_index(cfg: IndexConfig) -> None:
     log(f"Loaded all sequences in {time.time() - t0:.2f}s, "
         f"number of sequences: {len(records)}.")
     idx = build_index([r.codes() for r in records], cfg.kmer_size,
-                      cfg.window_size)
+                      cfg.window_size,
+                      num_threads=getattr(cfg, "num_threads", 1))
     log(idx.statistics_string(len(records),
                               sum(r.length for r in records)))
     idx.save(cfg.index_output_file_path)

@@ -245,3 +245,22 @@ def test_mt_engine_byte_parity(small_world):
         for key in outs[0]:
             np.testing.assert_array_equal(outs[0][key], out[key],
                                           err_msg=key)
+
+
+def test_parallel_index_build_exact():
+    """Chunked multi-threaded minimizer collection equals single-thread
+    (warmup re-derives the window state; the (hash,hit) sort makes
+    emission order irrelevant). Genome larger than one 16M chunk."""
+    from chromap_tpu.native import load_library, native_build_index_arrays
+
+    if load_library() is None:
+        pytest.skip("native engine unavailable")
+    rng = np.random.default_rng(9)
+    core = rng.integers(0, 4, 17_000_000, dtype=np.uint8)
+    core[rng.integers(0, len(core), 5000)] = 4  # N runs crossing chunks
+    rep = core[100_000:100_400]
+    g = np.concatenate([core, rep, rep])
+    a1 = native_build_index_arrays([g], 17, 7, 1)
+    a3 = native_build_index_arrays([g], 17, 7, 3)
+    for x, y in zip(a1, a3):
+        np.testing.assert_array_equal(x, y)
