@@ -572,17 +572,24 @@ class DeviceSeeder:
         return step
 
     # ------------------------------------------------------------------
-    def seed_and_verify(self, codes: np.ndarray, lengths: np.ndarray
-                        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
-        """codes (B, L) uint8 (pad/N = 4), lengths (B,). Returns host arrays
-        (read_meta u64 (B,), cand_pos u64, cand_meta u32, batch_overflow).
-        Candidates are row-major (read, strand, position-order); slices are
-        exact-length to keep the d2h transfer minimal."""
+    def submit(self, codes: np.ndarray, lengths: np.ndarray):
+        """Asynchronously dispatch one batch; returns an opaque handle.
+        Device compute and the host's work on other batches overlap until
+        `resolve` forces the (small, exact-length) download."""
         B, L = codes.shape
         captot = 4 * B
-        read_meta, out_pos, out_meta, total = self._step(
-            jnp.asarray(codes), jnp.asarray(lengths, dtype=jnp.int32),
-            L=L, captot=captot)
+        out = self._step(jnp.asarray(codes),
+                         jnp.asarray(lengths, dtype=jnp.int32),
+                         L=L, captot=captot)
+        return (out, captot)
+
+    def resolve(self, handle
+                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, bool]:
+        """Blocks on a submitted batch. Returns (read_meta u64 (B,),
+        cand_pos u64, cand_meta u32, batch_overflow); candidates are
+        row-major (read, strand, position-order) and sliced to the exact
+        total so the d2h transfer moves no padding."""
+        (read_meta, out_pos, out_meta, total), captot = handle
         total = int(total)
         if total > captot:
             # whole batch exceeds the compaction budget: caller should use
@@ -592,3 +599,8 @@ class DeviceSeeder:
         pos_np = np.asarray(out_pos[:total])
         cmeta_np = np.asarray(out_meta[:total])
         return meta_np, pos_np, cmeta_np, False
+
+    def seed_and_verify(self, codes: np.ndarray, lengths: np.ndarray
+                        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+        """Synchronous submit + resolve."""
+        return self.resolve(self.submit(codes, lengths))

@@ -714,6 +714,17 @@ class MappingPipeline:
         t_map = _time.time()
         chunks: List[dict] = []
         base_read_id = 0
+        pending = None  # one in-flight device batch (double buffering)
+
+        def account(out_stats):
+            out, stats = out_stats
+            chunks.append(out)
+            self.num_candidates += int(stats[0])
+            self.num_mappings += int(stats[1])
+            self.num_mapped_reads += int(stats[2])
+            self.num_uniquely_mapped_reads += int(stats[3])
+            self.cache_hits += int(stats[4])
+
         for file_index in range(len(cfg.read_file1_paths)):
             r1 = NativeFastxReader(cfg.read_file1_paths[file_index])
             r2 = NativeFastxReader(cfg.read_file2_paths[file_index])
@@ -729,21 +740,23 @@ class MappingPipeline:
                 threshold = self.cache_paired.get_update_threshold(
                     n1, self.num_reads, True, cfg.cache_update_param)
                 if cfg.use_device:
-                    out, stats = self._map_batch_device_seeded(
+                    # submit this batch, then finish the previous one while
+                    # the device computes (host work and device compute
+                    # overlap across batches)
+                    new_pending = self._device_submit(
                         engine, b1, o1, b2, o2, n1, base_read_id, threshold)
+                    if pending is not None:
+                        account(self._device_resolve(engine, pending))
+                    pending = new_pending
                 else:
-                    out, stats = engine.map_pairs_raw(b1, o1, b2, o2, n1,
-                                                      base_read_id, threshold)
+                    account(engine.map_pairs_raw(b1, o1, b2, o2, n1,
+                                                 base_read_id, threshold))
                 base_read_id += n1
-                chunks.append(out)
-                self.num_candidates += int(stats[0])
-                self.num_mappings += int(stats[1])
-                self.num_mapped_reads += int(stats[2])
-                self.num_uniquely_mapped_reads += int(stats[3])
-                self.cache_hits += int(stats[4])
                 log(f"Mapped {n1} read pairs.")
             r1.close()
             r2.close()
+        if pending is not None:
+            account(self._device_resolve(engine, pending))
         log(f"Mapped all reads in {_time.time() - t_map:.2f}s.")
         self._output_stats()
 
@@ -763,15 +776,15 @@ class MappingPipeline:
             f"total: {uni + multi}.")
         log(f"Number of output mappings (passed filters): {written}")
 
-    def _map_batch_device_seeded(self, engine, b1, o1, b2, o2, n1: int,
-                                 base_read_id: int, threshold: int):
-        """TPU front end (seeding + verification on device) + native finish.
+    def _device_submit(self, engine, b1, o1, b2, o2, n1: int,
+                       base_read_id: int, threshold: int):
+        """TPU front end, asynchronous: encode + dispatch one batch.
 
-        Reads are 2-bit-coded into an interleaved (2n, L) tile and shipped
-        to the device once per batch; the download is the compact candidate
-        stream ops/device_seed.py produces. Batches the device path cannot
-        take exactly (mixed read lengths, candidate overflow) run through
-        the plain native engine instead.
+        Returns a pending tuple for _device_resolve. Batches the device
+        path cannot take exactly (mixed read lengths, adapter trimming)
+        are mapped synchronously through the host engine instead. Raw
+        read bytes are copied so the reader can advance to the next batch
+        while this one is in flight.
         """
         import ctypes as _ct
 
@@ -795,8 +808,9 @@ class MappingPipeline:
         uniform = (n1 > 0 and (len1 == L).all() and (len2 == L).all()
                    and 30 <= L <= 230)
         if not uniform or cfg.trim_adapters:
-            return engine.map_pairs_raw(b1, o1, b2, o2, n1, base_read_id,
-                                        threshold)
+            return ("host",
+                    engine.map_pairs_raw(b1, o1, b2, o2, n1, base_read_id,
+                                         threshold))
 
         if self._device_seeder is None:
             from .ops.device_seed import DeviceSeeder
@@ -818,13 +832,31 @@ class MappingPipeline:
         codes[1::2] = self._code_tbl[raw2].reshape(n1, L)
         lengths = np.full(2 * n1, L, dtype=np.int64)
 
+        handle = self._device_seeder.submit(codes, lengths)
+        # the reader reuses its buffers on the next read_batch: keep copies
+        saved = (raw1.copy(), offs1.copy(), raw2.copy(), offs2.copy())
+        return ("dev", handle, saved, n1, base_read_id, threshold)
+
+    def _device_resolve(self, engine, pending):
+        """Blocks on a submitted device batch and runs the native finish."""
+        import ctypes as _ct
+
+        if pending[0] == "host":
+            return pending[1]
+        _, handle, saved, n1, base_read_id, threshold = pending
+        raw1, offs1, raw2, offs2 = saved
         meta, cand_pos, cand_meta, overflow = \
-            self._device_seeder.seed_and_verify(codes, lengths)
+            self._device_seeder.resolve(handle)
+        r1p = _ct.cast(raw1.ctypes.data, _ct.c_char_p)
+        r2p = _ct.cast(raw2.ctypes.data, _ct.c_char_p)
+        o1p = offs1.ctypes.data_as(_ct.c_void_p)
+        o2p = offs2.ctypes.data_as(_ct.c_void_p)
         if overflow:
-            return engine.map_pairs_raw(b1, o1, b2, o2, n1, base_read_id,
-                                        threshold)
-        return engine.map_pairs_dev_seeded(b1, o1, b2, o2, n1, base_read_id,
-                                           meta, cand_pos, cand_meta)
+            return engine.map_pairs_raw(r1p, o1p, r2p, o2p, n1,
+                                        base_read_id, threshold)
+        return engine.map_pairs_dev_seeded(r1p, o1p, r2p, o2p, n1,
+                                           base_read_id, meta, cand_pos,
+                                           cand_meta)
 
     def _map_batch_native(self, engine, batch1, batch2, threshold,
                           emit) -> None:
