@@ -102,8 +102,6 @@ class MappingConfig:
         if self.split_alignment or self.output_format not in ("bed",
                                                               "tagalign"):
             return False
-        if not self.is_bulk_data:
-            return False
         if self.error_threshold >= 16:
             return False
         if self.custom_rid_order_file_path:

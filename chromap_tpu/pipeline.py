@@ -410,7 +410,8 @@ class MappingPipeline:
             self.num_mappings_in_mem += 1
 
         native_engine = None
-        if cfg.native_engine_eligible(paired=True):
+        if cfg.native_engine_eligible(paired=True) and (
+                cfg.is_bulk_data or self.summary is None):
             try:
                 from .native import NativeEngine
                 native_engine = NativeEngine(cfg, self.index, self.ref_seqs)
@@ -422,6 +423,7 @@ class MappingPipeline:
 
         # full-native fast path: native FASTQ IO + mapping + postprocess
         if (native_engine is not None and not cfg.read_format
+                and cfg.is_bulk_data
                 and self.summary is None and not cfg.allocate_multi_mappings
                 and not cfg.matrix_output_prefix
                 and (cfg.output_format == "bed"
@@ -455,7 +457,11 @@ class MappingPipeline:
             self.num_reads += 2 * len(batch1)
             threshold = self.cache_paired.get_update_threshold(
                 len(batch1), self.num_reads, True, cfg.cache_update_param)
-            if native_engine is not None:
+            if native_engine is not None and batch_bc is not None:
+                self._map_batch_native_barcoded(native_engine, batch1,
+                                                batch2, batch_bc, threshold,
+                                                emit)
+            elif native_engine is not None:
                 self._map_batch_native(native_engine, batch1, batch2,
                                        threshold, emit)
             elif batch_mapper is not None:
@@ -886,6 +892,48 @@ class MappingPipeline:
         if self.summary is not None:
             self.summary.update_count(0, TOTAL, len(batch1))
             self.summary.update_count(0, CACHEHIT, int(stats[4]))
+
+    def _map_batch_native_barcoded(self, engine, batch1, batch2, batch_bc,
+                                   threshold, emit) -> None:
+        """Barcoded (single-cell) batch through the C++ mapper: barcode
+        extraction/correction/translation stays in Python, pairs that pass
+        the whitelist map natively, records carry the barcode key for
+        cell-level dedup and fragment output downstream."""
+        from .mapping.records import PEBedRecord
+
+        cfg = self.cfg
+        reads1, reads2, barcodes, orig_ids = [], [], [], []
+        for bi, (rec1, rec2) in enumerate(zip(batch1, batch2)):
+            whitelisted, barcode_key = self._process_barcode(batch_bc[bi])
+            if not (whitelisted or cfg.output_mappings_not_in_whitelist):
+                continue
+            reads1.append(bytes(rec1.seq))
+            reads2.append(bytes(rec2.seq))
+            barcodes.append(barcode_key)
+            orig_ids.append(rec1.read_id)
+        if not reads1:
+            return
+        out, stats = engine.map_pairs(reads1, reads2, 0, threshold)
+        rid_a = out["rid"]
+        oid = np.asarray(orig_ids, dtype=np.uint32)
+        bcs = np.asarray(barcodes, dtype=np.uint64)
+        idx = out["read_id"]
+        for i in range(len(rid_a)):
+            j = int(idx[i])
+            rec = PEBedRecord(
+                read_id=int(oid[j]), barcode=int(bcs[j]),
+                start=int(out["start"][i]), length=int(out["flen"][i]),
+                mapq=int(out["mapq"][i]), direction=int(out["dir"][i]),
+                is_unique=int(out["uniq"][i]), num_dups=1,
+                positive_alignment_length=int(out["posalen"][i]),
+                negative_alignment_length=int(out["negalen"][i]),
+                has_barcode=True)
+            emit(int(rid_a[i]), rec)
+        self.num_candidates += int(stats[0])
+        self.num_mappings += int(stats[1])
+        self.num_mapped_reads += int(stats[2])
+        self.num_uniquely_mapped_reads += int(stats[3])
+        self.cache_hits += int(stats[4])
 
     def _map_single_end_full_native(self, engine) -> None:
         """SE native IO + mapping + postprocess + write (cn_map_single)."""

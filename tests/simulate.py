@@ -56,3 +56,32 @@ def write_simulated_dataset(out_dir: str, num_pairs: int = 5000,
                       + b"\n+\n" + qual + b"\n")
             r2f.write(b"@sim." + str(i).encode() + b"/2\n" + bytes(s2)
                       + b"\n+\n" + qual + b"\n")
+
+
+def write_simulated_barcodes(out_dir: str, num_pairs: int = 5000,
+                             seed: int = 77, barcode_length: int = 16,
+                             num_whitelist: int = 300) -> None:
+    """Deterministic barcode fastq + whitelist for the simulated dataset:
+    ~85%% exact whitelist hits, ~12%% one substitution (incl. N bases),
+    ~3%% random (unmatchable)."""
+    import os
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    bases = "ACGT"
+    whitelist = ["".join(bases[c] for c in rng.integers(0, 4, barcode_length))
+                 for _ in range(num_whitelist)]
+    with open(f"{out_dir}/whitelist.txt", "w") as f:
+        f.write("\n".join(sorted(set(whitelist))) + "\n")
+    with open(f"{out_dir}/bc.fq", "w") as f:
+        for i in range(num_pairs):
+            bc = list(whitelist[rng.integers(0, num_whitelist)])
+            r = rng.random()
+            if r < 0.12:
+                p = int(rng.integers(0, barcode_length))
+                bc[p] = "N" if rng.random() < 0.3 else bases[rng.integers(0, 4)]
+            elif r < 0.15:
+                bc = [bases[c] for c in rng.integers(0, 4, barcode_length)]
+            qual = "".join(chr(33 + int(q))
+                           for q in rng.integers(20, 40, barcode_length))
+            f.write(f"@sim_bc.{i}\n{''.join(bc)}\n+\n{qual}\n")
+

@@ -55,3 +55,35 @@ def test_sim_parity(golden, extra, engines, sim_data, golden_dir, tmp_path):
         assert result.returncode == 0, result.stderr
         assert out.read_bytes() == (golden_dir / golden).read_bytes(), \
             f"{golden} differs under engine={engine}"
+
+
+@pytest.fixture(scope="module")
+def sim_bc_data(sim_data):
+    from simulate import write_simulated_barcodes
+    write_simulated_barcodes(str(sim_data))
+    return sim_data
+
+
+@pytest.mark.parametrize("engine", ["auto", "per_read"])
+def test_sim_barcode_parity(engine, sim_bc_data, golden_dir, tmp_path):
+    """scATAC flow vs the reference binary's golden: barcode correction
+    (1-substitution incl. N bases), whitelisting, cell-level dedup, Tn5,
+    fragment output, and the per-barcode summary CSV. The BED is
+    byte-identical; the CSV is compared as a set (the reference emits
+    barcodes in khash iteration order, which is implementation-defined)."""
+    d = sim_bc_data
+    out = tmp_path / f"bc_{engine}.bed"
+    summary = tmp_path / f"bc_{engine}.csv"
+    args = [sys.executable, "-m", "chromap_tpu.cli", "--engine", engine,
+            "-x", f"{d}/index", "-r", f"{d}/ref.fa",
+            "-1", f"{d}/r1.fq", "-2", f"{d}/r2.fq", "-b", f"{d}/bc.fq",
+            "--barcode-whitelist", f"{d}/whitelist.txt",
+            "--remove-pcr-duplicates", "--Tn5-shift", "-l", "2000",
+            "--summary", str(summary), "-o", str(out)]
+    result = subprocess.run(args, capture_output=True, text=True)
+    assert result.returncode == 0, result.stderr
+    assert out.read_bytes() == (golden_dir / "sim_barcode.bed").read_bytes()
+    ours = sorted(summary.read_text().splitlines())
+    golden = sorted(
+        (golden_dir / "sim_barcode_summary.csv").read_text().splitlines())
+    assert ours == golden
