@@ -105,6 +105,17 @@ class BarcodeWhitelist:
             if self.num_sample_barcodes >= max_num_samples:
                 break
 
+    def sorted_keys(self) -> "np.ndarray":
+        """Sorted whitelist keys as a uint64 array (cached) for the
+        vectorized exact-hit fast path."""
+        import numpy as np
+        if getattr(self, "_sorted_keys", None) is None or \
+                len(self._sorted_keys) != len(self.table):
+            self._sorted_keys = np.sort(
+                np.fromiter(self.table.keys(), dtype=np.uint64,
+                            count=len(self.table)))
+        return self._sorted_keys
+
     def correct_barcode(self, rec: SequenceRecord, error_threshold: int,
                         probability_threshold: float,
                         stats: List[int]) -> bool:

@@ -902,9 +902,35 @@ class MappingPipeline:
         from .mapping.records import PEBedRecord
 
         cfg = self.cfg
+        nb = len(batch_bc)
+        blen = self.barcode_length
+        # vectorized exact-whitelist fast path (chromap.cc:589-593): pack
+        # every barcode, one searchsorted against the sorted whitelist;
+        # only N-containing or non-exact barcodes take the per-read
+        # correction (chromap.cc:572-799)
+        exact = np.zeros(nb, dtype=bool)
+        keys = np.zeros(nb, dtype=np.uint64)
+        if self.whitelist is not None and nb:
+            codes_mat = np.stack([rec.codes()[:blen] for rec in batch_bc])
+            weights = (np.uint64(4) ** np.arange(blen - 1, -1, -1,
+                                                 dtype=np.uint64))
+            keys = (np.where(codes_mat < 4, codes_mat, 0).astype(np.uint64)
+                    @ weights)
+            clean = (codes_mat < 4).all(axis=1) & \
+                (codes_mat.shape[1] == blen)
+            wl = self.whitelist.sorted_keys()
+            loc = np.searchsorted(wl, keys)
+            loc = np.minimum(loc, len(wl) - 1) if len(wl) else loc
+            exact = clean & (wl[loc] == keys if len(wl) else False)
+            self.num_barcode_in_whitelist += int(exact.sum())
+
         reads1, reads2, barcodes, orig_ids = [], [], [], []
         for bi, (rec1, rec2) in enumerate(zip(batch1, batch2)):
-            whitelisted, barcode_key = self._process_barcode(batch_bc[bi])
+            if exact[bi]:
+                whitelisted, barcode_key = True, int(keys[bi])
+            else:
+                whitelisted, barcode_key = self._process_barcode(
+                    batch_bc[bi])
             if not (whitelisted or cfg.output_mappings_not_in_whitelist):
                 continue
             reads1.append(bytes(rec1.seq))
