@@ -99,8 +99,14 @@ class MappingConfig:
             # sharded batches have non-contiguous read ids; route through
             # the Python engines for now
             return False
-        if self.split_alignment or self.output_format not in ("bed",
-                                                              "tagalign"):
+        if self.split_alignment:
+            return False
+        if self.output_format not in ("bed", "tagalign", "paf", "sam"):
+            return False
+        if self.output_format in ("paf", "sam") and (
+                self.trim_adapters or not self.is_bulk_data):
+            # PAF/SAM records carry (possibly trimmed) read sequences,
+            # lengths and names; the native arrays don't surface trimming
             return False
         if self.error_threshold >= 16:
             return False

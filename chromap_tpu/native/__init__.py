@@ -115,6 +115,24 @@ def load_library():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p,
     ]
+    lib.cn_map_pairs_full.restype = ctypes.c_int64
+    lib.cn_map_pairs_full.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_char_p, ctypes.c_void_p,
+        ctypes.c_char_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+    ] + [ctypes.c_void_p] * 17 + [ctypes.c_void_p]
+    lib.cn_set_sam_params.argtypes = [ctypes.c_void_p] + [ctypes.c_int] * 6
+    lib.cn_get_sam_aux.restype = ctypes.c_int64
+    lib.cn_get_sam_aux.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_char)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint16)),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
     lib.cn_map_single.restype = ctypes.c_int64
     lib.cn_map_single.argtypes = [
         ctypes.c_void_p,
@@ -256,6 +274,82 @@ class NativeEngine:
         out["posalen"] = np.zeros(count, dtype=np.uint16)
         out["negalen"] = np.zeros(count, dtype=np.uint16)
         return out, stats
+
+    def map_pairs_full(self, reads1: List[bytes], reads2: List[bytes],
+                       base_read_id: int, cache_update_threshold: int,
+                       sam_aux: bool = False):
+        """Extended mapping: per-end reference start/end, error counts and
+        MAPQ; with sam_aux, also the CIGAR/NM/MD streams recorded by the
+        SAM-mode recover path."""
+        n = len(reads1)
+        r1_bytes = b"".join(reads1)
+        r2_bytes = b"".join(reads2)
+        r1_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum([len(r) for r in reads1], out=r1_off[1:])
+        r2_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum([len(r) for r in reads2], out=r2_off[1:])
+        cap = max(1, n * max(1, self.cfg.max_num_best_mappings))
+        out = {
+            "rid": np.empty(cap, dtype=np.int32),
+            "read_id": np.empty(cap, dtype=np.uint32),
+            "start": np.empty(cap, dtype=np.uint32),
+            "flen": np.empty(cap, dtype=np.uint16),
+            "mapq": np.empty(cap, dtype=np.uint8),
+            "dir": np.empty(cap, dtype=np.uint8),
+            "uniq": np.empty(cap, dtype=np.uint8),
+            "posalen": np.empty(cap, dtype=np.uint16),
+            "negalen": np.empty(cap, dtype=np.uint16),
+            "rs1": np.empty(cap, dtype=np.uint32),
+            "re1": np.empty(cap, dtype=np.uint32),
+            "rs2": np.empty(cap, dtype=np.uint32),
+            "re2": np.empty(cap, dtype=np.uint32),
+            "err1": np.empty(cap, dtype=np.uint8),
+            "err2": np.empty(cap, dtype=np.uint8),
+            "mapq1": np.empty(cap, dtype=np.uint8),
+            "mapq2": np.empty(cap, dtype=np.uint8),
+        }
+        stats = np.zeros(5, dtype=np.int64)
+        count = self.lib.cn_map_pairs_full(
+            self.ctx, r1_bytes, _ptr(r1_off), r2_bytes, _ptr(r2_off),
+            n, base_read_id, cache_update_threshold,
+            _ptr(out["rid"]), _ptr(out["read_id"]), _ptr(out["start"]),
+            _ptr(out["flen"]), _ptr(out["mapq"]), _ptr(out["dir"]),
+            _ptr(out["uniq"]), _ptr(out["posalen"]), _ptr(out["negalen"]),
+            _ptr(out["rs1"]), _ptr(out["re1"]), _ptr(out["rs2"]),
+            _ptr(out["re2"]), _ptr(out["err1"]), _ptr(out["err2"]),
+            _ptr(out["mapq1"]), _ptr(out["mapq2"]), _ptr(stats))
+        for key in out:
+            out[key] = out[key][:count]
+        aux = None
+        if sam_aux:
+            cb = ctypes.POINTER(ctypes.c_uint32)()
+            co = ctypes.POINTER(ctypes.c_int64)()
+            mb = ctypes.POINTER(ctypes.c_char)()
+            mo = ctypes.POINTER(ctypes.c_int64)()
+            nm = ctypes.POINTER(ctypes.c_uint16)()
+            mdl = ctypes.c_int64()
+            n_rec = self.lib.cn_get_sam_aux(
+                self.ctx, ctypes.byref(cb), ctypes.byref(co),
+                ctypes.byref(mb), ctypes.byref(mo), ctypes.byref(nm),
+                ctypes.byref(mdl))
+            co_a = np.ctypeslib.as_array(co, shape=(n_rec + 1,)).copy()
+            cb_a = (np.ctypeslib.as_array(cb, shape=(int(co_a[-1]),)).copy()
+                    if co_a[-1] else np.empty(0, np.uint32))
+            mo_a = np.ctypeslib.as_array(mo, shape=(n_rec + 1,)).copy()
+            md_b = ctypes.string_at(mb, mdl.value) if mdl.value else b""
+            nm_a = (np.ctypeslib.as_array(nm, shape=(n_rec,)).copy()
+                    if n_rec else np.empty(0, np.uint16))
+            aux = (cb_a, co_a, md_b, mo_a, nm_a)
+        return out, stats, aux
+
+    def set_sam_params(self):
+        cfg = self.cfg
+        go = list(getattr(cfg, "gap_open_penalties", [6, 6]))
+        ge = list(getattr(cfg, "gap_extension_penalties", [1, 1]))
+        self.lib.cn_set_sam_params(
+            self.ctx, int(getattr(cfg, "match_score", 1)),
+            int(getattr(cfg, "mismatch_penalty", 4)),
+            int(go[0]), int(go[1]), int(ge[0]), int(ge[1]))
 
     def map_pairs_dev_seeded(self, r1_bytes, r1_off_ptr, r2_bytes,
                              r2_off_ptr, n: int, base_read_id: int,

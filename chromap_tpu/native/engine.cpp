@@ -349,6 +349,13 @@ struct MappingParams {
   int drop_repetitive_reads;
   bool trim_adapters;
   bool tagalign_dups;  // unused; records identical for BED/TagAlign
+  // SAM mode: positions come from the affine-gap semi-global alignment
+  // (with CIGAR) instead of BandedTraceback (mapping_generator.h:729-824)
+  bool sam_mode = false;
+  int match_score = 1;
+  int mismatch_penalty = 4;
+  int gap_open[2] = {6, 6};
+  int gap_ext[2] = {1, 1};
 };
 
 int CollectHits(const IndexView& idx, const std::vector<Minimizer>& mzs,
@@ -993,6 +1000,161 @@ struct RefView {
   }
 };
 
+// ------------------- semi-global alignment with CIGAR -------------------
+// Affine-gap banded semi-global DP with free leading/trailing reference
+// gaps, query = reference window, target = read; direction-matrix
+// backtrack. Same recurrence and tie-breaking as the SAM path oracle
+// (mapping/ksw.py, itself equivalent to the vendored klib ksw_semi_global3,
+// ksw.cc:505-633).
+
+constexpr int kMinusInf = -0x40000000;
+
+inline void PushCigar(std::vector<uint32_t>& cigar, uint32_t op,
+                      uint32_t length) {
+  if (cigar.empty() || (cigar.back() & 0xF) != op)
+    cigar.push_back(length << 4 | op);
+  else
+    cigar.back() += length << 4;
+}
+
+struct KswScratch {
+  std::vector<uint8_t> z;
+  std::vector<int> h, e;
+  std::vector<uint32_t> rev;
+};
+
+static void KswSemiGlobal3(int qlen, const char* query, int tlen,
+                           const char* target, const MappingParams& mp,
+                           int w, KswScratch& ks,
+                           std::vector<uint32_t>& cigar, int* start_pos,
+                           int* end_pos) {
+  const int o_del = mp.gap_open[0], o_ins = mp.gap_open[1];
+  const int e_del = mp.gap_ext[0], e_ins = mp.gap_ext[1];
+  const int oe_del = o_del + e_del, oe_ins = o_ins + e_ins;
+  const int n_col = qlen < 2 * w + 1 ? qlen : 2 * w + 1;
+  ks.z.resize((size_t)n_col * tlen);
+  ks.h.assign(qlen + 2, kMinusInf);
+  ks.e.assign(qlen + 2, kMinusInf);
+  ks.h[0] = 0;
+  int lim = qlen < w ? qlen : w;
+  for (int j = 1; j <= lim; ++j) ks.h[j] = 0;
+
+  for (int i = 0; i < tlen; ++i) {
+    int f = kMinusInf;
+    int beg = i;
+    int end = i + w + 1 < qlen ? i + w + 1 : qlen;
+    int h1 = beg == 0 ? -(o_del + e_del * (i + 1)) : kMinusInf;
+    uint8_t* zi = ks.z.data() + (size_t)i * n_col;
+    uint8_t tc = kCharToCode[(uint8_t)target[i]];
+    for (int j = beg; j < end; ++j) {
+      int m = ks.h[j];
+      int e = ks.e[j];
+      ks.h[j] = h1;
+      uint8_t qc = kCharToCode[(uint8_t)query[j]];
+      m += (qc == 4 || tc == 4) ? 0
+           : (qc == tc ? mp.match_score : -mp.mismatch_penalty);
+      int d = m >= e ? 0 : 1;
+      int hh = m >= e ? m : e;
+      if (hh < f) {
+        d = 2;
+        hh = f;
+      }
+      h1 = hh;
+      int t = m - oe_del;
+      e -= e_del;
+      if (e > t)
+        d |= 1 << 2;
+      else
+        e = t;
+      ks.e[j] = e;
+      t = m - oe_ins;
+      f -= e_ins;
+      if (f > t)
+        d |= 2 << 4;
+      else
+        f = t;
+      zi[j - beg] = (uint8_t)d;
+    }
+    ks.h[end] = h1;
+    ks.e[end] = kMinusInf;
+  }
+
+  int score = ks.h[qlen];
+  int max_score_position = qlen;
+  for (int j = 1; j < w; ++j)
+    if (ks.h[qlen - j] > score) {
+      score = ks.h[qlen - j];
+      max_score_position = qlen - j;
+    }
+
+  ks.rev.clear();
+  int i = tlen - 1, k = max_score_position - 1, which = 0;
+  while (i >= 0 && k >= 0) {
+    which = (ks.z[(size_t)i * n_col + (k - i)] >> (which << 1)) & 3;
+    if (which == 0) {
+      PushCigar(ks.rev, 0, 1);
+      --i;
+      --k;
+    } else if (which == 1) {
+      PushCigar(ks.rev, 1, 1);
+      --i;
+    } else {
+      PushCigar(ks.rev, 2, 1);
+      --k;
+    }
+  }
+  if (i >= 0) PushCigar(ks.rev, 1, i + 1);
+  *start_pos = k + 1;
+  *end_pos = max_score_position;
+  cigar.assign(ks.rev.rbegin(), ks.rev.rend());
+}
+
+// NM / MD tag generation from the CIGAR (alignment.cc:85-139)
+static int GenerateNMMD(const char* reference, const char* read,
+                        int64_t mapping_start_position,
+                        const std::vector<uint32_t>& cigar,
+                        std::string& md) {
+  int nm = 0;
+  int num_matches = 0;
+  int64_t read_position = 0;
+  int64_t reference_position = mapping_start_position;
+  md.clear();
+  auto bases_equal = [](uint8_t rb, uint8_t qb) {
+    if (rb == qb) return true;
+    return rb >= 0x61 && rb <= 0x7A && (uint8_t)(rb - 0x20) == qb;
+  };
+  for (uint32_t c : cigar) {
+    uint32_t op = c & 0xF, oplen = c >> 4;
+    if (op == 0) {
+      for (uint32_t x = 0; x < oplen; ++x) {
+        if (bases_equal((uint8_t)reference[reference_position],
+                        (uint8_t)read[read_position])) {
+          ++num_matches;
+        } else {
+          ++nm;
+          md += std::to_string(num_matches);
+          num_matches = 0;
+          md += reference[reference_position];
+        }
+        ++reference_position;
+        ++read_position;
+      }
+    } else if (op == 1) {
+      nm += oplen;
+      read_position += oplen;
+    } else if (op == 2) {
+      nm += oplen;
+      md += std::to_string(num_matches);
+      num_matches = 0;
+      md += '^';
+      for (uint32_t x = 0; x < oplen; ++x)
+        md += reference[reference_position++];
+    }
+  }
+  md += std::to_string(num_matches);
+  return nm;
+}
+
 inline void UpdateCounters(VerifyState& vs, int num_errors) {
   if (num_errors < vs.min_num_errors) {
     vs.second_min_num_errors = vs.min_num_errors;
@@ -1064,6 +1226,18 @@ struct DevSeedView {
 
 constexpr uint64_t kDevFlagFallback = 1;
 constexpr uint64_t kDevFlagAugment = 2;
+
+// optional per-end outputs (PAF/pairs/SAM record construction)
+struct PEExtOut {
+  uint32_t* rs1;
+  uint32_t* re1;
+  uint32_t* rs2;
+  uint32_t* re2;
+  uint8_t* err1;
+  uint8_t* err2;
+  uint8_t* mapq1;
+  uint8_t* mapq2;
+};
 
 // Unpacks one device-seeded read into a SeedState (minus minimizers).
 static void LoadDevSeed(const DevSeedView& dev, uint64_t meta,
@@ -1389,7 +1563,8 @@ void MapqPairedEnd(const MappingParams& mp, int e1, int e2, uint16_t al1,
                    uint16_t al2, int l1, int l2, int force_mapq,
                    const PairedState& ps, const VerifyState& vs1,
                    const VerifyState& vs2, uint32_t rep1, uint32_t rep2,
-                   uint8_t* out_mapq) {
+                   uint8_t* out_mapq, uint8_t* out_mapq1 = nullptr,
+                   uint8_t* out_mapq2 = nullptr) {
   uint8_t mapq_pe = 0;
   int min_unpaired = vs1.min_num_errors + vs2.min_num_errors + 3;
   if (ps.num_best_mappings <= 1) {
@@ -1448,6 +1623,8 @@ void MapqPairedEnd(const MappingParams& mp, int e1, int e2, uint16_t al1,
   uint8_t mapq = mapq1 < mapq2 ? mapq1 : mapq2;
   if (mapq < 60 && force_mapq >= 0 && force_mapq < mapq) mapq = force_mapq;
   *out_mapq = mapq;
+  if (out_mapq1) *out_mapq1 = mapq1;  // PAF reports per-end mapq unforced
+  if (out_mapq2) *out_mapq2 = mapq2;
 }
 
 // ------------------------------ trimming ------------------------------
@@ -1568,6 +1745,17 @@ struct CnContext {
     uint32_t rep;
   };
   std::vector<std::pair<HistEntry, HistEntry>> history;
+
+  // SAM-mode per-record alignment outputs (cigar/NM/MD), end1 then end2
+  // per emitted row
+  std::vector<uint32_t> sam_cigar_buf;
+  std::vector<int64_t> sam_cigar_offsets;
+  std::string sam_md_buf;
+  std::vector<int64_t> sam_md_offsets;
+  std::vector<uint16_t> sam_nm;
+  std::vector<uint32_t> sam_tmp_cigar;
+  std::string sam_tmp_md;
+  KswScratch ksw_scratch;
 
   // device-verification work buffers (phase split)
   std::vector<int64_t> wb_pattern_starts;
@@ -1783,7 +1971,7 @@ static int64_t MapPairsCore(
     uint8_t* out_mapq, uint8_t* out_dir, uint8_t* out_uniq,
     uint16_t* out_posalen, uint16_t* out_negalen, int64_t* stats,
     int collect_mode, const int32_t* ext_err, const int32_t* ext_end,
-    const DevSeedView* dev = nullptr) {
+    const DevSeedView* dev = nullptr, const PEExtOut* xout = nullptr) {
   const MappingParams& mp = ctx->mp;
   const IndexView& idx = ctx->idx;
   const RefView& ref = ctx->ref;
@@ -1800,6 +1988,13 @@ static int64_t MapPairsCore(
 
   ExtVerify ext_state = {ext_err, ext_end, 0};
   ExtVerify* ext = ext_err ? &ext_state : nullptr;
+  if (mp.sam_mode) {
+    ctx->sam_cigar_buf.clear();
+    ctx->sam_cigar_offsets.assign(1, 0);
+    ctx->sam_md_buf.clear();
+    ctx->sam_md_offsets.assign(1, 0);
+    ctx->sam_nm.clear();
+  }
   if (collect_mode) {
     ctx->wb_pattern_starts.clear();
     ctx->wb_text_offsets.clear();
@@ -1942,9 +2137,32 @@ static int64_t MapPairsCore(
             if ((uint64_t)ref_position + e >= (uint64_t)rl)
               vws = (int64_t)(uint32_t)(rl - e - L);
             if (vws > rl) vws = 0;
+            const char* text = neg ? neg_text : fwd_text;
+            if (mp.sam_mode) {
+              // SAM positions come from the affine semi-global alignment
+              // (mapping_generator.h:729-824); CIGAR/NM/MD recorded per end
+              int start, endp;
+              KswSemiGlobal3(L + 2 * e, ref.Seq(rid) + vws, L, text, mp,
+                             2 * e + 1, ctx->ksw_scratch,
+                             ctx->sam_tmp_cigar, &start, &endp);
+              int nm = GenerateNMMD(ref.Seq(rid), text, vws + start,
+                                    ctx->sam_tmp_cigar, ctx->sam_tmp_md);
+              ctx->sam_cigar_buf.insert(ctx->sam_cigar_buf.end(),
+                                        ctx->sam_tmp_cigar.begin(),
+                                        ctx->sam_tmp_cigar.end());
+              ctx->sam_cigar_offsets.push_back(
+                  (int64_t)ctx->sam_cigar_buf.size());
+              ctx->sam_md_buf += ctx->sam_tmp_md;
+              ctx->sam_md_offsets.push_back(
+                  (int64_t)ctx->sam_md_buf.size());
+              ctx->sam_nm.push_back((uint16_t)nm);
+              *rs = (uint32_t)(vws + start);
+              *re = (uint32_t)(vws + endp - 1);
+              return;
+            }
             int start_off = e;
-            BandedTraceback(e, d.num_errors, ref.Seq(rid) + vws,
-                            neg ? neg_text : fwd_text, L, &start_off);
+            BandedTraceback(e, d.num_errors, ref.Seq(rid) + vws, text, L,
+                            &start_off);
             *rs = (uint32_t)(vws + start_off);
             *re = ref_position;
           };
@@ -1955,11 +2173,21 @@ static int64_t MapPairsCore(
                   &re2);
           uint16_t al1 = (uint16_t)(re1 - rs1 + 1);
           uint16_t al2 = (uint16_t)(re2 - rs2 + 1);
-          uint8_t mapq;
+          uint8_t mapq, mq1 = 0, mq2 = 0;
           MapqPairedEnd(mp, d1.num_errors, d2.num_errors, al1, al2, sc.l1, sc.l2,
                         force_mapq, ps, sc.vs1, sc.vs2,
                         sc.s1.repetitive_seed_length, sc.s2.repetitive_seed_length,
-                        &mapq);
+                        &mapq, &mq1, &mq2);
+          if (xout) {
+            xout->rs1[out_n] = rs1;
+            xout->re1[out_n] = re1;
+            xout->rs2[out_n] = rs2;
+            xout->re2[out_n] = re2;
+            xout->err1[out_n] = (uint8_t)d1.num_errors;
+            xout->err2[out_n] = (uint8_t)d2.num_errors;
+            xout->mapq1[out_n] = mq1;
+            xout->mapq2[out_n] = mq2;
+          }
           uint32_t frag_start = f_neg ? rs2 : rs1;
           uint16_t frag_len = f_neg ? (uint16_t)(re1 - rs2 + 1)
                                     : (uint16_t)(re2 - rs1 + 1);
@@ -2017,6 +2245,56 @@ int64_t cn_map_pairs(
                       out_rid, out_read_id, out_start, out_flen, out_mapq,
                       out_dir, out_uniq, out_posalen, out_negalen, stats, 0,
                       nullptr, nullptr);
+}
+
+// Enable SAM mode: alignment scoring for the CIGAR-producing recover path.
+void cn_set_sam_params(CnContext* ctx, int match_score, int mismatch,
+                       int gap_open_del, int gap_open_ins, int gap_ext_del,
+                       int gap_ext_ins) {
+  ctx->mp.sam_mode = true;
+  ctx->mp.match_score = match_score;
+  ctx->mp.mismatch_penalty = mismatch;
+  ctx->mp.gap_open[0] = gap_open_del;
+  ctx->mp.gap_open[1] = gap_open_ins;
+  ctx->mp.gap_ext[0] = gap_ext_del;
+  ctx->mp.gap_ext[1] = gap_ext_ins;
+}
+
+// SAM-mode alignment outputs for the last cn_map_pairs_full call: CIGARs,
+// NM and MD per end-record (two per emitted row, end1 then end2).
+int64_t cn_get_sam_aux(CnContext* ctx, const uint32_t** cigar_buf,
+                       const int64_t** cigar_offsets, const char** md_buf,
+                       const int64_t** md_offsets, const uint16_t** nm,
+                       int64_t* md_len) {
+  *cigar_buf = ctx->sam_cigar_buf.data();
+  *cigar_offsets = ctx->sam_cigar_offsets.data();
+  *md_buf = ctx->sam_md_buf.data();
+  *md_offsets = ctx->sam_md_offsets.data();
+  *nm = ctx->sam_nm.data();
+  *md_len = (int64_t)ctx->sam_md_buf.size();
+  return (int64_t)ctx->sam_nm.size();
+}
+
+// Extended variant: also emits per-end reference start/end, per-end error
+// counts, and per-end MAPQ (PAF/pairs/SAM record construction,
+// mapping_generator.h:655-917).
+int64_t cn_map_pairs_full(
+    CnContext* ctx, const char* r1_bytes, const int64_t* r1_offsets,
+    const char* r2_bytes, const int64_t* r2_offsets, int64_t num_pairs,
+    int64_t base_read_id, int64_t cache_update_threshold, int32_t* out_rid,
+    uint32_t* out_read_id, uint32_t* out_start, uint16_t* out_flen,
+    uint8_t* out_mapq, uint8_t* out_dir, uint8_t* out_uniq,
+    uint16_t* out_posalen, uint16_t* out_negalen, uint32_t* out_rs1,
+    uint32_t* out_re1, uint32_t* out_rs2, uint32_t* out_re2,
+    uint8_t* out_err1, uint8_t* out_err2, uint8_t* out_mapq1,
+    uint8_t* out_mapq2, int64_t* stats) {
+  PEExtOut xout = {out_rs1, out_re1, out_rs2, out_re2,
+                   out_err1, out_err2, out_mapq1, out_mapq2};
+  return MapPairsCore(ctx, r1_bytes, r1_offsets, r2_bytes, r2_offsets,
+                      num_pairs, base_read_id, cache_update_threshold,
+                      out_rid, out_read_id, out_start, out_flen, out_mapq,
+                      out_dir, out_uniq, out_posalen, out_negalen, stats, 0,
+                      nullptr, nullptr, nullptr, &xout);
 }
 
 // Device-seeded mapping: candidates + verification results come from the

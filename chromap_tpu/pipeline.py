@@ -279,7 +279,9 @@ class MappingPipeline:
             self.num_mappings_in_mem += 1
 
         native_engine = None
-        if cfg.native_engine_eligible(paired=False):
+        if cfg.native_engine_eligible(paired=False) and \
+                cfg.output_format in ("bed", "tagalign"):
+            # PAF/SAM native record construction is paired-end only so far
             try:
                 from .native import NativeEngine
                 native_engine = NativeEngine(cfg, self.index, self.ref_seqs)
@@ -461,6 +463,14 @@ class MappingPipeline:
                 self._map_batch_native_barcoded(native_engine, batch1,
                                                 batch2, batch_bc, threshold,
                                                 emit)
+            elif (native_engine is not None
+                  and cfg.output_format == "paf"):
+                self._map_batch_native_paf(native_engine, batch1, batch2,
+                                           threshold, emit)
+            elif (native_engine is not None
+                  and cfg.output_format == "sam"):
+                self._map_batch_native_sam(native_engine, batch1, batch2,
+                                           threshold, emit)
             elif native_engine is not None:
                 self._map_batch_native(native_engine, batch1, batch2,
                                        threshold, emit)
@@ -955,6 +965,113 @@ class MappingPipeline:
                 negative_alignment_length=int(out["negalen"][i]),
                 has_barcode=True)
             emit(int(rid_a[i]), rec)
+        self.num_candidates += int(stats[0])
+        self.num_mappings += int(stats[1])
+        self.num_mapped_reads += int(stats[2])
+        self.num_uniquely_mapped_reads += int(stats[3])
+        self.cache_hits += int(stats[4])
+
+    def _map_batch_native_paf(self, engine, batch1, batch2, threshold,
+                              emit) -> None:
+        """Paired-end PAF through the C++ mapper. The reference stores the
+        pair MAPQ in both per-end slots and scrambles the length fields
+        (mapping_generator.cc:146-169); the record construction mirrors
+        select.py's per-read emission exactly."""
+        from .mapping.records import PairedPafRecord, clip_mapq
+
+        base_read_id = batch1[0].read_id if batch1 else 0
+        reads1 = [bytes(r.seq) for r in batch1]
+        reads2 = [bytes(r.seq) for r in batch2]
+        out, stats = engine.map_pairs(reads1, reads2, base_read_id,
+                                      threshold)
+        rid_a = out["rid"]
+        for i in range(len(rid_a)):
+            j = int(out["read_id"][i]) - base_read_id
+            mapq = int(out["mapq"][i])
+            emit(int(rid_a[i]), PairedPafRecord(
+                read_id=int(out["read_id"][i]),
+                read1_name=batch1[j].name, read2_name=batch2[j].name,
+                read1_length=len(reads1[j]), read2_length=len(reads2[j]),
+                start=int(out["start"][i]),
+                negative_alignment_length=int(out["posalen"][i]),
+                length=int(out["negalen"][i]),
+                positive_alignment_length=int(out["flen"][i]),
+                mapq=mapq, mapq1=clip_mapq(mapq), mapq2=clip_mapq(mapq),
+                direction=int(out["dir"][i]),
+                is_unique=int(out["uniq"][i]), num_dups=1))
+        self.num_candidates += int(stats[0])
+        self.num_mappings += int(stats[1])
+        self.num_mapped_reads += int(stats[2])
+        self.num_uniquely_mapped_reads += int(stats[3])
+        self.cache_hits += int(stats[4])
+
+    def _map_batch_native_sam(self, engine, batch1, batch2, threshold,
+                              emit) -> None:
+        """Paired-end SAM through the C++ mapper: positions, CIGAR, NM and
+        MD come from the native affine semi-global recover path; flags,
+        mate fields, sequence orientation and qualities are assembled here
+        exactly as the per-read path does (select.py SAM emission)."""
+        from .mapping.cigar import sequence_length_from_cigar
+        from .mapping.records import SamRecord
+
+        if not getattr(engine, "_sam_params_set", False):
+            engine.set_sam_params()
+            engine._sam_params_set = True
+
+        base_read_id = batch1[0].read_id if batch1 else 0
+        reads1 = [bytes(r.seq) for r in batch1]
+        reads2 = [bytes(r.seq) for r in batch2]
+        out, stats, aux = engine.map_pairs_full(reads1, reads2, base_read_id,
+                                                threshold, sam_aux=True)
+        cig_buf, cig_off, md_buf, md_off, nm_arr = aux
+        rid_a = out["rid"]
+        prev_read_id = None
+        occurrence = 0
+        for i in range(len(rid_a)):
+            read_id = int(out["read_id"][i])
+            occurrence = occurrence + 1 if read_id == prev_read_id else 0
+            prev_read_id = read_id
+            j = read_id - base_read_id
+            first_negative = int(out["dir"][i]) == 0
+            rid = int(rid_a[i])
+            rs1, re1 = int(out["rs1"][i]), int(out["re1"][i])
+            rs2, re2 = int(out["rs2"][i]), int(out["re2"][i])
+            mapq = int(out["mapq"][i])
+            uniq = int(out["uniq"][i])
+            tlen = (re1 - rs2 + 1) if first_negative else (re2 - rs1 + 1)
+            flag1, flag2 = 3, 3
+            if first_negative:
+                flag1 |= 0x10
+                flag2 |= 0x20
+            else:
+                flag1 |= 0x20
+                flag2 |= 0x10
+            flag1 |= 0x40
+            flag2 |= 0x80
+            if occurrence >= 1:
+                flag1 |= 0x100
+                flag2 |= 0x100
+            for (end, rec, flagv, pos, mpos, neg) in (
+                    (0, batch1[j], flag1, rs1, rs2, first_negative),
+                    (1, batch2[j], flag2, rs2, rs1, not first_negative)):
+                k = 2 * i + end
+                cigar = [int(c) for c in cig_buf[cig_off[k]:cig_off[k + 1]]]
+                md = md_buf[md_off[k]:md_off[k + 1]]
+                seq = rec.negative() if neg else bytes(rec.seq)
+                qual = bytes(rec.qual or b"")
+                if neg and qual:
+                    qual = qual[::-1]
+                ncons = sequence_length_from_cigar(cigar)
+                if ncons != len(seq):
+                    seq, qual = seq[:ncons], qual[:ncons]
+                strand_bit = 0 if neg else 1
+                emit(rid, SamRecord(
+                    read_id=read_id, read_name=rec.name, barcode=0,
+                    num_dups=1, pos=pos, rid=rid, mpos=mpos, mrid=rid,
+                    tlen=tlen if strand_bit else -tlen, flag=flagv,
+                    direction=strand_bit, is_unique=uniq, mapq=mapq,
+                    NM=int(nm_arr[k]), cigar=cigar, MD=md,
+                    sequence=seq, qual=qual))
         self.num_candidates += int(stats[0])
         self.num_mappings += int(stats[1])
         self.num_mapped_reads += int(stats[2])

@@ -33,6 +33,8 @@ CASES = [
     ("sim_chip.bed", ["-l", "2000", "--remove-pcr-duplicates"], ["batch"]),
     ("sim_n3.bed", ["-n", "3", "-q", "0"], ["batch"]),
     ("sim_alloc.bed", ["--allocate-multi-mappings", "-q", "0"], ["batch"]),
+    ("sim_pe.sam", ["--SAM"], ["auto", "per_read"]),
+    ("sim_pe.paf", ["--PAF"], ["auto"]),
 ]
 
 
