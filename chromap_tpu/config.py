@@ -99,9 +99,13 @@ class MappingConfig:
             # sharded batches have non-contiguous read ids; route through
             # the Python engines for now
             return False
-        if self.split_alignment:
+        if self.split_alignment and self.output_format != "pairs":
+            # split (drop-off) alignment is native for the Hi-C pairs flow
             return False
-        if self.output_format not in ("bed", "tagalign", "paf", "sam"):
+        if self.output_format not in ("bed", "tagalign", "paf", "sam",
+                                       "pairs"):
+            return False
+        if self.output_format == "pairs" and not self.is_bulk_data:
             return False
         if self.output_format in ("paf", "sam") and (
                 self.trim_adapters or not self.is_bulk_data):

@@ -121,8 +121,9 @@ def load_library():
         ctypes.c_char_p, ctypes.c_void_p,
         ctypes.c_char_p, ctypes.c_void_p,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-    ] + [ctypes.c_void_p] * 17 + [ctypes.c_void_p]
+    ] + [ctypes.c_void_p] * 19 + [ctypes.c_void_p]
     lib.cn_set_sam_params.argtypes = [ctypes.c_void_p] + [ctypes.c_int] * 6
+    lib.cn_set_split_mode.argtypes = [ctypes.c_void_p]
     lib.cn_get_sam_aux.restype = ctypes.c_int64
     lib.cn_get_sam_aux.argtypes = [
         ctypes.c_void_p,
@@ -307,6 +308,8 @@ class NativeEngine:
             "err2": np.empty(cap, dtype=np.uint8),
             "mapq1": np.empty(cap, dtype=np.uint8),
             "mapq2": np.empty(cap, dtype=np.uint8),
+            "rid2": np.empty(cap, dtype=np.int32),
+            "dir2": np.empty(cap, dtype=np.uint8),
         }
         stats = np.zeros(5, dtype=np.int64)
         count = self.lib.cn_map_pairs_full(
@@ -317,7 +320,8 @@ class NativeEngine:
             _ptr(out["uniq"]), _ptr(out["posalen"]), _ptr(out["negalen"]),
             _ptr(out["rs1"]), _ptr(out["re1"]), _ptr(out["rs2"]),
             _ptr(out["re2"]), _ptr(out["err1"]), _ptr(out["err2"]),
-            _ptr(out["mapq1"]), _ptr(out["mapq2"]), _ptr(stats))
+            _ptr(out["mapq1"]), _ptr(out["mapq2"]), _ptr(out["rid2"]),
+            _ptr(out["dir2"]), _ptr(stats))
         for key in out:
             out[key] = out[key][:count]
         aux = None
@@ -341,6 +345,9 @@ class NativeEngine:
                     if n_rec else np.empty(0, np.uint16))
             aux = (cb_a, co_a, md_b, mo_a, nm_a)
         return out, stats, aux
+
+    def set_split_mode(self):
+        self.lib.cn_set_split_mode(self.ctx)
 
     def set_sam_params(self):
         cfg = self.cfg

@@ -352,6 +352,8 @@ struct MappingParams {
   // SAM mode: positions come from the affine-gap semi-global alignment
   // (with CIGAR) instead of BandedTraceback (mapping_generator.h:729-824)
   bool sam_mode = false;
+  // Hi-C split (drop-off) alignment (draft_mapping_generator.cc:410-555)
+  bool split_mode = false;
   int match_score = 1;
   int mismatch_penalty = 4;
   int gap_open[2] = {6, 6};
@@ -975,11 +977,16 @@ void BandedTraceback(int e, int min_num_errors, const char* pattern,
 
 struct VerifyState {
   std::vector<DraftMapping> positive_mappings, negative_mappings;
+  // split mode: packed (actual_errors<<24 | gap<<16 | read_mapping_length)
+  // parallel to the mapping lists (mapping_metadata.h:144-165)
+  std::vector<uint32_t> positive_split_sites, negative_split_sites;
   int min_num_errors, num_best_mappings, second_min_num_errors,
       num_second_best_mappings;
   void Reset(int e) {
     positive_mappings.clear();
     negative_mappings.clear();
+    positive_split_sites.clear();
+    negative_split_sites.clear();
     min_num_errors = e + 1;
     num_best_mappings = 0;
     second_min_num_errors = e + 1;
@@ -1155,6 +1162,188 @@ static int GenerateNMMD(const char* reference, const char* read,
   return nm;
 }
 
+// ---------------- split (drop-off) alignment kernels ----------------
+// Ports of the reference's 5'/3' drop-off Myers variants
+// (alignment.cc:197-376), gap-beginning extension (:24-83) and
+// longest-match scan (:7-22), matching the host oracle
+// (mapping/verify.py, mapping/select.py) exactly.
+
+static void BandedAlignDropoff(int e, const char* pattern, const char* text,
+                               int read_length, int* min_errors_out,
+                               int* end_position_out,
+                               int* read_mapping_length_out) {
+  uint32_t peq[5] = {0, 0, 0, 0, 0};
+  for (int i = 0; i < 2 * e; ++i)
+    peq[kCharToCode[(uint8_t)pattern[i]]] |= 1u << i;
+  uint32_t highest = 1u << (2 * e);
+  uint32_t vp = 0, vn = 0, prev_vp = 0, prev_vn = 0;
+  int num_errors = 0, prev_num_errors = 0;
+  bool fail_beginning = false;
+  int i = 0;
+  for (; i < read_length; ++i) {
+    peq[kCharToCode[(uint8_t)pattern[i + 2 * e]]] |= highest;
+    uint32_t x = peq[kCharToCode[(uint8_t)text[i]]] | vn;
+    uint32_t d0 = ((vp + (x & vp)) ^ vp) | x;
+    uint32_t hn = vp & d0;
+    uint32_t hp = vn | ~(vp | d0);
+    x = d0 >> 1;
+    prev_vn = vn;
+    prev_vp = vp;
+    vn = x & hp;
+    vp = hn | ~(x | hp);
+    prev_num_errors = num_errors;
+    num_errors += 1 - (int)(d0 & 1);
+    if (num_errors > 2 * e) {
+      if (i < 4 * e && i < read_length / 2) fail_beginning = true;
+      break;
+    }
+    for (int ai = 0; ai < 5; ++ai) peq[ai] >>= 1;
+  }
+  if (i < read_length) {
+    num_errors = prev_num_errors;
+    vn = prev_vn;
+    vp = prev_vp;
+  } else {
+    i = read_length;
+  }
+  int band_start = i - 1;
+  int min_errors = num_errors;
+  int read_mapping_length = i;
+  int end_position = band_start;
+  for (int j = 0; j < 2 * e; ++j) {
+    num_errors += (int)((vp >> j) & 1);
+    num_errors -= (int)((vn >> j) & 1);
+    if (num_errors < min_errors ||
+        (num_errors == min_errors && j + 1 == e)) {
+      min_errors = num_errors;
+      end_position = band_start + 1 + j;
+    }
+  }
+  if (fail_beginning ||
+      (read_length > 60 && end_position + 1 - e - min_errors < 30))
+    end_position = -end_position;
+  *min_errors_out = min_errors;
+  *end_position_out = end_position;
+  *read_mapping_length_out = read_mapping_length;
+}
+
+static void BandedAlignDropoff3End(int e, const char* pattern,
+                                   const char* text, int read_length,
+                                   int* min_errors_out,
+                                   int* end_position_out,
+                                   int* read_mapping_length_out) {
+  uint32_t peq[5] = {0, 0, 0, 0, 0};
+  for (int i = 0; i < 2 * e; ++i)
+    peq[kCharToCode[(uint8_t)pattern[read_length + 2 * e - 1 - i]]] |=
+        1u << i;
+  uint32_t highest = 1u << (2 * e);
+  uint32_t vp = 0, vn = 0, prev_vp = 0, prev_vn = 0;
+  int num_errors = 0, prev_num_errors = 0;
+  bool fail_beginning = false;
+  int i = 0;
+  for (; i < read_length; ++i) {
+    peq[kCharToCode[(uint8_t)pattern[read_length - 1 - i]]] |= highest;
+    uint32_t x = peq[kCharToCode[(uint8_t)text[read_length - 1 - i]]] | vn;
+    uint32_t d0 = ((vp + (x & vp)) ^ vp) | x;
+    uint32_t hn = vp & d0;
+    uint32_t hp = vn | ~(vp | d0);
+    x = d0 >> 1;
+    prev_vn = vn;
+    prev_vp = vp;
+    vn = x & hp;
+    vp = hn | ~(x | hp);
+    prev_num_errors = num_errors;
+    num_errors += 1 - (int)(d0 & 1);
+    if (num_errors > 2 * e) {
+      if (i < 4 * e && i < read_length / 2) fail_beginning = true;
+      break;
+    }
+    for (int ai = 0; ai < 5; ++ai) peq[ai] >>= 1;
+  }
+  if (i < read_length) {
+    num_errors = prev_num_errors;
+    vn = prev_vn;
+    vp = prev_vp;
+  } else {
+    i = read_length;
+  }
+  int band_start = i - 1;
+  int min_errors = num_errors;
+  int read_mapping_length = i;
+  int end_position = band_start;
+  for (int j = 0; j < 2 * e; ++j) {
+    num_errors += (int)((vp >> j) & 1);
+    num_errors -= (int)((vn >> j) & 1);
+    if (num_errors < min_errors ||
+        (num_errors == min_errors && j + 1 == e)) {
+      min_errors = num_errors;
+      end_position = band_start + 1 + j;
+    }
+  }
+  if (fail_beginning ||
+      (read_length > 60 && end_position + 1 - e - min_errors < 30))
+    end_position = -end_position;
+  *min_errors_out = min_errors;
+  *end_position_out = end_position;
+  *read_mapping_length_out = read_mapping_length;
+}
+
+static int GetLongestMatchLength(const char* pattern, const char* text,
+                                 int read_length) {
+  // the reference never resets tmp on mismatch (alignment.cc:7-22)
+  int max_match = 0, tmp = 0;
+  for (int i = 0; i < read_length; ++i) {
+    if (kCharToCode[(uint8_t)pattern[i]] == kCharToCode[(uint8_t)text[i]])
+      ++tmp;
+    else if (tmp > max_match)
+      max_match = tmp;
+  }
+  return tmp > max_match ? tmp : max_match;
+}
+
+inline bool BaseEqualLc(uint8_t read_b, uint8_t ref_b) {
+  if (read_b == ref_b) return true;
+  return ref_b >= 0x61 && ref_b <= 0x7A && read_b == (uint8_t)(ref_b - 0x20);
+}
+
+// 5'-gap extension by direct comparison (alignment.cc:24-83); returns the
+// new gap and writes the moved reference boundary.
+static int AdjustGapBeginning(bool strand_negative, const char* ref,
+                              int64_t ref_len, const char* read,
+                              int read_len, int gap_beginning, int read_end,
+                              int64_t ref_start_position,
+                              int64_t ref_end_position,
+                              int64_t* new_boundary) {
+  if (!strand_negative) {
+    if (gap_beginning <= 0) {
+      *new_boundary = ref_start_position;
+      return gap_beginning;
+    }
+    int i = gap_beginning - 1;
+    int64_t j = ref_start_position - 1;
+    while (i >= 0 && j >= 0) {
+      if (!BaseEqualLc((uint8_t)read[i], (uint8_t)ref[j])) break;
+      --i;
+      --j;
+    }
+    *new_boundary = j + 1;
+    return i + 1;
+  }
+  if (gap_beginning <= 0) {
+    *new_boundary = ref_end_position;
+    return gap_beginning;
+  }
+  int i = read_end + 1;
+  int64_t j = ref_end_position + 1;
+  while (i < read_len && j < ref_len) {
+    if (!BaseEqualLc((uint8_t)read[i], (uint8_t)ref[j])) break;
+    ++i;
+    ++j;
+  }
+  *new_boundary = j - 1;
+  return gap_beginning + i - (read_end + 1);
+}
+
 inline void UpdateCounters(VerifyState& vs, int num_errors) {
   if (num_errors < vs.min_num_errors) {
     vs.second_min_num_errors = vs.min_num_errors;
@@ -1237,6 +1426,8 @@ struct PEExtOut {
   uint8_t* err2;
   uint8_t* mapq1;
   uint8_t* mapq2;
+  int32_t* rid2;  // split pairs may land ends on different chromosomes
+  uint8_t* dir2;  // 1 = second end positive
 };
 
 // Unpacks one device-seeded read into a SeedState (minus minimizers).
@@ -1398,6 +1589,160 @@ void VerifyCandidates(const MappingParams& mp, const RefView& ref,
   }
 }
 
+// Split (drop-off) verification per strand: align each candidate with the
+// drop-off kernels from the matching end, with a 5'-gap retry, encoding
+// (actual_errors<<24 | gap<<16 | read_mapping_length) alongside a
+// NEGATED-score draft error (draft_mapping_generator.cc:410-555;
+// host oracle generate.py:240-364).
+static void VerifyCandidatesSplitOneStrand(
+    const MappingParams& mp, const RefView& ref, bool strand_negative,
+    const char* read, const char* neg_read, int read_length, SeedState& st,
+    VerifyState& vs) {
+  int e = mp.error_threshold;
+  const std::vector<Candidate>& cands =
+      strand_negative ? st.negative_candidates : st.positive_candidates;
+  std::vector<DraftMapping>& mappings =
+      strand_negative ? vs.negative_mappings : vs.positive_mappings;
+  std::vector<uint32_t>& split_sites =
+      strand_negative ? vs.negative_split_sites : vs.positive_split_sites;
+  const char* text = strand_negative ? neg_read : read;
+
+  uint32_t threshold = 0;
+  int best_mapping_longest_match = 0;
+  for (const Candidate& c : cands) {
+    if (c.count < threshold) break;
+    uint32_t rid = (uint32_t)(c.position >> 32);
+    uint32_t position = (uint32_t)c.position;
+    if (strand_negative) position = (uint32_t)(position - read_length + 1);
+    int64_t rl = rid < (uint32_t)ref.num_refs ? ref.Len(rid) : 0;
+    if (rid >= (uint32_t)ref.num_refs || position < (uint32_t)e ||
+        position >= rl || position + read_length + e >= rl)
+      continue;
+    const char* refseq = ref.Seq(rid);
+    const char* pattern = refseq + position - e;
+
+    int mapping_end_position = read_length;
+    int gap_beginning = 0;
+    const int allow_gap_beginning = 20 - e;
+    const int mapping_length_threshold = 30;
+    int actual_num_errors = 0;
+    int read_mapping_length = 0;
+    int longest_match = 0;
+    int num_errors;
+
+    if (!strand_negative) {
+      BandedAlignDropoff(e, pattern, text, read_length, &num_errors,
+                         &mapping_end_position, &read_mapping_length);
+      if (mapping_end_position < 0 && allow_gap_beginning > 0) {
+        int b_err = num_errors, b_end = -mapping_end_position,
+            b_len = read_mapping_length;
+        const char* pattern2 = pattern + allow_gap_beginning;
+        BandedAlignDropoff(e, pattern2, text + allow_gap_beginning,
+                           read_length - allow_gap_beginning, &num_errors,
+                           &mapping_end_position, &read_mapping_length);
+        if (num_errors > e || mapping_end_position < 0) {
+          num_errors = b_err;
+          mapping_end_position = b_end;
+          read_mapping_length = b_len;
+        } else {
+          gap_beginning = allow_gap_beginning;
+          mapping_end_position += gap_beginning;
+          read_mapping_length += gap_beginning;
+        }
+      }
+    } else {
+      BandedAlignDropoff3End(e, pattern, text, read_length, &num_errors,
+                             &mapping_end_position, &read_mapping_length);
+      if (mapping_end_position < 0 && allow_gap_beginning > 0) {
+        int b_err = num_errors, b_end = -mapping_end_position,
+            b_len = read_mapping_length;
+        BandedAlignDropoff3End(e, pattern, text,
+                               read_length - allow_gap_beginning,
+                               &num_errors, &mapping_end_position,
+                               &read_mapping_length);
+        if (num_errors > e || mapping_end_position < 0) {
+          num_errors = b_err;
+          mapping_end_position = b_end;
+          read_mapping_length = b_len;
+        } else {
+          gap_beginning = allow_gap_beginning;
+          mapping_end_position += gap_beginning;
+          read_mapping_length += gap_beginning;
+        }
+      }
+    }
+
+    if (mapping_end_position + 1 - e - num_errors - gap_beginning >=
+        mapping_length_threshold) {
+      actual_num_errors = num_errors;
+      num_errors =
+          -(mapping_end_position - e - num_errors - gap_beginning);
+      if (cands.size() > 200) {
+        longest_match = GetLongestMatchLength(refseq + position, text,
+                                              read_length);
+      }
+    } else {
+      num_errors = e + 1;
+      actual_num_errors = e + 1;
+    }
+
+    if (num_errors <= e) {
+      if (num_errors < vs.min_num_errors) {
+        vs.second_min_num_errors = vs.min_num_errors;
+        vs.num_second_best_mappings = vs.num_best_mappings;
+        vs.min_num_errors = num_errors;
+        vs.num_best_mappings = 1;
+        if (cands.size() > 50)
+          threshold = c.count;
+        else
+          threshold = c.count / 2;
+        if (vs.second_min_num_errors < vs.min_num_errors + e / 2 &&
+            best_mapping_longest_match > longest_match &&
+            cands.size() > 200)
+          vs.second_min_num_errors = vs.min_num_errors;
+        best_mapping_longest_match = longest_match;
+      } else if (num_errors == vs.min_num_errors) {
+        ++vs.num_best_mappings;
+      } else if (num_errors == vs.second_min_num_errors) {
+        ++vs.num_second_best_mappings;
+      } else if (num_errors < vs.second_min_num_errors) {
+        vs.num_second_best_mappings = 1;
+        vs.second_min_num_errors = num_errors;
+      }
+
+      if (!strand_negative) {
+        mappings.push_back(
+            {num_errors, c.position - e + mapping_end_position});
+      } else {
+        if (!mp.sam_mode) {
+          mappings.push_back({num_errors, c.position - gap_beginning});
+        } else {
+          mappings.push_back({num_errors, c.position - read_length + 1 - e +
+                                              mapping_end_position});
+        }
+      }
+      split_sites.push_back((uint32_t)((actual_num_errors & 0xFF) << 24) |
+                            (uint32_t)((gap_beginning & 0xFF) << 16) |
+                            (uint32_t)(read_mapping_length & 0xFFFF));
+    }
+  }
+}
+
+static void VerifyCandidatesSplit(const MappingParams& mp, const RefView& ref,
+                                  const char* read, const char* neg_read,
+                                  int read_length, SeedState& st,
+                                  VerifyState& vs) {
+  vs.Reset(mp.error_threshold);
+  std::sort(st.positive_candidates.begin(), st.positive_candidates.end(),
+            CandidateLess);
+  std::sort(st.negative_candidates.begin(), st.negative_candidates.end(),
+            CandidateLess);
+  VerifyCandidatesSplitOneStrand(mp, ref, false, read, neg_read, read_length,
+                                 st, vs);
+  VerifyCandidatesSplitOneStrand(mp, ref, true, read, neg_read, read_length,
+                                 st, vs);
+}
+
 // Collect verification work items (pattern offsets into the concatenated
 // reference codes and oriented text codes) for one read; order matches the
 // ext-mode consumption order in VerifyCandidates exactly.
@@ -1464,8 +1809,26 @@ inline int LibstdcppUniformInt(std::mt19937& gen, int a, int b) {
 struct PairedState {
   int min_sum_errors, second_min_sum_errors;
   int num_best_mappings, num_second_best_mappings;
-  std::vector<std::pair<uint32_t, uint32_t>> f1r2, f2r1;
+  std::vector<std::pair<uint32_t, uint32_t>> f1r2, f2r1, f1f2, r1r2;
 };
+
+// Split-pair enumeration: best1 x best2 regardless of position
+// (mapping_generator.h:389-415)
+static void EnumeratePairsSplit(
+    const VerifyState& vs1, const VerifyState& vs2,
+    const std::vector<DraftMapping>& m1, const std::vector<DraftMapping>& m2,
+    PairedState& ps, std::vector<std::pair<uint32_t, uint32_t>>& best) {
+  if (m1.empty() || m2.empty()) return;
+  for (uint32_t i1 = 0; i1 < m1.size(); ++i1) {
+    if (m1[i1].num_errors != vs1.min_num_errors) continue;
+    for (uint32_t i2 = 0; i2 < m2.size(); ++i2) {
+      if (m2[i2].num_errors != vs2.min_num_errors) continue;
+      best.push_back({i1, i2});
+      ps.min_sum_errors = vs1.min_num_errors + vs2.min_num_errors;
+      ++ps.num_best_mappings;
+    }
+  }
+}
 
 void EnumeratePairs(const MappingParams& mp, bool first_negative,
                     int read1_length, int read2_length,
@@ -1523,11 +1886,18 @@ void EnumeratePairs(const MappingParams& mp, bool first_negative,
 uint8_t MapqSingleEnd(const MappingParams& mp, int num_errors,
                       uint16_t alignment_length, int read_length,
                       int max_num_error_difference, const VerifyState& vs,
-                      uint32_t repetitive_seed_length) {
+                      uint32_t repetitive_seed_length,
+                      int num_candidates_strand = 0) {
   const int mapq_coef_length = 50;
   const int mapq_coef_fraction = (int)log(mapq_coef_length);
-  int al = alignment_length > read_length ? alignment_length : read_length;
+  int al = alignment_length;
+  if (!mp.split_mode && al < read_length) al = read_length;
   double identity = 1.0 - (double)num_errors / al;
+  if (mp.split_mode) {
+    // split drafts carry negated mapped-length scores (mg.h:919-1022)
+    identity = (double)(-num_errors) / al;
+    if (identity > 1) identity = 1.0;
+  }
   int mapq = 0;
   int second = vs.second_min_num_errors;
   if (vs.num_best_mappings <= 1) {
@@ -1543,9 +1913,10 @@ uint8_t MapqSingleEnd(const MappingParams& mp, int num_errors,
                   0.499);
   if (mapq > 60) mapq = 60;
   if (mapq < 0) mapq = 0;
-  if (repetitive_seed_length > 0) {
-    double frac_rep = (double)repetitive_seed_length / read_length;
-    if (repetitive_seed_length >= (uint32_t)read_length) frac_rep = 0.999;
+  uint32_t rep_len = repetitive_seed_length;
+  if (rep_len > 0) {
+    double frac_rep = (double)rep_len / read_length;
+    if (rep_len >= (uint32_t)read_length) frac_rep = 0.999;
     if (identity <= 0.95)
       mapq = (int)(mapq * (1 - sqrt(frac_rep)) + 0.499);
     else if (identity <= 0.97)
@@ -1556,6 +1927,20 @@ uint8_t MapqSingleEnd(const MappingParams& mp, int num_errors,
     else
       mapq = (int)(mapq * (1 - frac_rep * frac_rep) + 0.499);
   }
+  if (mp.split_mode && al < read_length - mp.error_threshold &&
+      second != num_errors) {
+    if (rep_len >= (uint32_t)al && rep_len < (uint32_t)read_length &&
+        al < read_length / 3)
+      mapq = 0;
+    int diff = second - num_errors;
+    if (second - num_errors <= mp.error_threshold * 3 / 4 &&
+        num_candidates_strand >= 5)
+      mapq -= num_candidates_strand / 5 / diff;
+    if (mapq < 0) mapq = 0;
+    if (vs.num_second_best_mappings > 0 &&
+        second - num_errors <= mp.error_threshold * 3 / 4)
+      mapq /= vs.num_second_best_mappings / diff + 1;
+  }
   return (uint8_t)mapq;
 }
 
@@ -1564,7 +1949,7 @@ void MapqPairedEnd(const MappingParams& mp, int e1, int e2, uint16_t al1,
                    const PairedState& ps, const VerifyState& vs1,
                    const VerifyState& vs2, uint32_t rep1, uint32_t rep2,
                    uint8_t* out_mapq, uint8_t* out_mapq1 = nullptr,
-                   uint8_t* out_mapq2 = nullptr) {
+                   uint8_t* out_mapq2 = nullptr, int nc1 = 0, int nc2 = 0) {
   uint8_t mapq_pe = 0;
   int min_unpaired = vs1.min_num_errors + vs2.min_num_errors + 3;
   if (ps.num_best_mappings <= 1) {
@@ -1601,20 +1986,21 @@ void MapqPairedEnd(const MappingParams& mp, int e1, int e2, uint16_t al1,
             (uint8_t)(int)(mapq_pe * (1 - frac_rep * frac_rep) + 0.499);
     }
   }
-  uint8_t mapq1 = MapqSingleEnd(mp, e1, al1, l1, 2, vs1, rep1);
-  uint8_t mapq2 = MapqSingleEnd(mp, e2, al2, l2, 2, vs2, rep2);
-  // non-split blend
-  if (mapq1 > mapq_pe) {
-  } else if (mapq_pe < mapq1 + mapq_pe * 0.65) {
-    mapq1 = (uint8_t)(double)mapq_pe;
-  } else {
-    mapq1 = (uint8_t)(mapq1 + mapq_pe * 0.65);
-  }
-  if (mapq2 > mapq_pe) {
-  } else if (mapq_pe < mapq2 + mapq_pe * 0.65) {
-    mapq2 = (uint8_t)(double)mapq_pe;
-  } else {
-    mapq2 = (uint8_t)(mapq2 + mapq_pe * 0.65);
+  uint8_t mapq1 = MapqSingleEnd(mp, e1, al1, l1, 2, vs1, rep1, nc1);
+  uint8_t mapq2 = MapqSingleEnd(mp, e2, al2, l2, 2, vs2, rep2, nc2);
+  if (!mp.split_mode) {  // non-split blend
+    if (mapq1 > mapq_pe) {
+    } else if (mapq_pe < mapq1 + mapq_pe * 0.65) {
+      mapq1 = (uint8_t)(double)mapq_pe;
+    } else {
+      mapq1 = (uint8_t)(mapq1 + mapq_pe * 0.65);
+    }
+    if (mapq2 > mapq_pe) {
+    } else if (mapq_pe < mapq2 + mapq_pe * 0.65) {
+      mapq2 = (uint8_t)(double)mapq_pe;
+    } else {
+      mapq2 = (uint8_t)(mapq2 + mapq_pe * 0.65);
+    }
   }
   mapq1 = (uint8_t)(mapq1 * 1.2);
   if (mapq1 > 60) mapq1 = 60;
@@ -1895,14 +2281,16 @@ static void SeedAndVerifyPair(
       hist_valid[pi] = 1;
     }
 
+    // split mode skips mate rescue and paired reduction
+    // (chromap.h:1020-1052 gates both on !split)
     int supplement_result =
-        dev_pair ? 0
-                 : SupplementCandidates(idx, mp, 2 * mp.max_insert_size, s1,
-                                        s2);
+        (dev_pair || mp.split_mode)
+            ? 0
+            : SupplementCandidates(idx, mp, 2 * mp.max_insert_size, s1, s2);
     size_t n1 = s1.NumCandidates();
     size_t n2 = s2.NumCandidates();
 
-    if (n1 > 0 && n2 > 0) {
+    if (n1 > 0 && n2 > 0 && !mp.split_mode) {
       // move to buffers and reduce
       s1.pos_buf = std::move(s1.positive_candidates);
       s1.neg_buf = std::move(s1.negative_candidates);
@@ -1935,23 +2323,33 @@ static void SeedAndVerifyPair(
       return;
     }
 
-    VerifyCandidates(mp, ref, sc.read1.data(), sc.neg1.data(), l1, s1,
-                     sc.vs1, ext);
-    VerifyCandidates(mp, ref, sc.read2.data(), sc.neg2.data(), l2, s2,
-                     sc.vs2, ext);
-    if (sc.vs1.NumDraft() == 0 || sc.vs2.NumDraft() == 0) return;
+    if (mp.split_mode) {
+      VerifyCandidatesSplit(mp, ref, sc.read1.data(), sc.neg1.data(), l1,
+                            s1, sc.vs1);
+      VerifyCandidatesSplit(mp, ref, sc.read2.data(), sc.neg2.data(), l2,
+                            s2, sc.vs2);
+      if (sc.vs1.NumDraft() == 0 || sc.vs2.NumDraft() == 0) return;
+      // split drafts keep candidate order: split_sites are parallel and
+      // the all-pairs enumeration does not require sorted positions
+    } else {
+      VerifyCandidates(mp, ref, sc.read1.data(), sc.neg1.data(), l1, s1,
+                       sc.vs1, ext);
+      VerifyCandidates(mp, ref, sc.read2.data(), sc.neg2.data(), l2, s2,
+                       sc.vs2, ext);
+      if (sc.vs1.NumDraft() == 0 || sc.vs2.NumDraft() == 0) return;
 
-    auto by_pos = [](const DraftMapping& a, const DraftMapping& b) {
-      return a.position < b.position;
-    };
-    std::sort(sc.vs1.positive_mappings.begin(),
-              sc.vs1.positive_mappings.end(), by_pos);
-    std::sort(sc.vs1.negative_mappings.begin(),
-              sc.vs1.negative_mappings.end(), by_pos);
-    std::sort(sc.vs2.positive_mappings.begin(),
-              sc.vs2.positive_mappings.end(), by_pos);
-    std::sort(sc.vs2.negative_mappings.begin(),
-              sc.vs2.negative_mappings.end(), by_pos);
+      auto by_pos = [](const DraftMapping& a, const DraftMapping& b) {
+        return a.position < b.position;
+      };
+      std::sort(sc.vs1.positive_mappings.begin(),
+                sc.vs1.positive_mappings.end(), by_pos);
+      std::sort(sc.vs1.negative_mappings.begin(),
+                sc.vs1.negative_mappings.end(), by_pos);
+      std::sort(sc.vs2.positive_mappings.begin(),
+                sc.vs2.positive_mappings.end(), by_pos);
+      std::sort(sc.vs2.negative_mappings.begin(),
+                sc.vs2.negative_mappings.end(), by_pos);
+    }
     sc.l1 = l1;
     sc.l2 = l2;
     sc.supplement_result = supplement_result;
@@ -2078,10 +2476,23 @@ static int64_t MapPairsCore(
     ps.second_min_sum_errors = 2 * e + 1;
     ps.num_best_mappings = 0;
     ps.num_second_best_mappings = 0;
-    EnumeratePairs(mp, false, sc.l1, sc.l2, sc.vs1.positive_mappings,
-                   sc.vs2.negative_mappings, ps, ps.f1r2);
-    EnumeratePairs(mp, true, sc.l1, sc.l2, sc.vs1.negative_mappings,
-                   sc.vs2.positive_mappings, ps, ps.f2r1);
+    if (mp.split_mode) {
+      // split pairs: best1 x best2 over four strand combinations
+      // (mapping_generator.h:174-188,389-415)
+      EnumeratePairsSplit(sc.vs1, sc.vs2, sc.vs1.positive_mappings,
+                          sc.vs2.negative_mappings, ps, ps.f1r2);
+      EnumeratePairsSplit(sc.vs1, sc.vs2, sc.vs1.negative_mappings,
+                          sc.vs2.positive_mappings, ps, ps.f2r1);
+      EnumeratePairsSplit(sc.vs1, sc.vs2, sc.vs1.positive_mappings,
+                          sc.vs2.positive_mappings, ps, ps.f1f2);
+      EnumeratePairsSplit(sc.vs1, sc.vs2, sc.vs1.negative_mappings,
+                          sc.vs2.negative_mappings, ps, ps.r1r2);
+    } else {
+      EnumeratePairs(mp, false, sc.l1, sc.l2, sc.vs1.positive_mappings,
+                     sc.vs2.negative_mappings, ps, ps.f1r2);
+      EnumeratePairs(mp, true, sc.l1, sc.l2, sc.vs1.negative_mappings,
+                     sc.vs2.positive_mappings, ps, ps.f2r1);
+    }
 
     if (ps.num_best_mappings > mp.drop_repetitive_reads) continue;
     if (ps.num_best_mappings == 1) st_uniq += 2;
@@ -2108,27 +2519,48 @@ static int64_t MapPairsCore(
                         : 0;
 
     int best_mapping_index = 0, num_reported = 0;
-    for (int direction = 0; direction < 2 && num_reported != to_report;
-         ++direction) {
-      if (direction == 1 && num_reported == to_report) break;
-      bool f_neg = direction == 1;
+    const int num_directions = mp.split_mode ? 4 : 2;
+    static const bool kDirF[4] = {false, true, false, true};
+    static const bool kDirS[4] = {true, false, false, true};
+    for (int direction = 0; direction < num_directions; ++direction) {
+      if (direction > 0 && num_reported == to_report) break;
+      bool f_neg = kDirF[direction];
+      bool s_neg = kDirS[direction];
       const auto& m1 =
           f_neg ? sc.vs1.negative_mappings : sc.vs1.positive_mappings;
       const auto& m2 =
-          f_neg ? sc.vs2.positive_mappings : sc.vs2.negative_mappings;
-      const auto& best = f_neg ? ps.f2r1 : ps.f1r2;
+          s_neg ? sc.vs2.negative_mappings : sc.vs2.positive_mappings;
+      const auto& ss1 =
+          f_neg ? sc.vs1.negative_split_sites : sc.vs1.positive_split_sites;
+      const auto& ss2 =
+          s_neg ? sc.vs2.negative_split_sites : sc.vs2.positive_split_sites;
+      const auto& best = direction == 0   ? ps.f1r2
+                         : direction == 1 ? ps.f2r1
+                         : direction == 2 ? ps.f1f2
+                                          : ps.r1r2;
       for (const auto& pr : best) {
         const DraftMapping& d1 = m1[pr.first];
         const DraftMapping& d2 = m2[pr.second];
         if (d1.num_errors + d2.num_errors > ps.min_sum_errors) continue;
         if (best_mapping_index == best_indices[num_reported]) {
           // position recovery for both ends
-          auto recover = [&](const DraftMapping& d, bool neg, int L,
+          auto recover = [&](const DraftMapping& d, bool neg, int full_L,
                              const char* fwd_text, const char* neg_text,
-                             uint32_t* rs, uint32_t* re) {
+                             uint32_t split_packed, uint32_t* rs,
+                             uint32_t* re) {
             uint32_t rid = (uint32_t)(d.position >> 32);
             uint32_t ref_position = (uint32_t)d.position;
             int64_t rl = ref.Len(rid);
+            int L = full_L;
+            int gap_beginning = 0;
+            int actual_num_errors = 0;
+            int split_site = neg ? full_L : 0;
+            if (mp.split_mode) {
+              split_site = (int)(split_packed & 0xFFFF);
+              gap_beginning = (int)((split_packed >> 16) & 0xFF);
+              actual_num_errors = (int)((split_packed >> 24) & 0xFF);
+              L = split_site - gap_beginning;
+            }
             int64_t vws;
             if ((uint64_t)ref_position + 1 > (uint64_t)(L + e))
               vws = (int64_t)ref_position + 1 - L - e;
@@ -2138,6 +2570,44 @@ static int64_t MapPairsCore(
               vws = (int64_t)(uint32_t)(rl - e - L);
             if (vws > rl) vws = 0;
             const char* text = neg ? neg_text : fwd_text;
+            if (mp.split_mode) {
+              // get_ref_start_end split branches (mapping_generator.h:
+              // 655-917, non-SAM)
+              const char* refseq = ref.Seq(rid);
+              if (!neg) {
+                int start_off = e;
+                BandedTraceback(e, actual_num_errors, refseq + vws,
+                                text + gap_beginning, L, &start_off);
+                int64_t start = start_off;
+                if (gap_beginning > 0) {
+                  int64_t new_ref_start;
+                  AdjustGapBeginning(false, refseq, rl, text, full_L,
+                                     gap_beginning, L - 1, vws + start,
+                                     ref_position, &new_ref_start);
+                  start = new_ref_start - vws;
+                }
+                *rs = (uint32_t)(vws + start);
+                *re = ref_position;
+                return;
+              }
+              int read_start_site = full_L - split_site;
+              int64_t start = e;
+              int end_pos = L;
+              BandedAlign(e, refseq + vws, text + read_start_site, L,
+                          &end_pos);
+              int64_t end = end_pos + 1;
+              if (gap_beginning > 0) {
+                int64_t new_ref_end;
+                AdjustGapBeginning(true, refseq, rl, text + read_start_site,
+                                   full_L - read_start_site, gap_beginning,
+                                   L - 1, vws + start, vws + end,
+                                   &new_ref_end);
+                end = new_ref_end - vws + 1;
+              }
+              *rs = (uint32_t)(vws + start);
+              *re = (uint32_t)(vws + end - 1);
+              return;
+            }
             if (mp.sam_mode) {
               // SAM positions come from the affine semi-global alignment
               // (mapping_generator.h:729-824); CIGAR/NM/MD recorded per end
@@ -2167,17 +2637,21 @@ static int64_t MapPairsCore(
             *re = ref_position;
           };
           uint32_t rs1, re1, rs2, re2;
-          recover(d1, f_neg, sc.l1, sc.read1.data(), sc.neg1.data(), &rs1,
-                  &re1);
-          recover(d2, !f_neg, sc.l2, sc.read2.data(), sc.neg2.data(), &rs2,
-                  &re2);
+          recover(d1, f_neg, sc.l1, sc.read1.data(), sc.neg1.data(),
+                  mp.split_mode ? ss1[pr.first] : 0, &rs1, &re1);
+          recover(d2, s_neg, sc.l2, sc.read2.data(), sc.neg2.data(),
+                  mp.split_mode ? ss2[pr.second] : 0, &rs2, &re2);
           uint16_t al1 = (uint16_t)(re1 - rs1 + 1);
           uint16_t al2 = (uint16_t)(re2 - rs2 + 1);
+          int nc1 = (int)(f_neg ? sc.s1.negative_candidates.size()
+                                : sc.s1.positive_candidates.size());
+          int nc2 = (int)(s_neg ? sc.s2.negative_candidates.size()
+                                : sc.s2.positive_candidates.size());
           uint8_t mapq, mq1 = 0, mq2 = 0;
           MapqPairedEnd(mp, d1.num_errors, d2.num_errors, al1, al2, sc.l1, sc.l2,
                         force_mapq, ps, sc.vs1, sc.vs2,
                         sc.s1.repetitive_seed_length, sc.s2.repetitive_seed_length,
-                        &mapq, &mq1, &mq2);
+                        &mapq, &mq1, &mq2, nc1, nc2);
           if (xout) {
             xout->rs1[out_n] = rs1;
             xout->re1[out_n] = re1;
@@ -2187,6 +2661,8 @@ static int64_t MapPairsCore(
             xout->err2[out_n] = (uint8_t)d2.num_errors;
             xout->mapq1[out_n] = mq1;
             xout->mapq2[out_n] = mq2;
+            xout->rid2[out_n] = (int32_t)(d2.position >> 32);
+            xout->dir2[out_n] = s_neg ? 0 : 1;
           }
           uint32_t frag_start = f_neg ? rs2 : rs1;
           uint16_t frag_len = f_neg ? (uint16_t)(re1 - rs2 + 1)
@@ -2260,6 +2736,9 @@ void cn_set_sam_params(CnContext* ctx, int match_score, int mismatch,
   ctx->mp.gap_ext[1] = gap_ext_ins;
 }
 
+// Enable Hi-C split (drop-off) alignment.
+void cn_set_split_mode(CnContext* ctx) { ctx->mp.split_mode = true; }
+
 // SAM-mode alignment outputs for the last cn_map_pairs_full call: CIGARs,
 // NM and MD per end-record (two per emitted row, end1 then end2).
 int64_t cn_get_sam_aux(CnContext* ctx, const uint32_t** cigar_buf,
@@ -2287,9 +2766,11 @@ int64_t cn_map_pairs_full(
     uint16_t* out_posalen, uint16_t* out_negalen, uint32_t* out_rs1,
     uint32_t* out_re1, uint32_t* out_rs2, uint32_t* out_re2,
     uint8_t* out_err1, uint8_t* out_err2, uint8_t* out_mapq1,
-    uint8_t* out_mapq2, int64_t* stats) {
+    uint8_t* out_mapq2, int32_t* out_rid2, uint8_t* out_dir2,
+    int64_t* stats) {
   PEExtOut xout = {out_rs1, out_re1, out_rs2, out_re2,
-                   out_err1, out_err2, out_mapq1, out_mapq2};
+                   out_err1, out_err2, out_mapq1, out_mapq2,
+                   out_rid2, out_dir2};
   return MapPairsCore(ctx, r1_bytes, r1_offsets, r2_bytes, r2_offsets,
                       num_pairs, base_read_id, cache_update_threshold,
                       out_rid, out_read_id, out_start, out_flen, out_mapq,

@@ -471,6 +471,10 @@ class MappingPipeline:
                   and cfg.output_format == "sam"):
                 self._map_batch_native_sam(native_engine, batch1, batch2,
                                            threshold, emit)
+            elif (native_engine is not None
+                  and cfg.output_format == "pairs"):
+                self._map_batch_native_pairs(native_engine, batch1, batch2,
+                                             threshold, emit)
             elif native_engine is not None:
                 self._map_batch_native(native_engine, batch1, batch2,
                                        threshold, emit)
@@ -1072,6 +1076,53 @@ class MappingPipeline:
                     direction=strand_bit, is_unique=uniq, mapq=mapq,
                     NM=int(nm_arr[k]), cigar=cigar, MD=md,
                     sequence=seq, qual=qual))
+        self.num_candidates += int(stats[0])
+        self.num_mappings += int(stats[1])
+        self.num_mapped_reads += int(stats[2])
+        self.num_uniquely_mapped_reads += int(stats[3])
+        self.cache_hits += int(stats[4])
+
+    def _map_batch_native_pairs(self, engine, batch1, batch2, threshold,
+                                emit) -> None:
+        """4DN pairs (non-split) through the C++ mapper: per-end positions
+        come from the extended outputs; rid flipping by the custom order
+        follows pairs_mapping.h / select.py exactly."""
+        from .mapping.records import PairsRecord
+
+        if self.cfg.split_alignment and \
+                not getattr(engine, "_split_mode_set", False):
+            engine.set_split_mode()
+            engine._split_mode_set = True
+
+        base_read_id = batch1[0].read_id if batch1 else 0
+        reads1 = [bytes(r.seq) for r in batch1]
+        reads2 = [bytes(r.seq) for r in batch2]
+        out, stats, _ = engine.map_pairs_full(reads1, reads2, base_read_id,
+                                              threshold)
+        rank = self.pairs_custom_rid_rank
+        rid_a = out["rid"]
+        for i in range(len(rid_a)):
+            read_id = int(out["read_id"][i])
+            j = read_id - base_read_id
+            rid = int(rid_a[i])
+            first_negative = int(out["dir"][i]) == 0
+            second_negative = int(out["dir2"][i]) == 0
+            strand1 = 0 if first_negative else 1
+            strand2 = 0 if second_negative else 1
+            pos1 = int(out["re1"][i] if first_negative else out["rs1"][i])
+            pos2 = int(out["re2"][i] if second_negative else out["rs2"][i])
+            rid1, rid2 = rid, int(out["rid2"][i])
+            r1_rank = rank[rid1] if rank else rid1
+            r2_rank = rank[rid2] if rank else rid2
+            if not (r1_rank < r2_rank or (rid1 == rid2 and pos1 < pos2)):
+                pos1, pos2 = pos2, pos1
+                strand1, strand2 = strand2, strand1
+            emit(rid1, PairsRecord(
+                read_id=read_id, read_name=batch1[j].name, barcode=0,
+                rid1=rid1, rid2=rid2, pos1=pos1, pos2=pos2,
+                strand1=strand1, strand2=strand2,
+                mapq=int(out["mapq"][i]),
+                is_unique=int(out["uniq"][i]), num_dups=1))
         self.num_candidates += int(stats[0])
         self.num_mappings += int(stats[1])
         self.num_mapped_reads += int(stats[2])

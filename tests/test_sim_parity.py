@@ -35,6 +35,7 @@ CASES = [
     ("sim_alloc.bed", ["--allocate-multi-mappings", "-q", "0"], ["batch"]),
     ("sim_pe.sam", ["--SAM"], ["auto", "per_read"]),
     ("sim_pe.paf", ["--PAF"], ["auto"]),
+    ("sim_hic.pairs", ["--preset", "hic"], ["auto", "per_read"]),
 ]
 
 
