@@ -346,6 +346,26 @@ class NativeEngine:
             aux = (cb_a, co_a, md_b, mo_a, nm_a)
         return out, stats, aux
 
+    def get_sam_aux(self):
+        """CIGAR/NM/MD streams recorded by the last SAM-mode mapping call."""
+        cb = ctypes.POINTER(ctypes.c_uint32)()
+        co = ctypes.POINTER(ctypes.c_int64)()
+        mb = ctypes.POINTER(ctypes.c_char)()
+        mo = ctypes.POINTER(ctypes.c_int64)()
+        nm = ctypes.POINTER(ctypes.c_uint16)()
+        mdl = ctypes.c_int64()
+        n_rec = self.lib.cn_get_sam_aux(
+            self.ctx, ctypes.byref(cb), ctypes.byref(co), ctypes.byref(mb),
+            ctypes.byref(mo), ctypes.byref(nm), ctypes.byref(mdl))
+        co_a = np.ctypeslib.as_array(co, shape=(n_rec + 1,)).copy()
+        cb_a = (np.ctypeslib.as_array(cb, shape=(int(co_a[-1]),)).copy()
+                if co_a[-1] else np.empty(0, np.uint32))
+        mo_a = np.ctypeslib.as_array(mo, shape=(n_rec + 1,)).copy()
+        md_b = ctypes.string_at(mb, mdl.value) if mdl.value else b""
+        nm_a = (np.ctypeslib.as_array(nm, shape=(n_rec,)).copy()
+                if n_rec else np.empty(0, np.uint16))
+        return cb_a, co_a, md_b, mo_a, nm_a
+
     def set_split_mode(self):
         self.lib.cn_set_split_mode(self.ctx)
 

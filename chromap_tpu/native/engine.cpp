@@ -2950,12 +2950,33 @@ int64_t cn_map_single(
           if ((uint64_t)ref_position + e >= (uint64_t)rl)
             vws = (int64_t)(uint32_t)(rl - e - l1);
           if (vws > rl) vws = 0;
-          int start_off = e;
-          BandedTraceback(e, d.num_errors, ref.Seq(rid) + vws,
-                          neg ? sc.neg1.data() : sc.read1.data(), l1,
-                          &start_off);
-          uint32_t rs = (uint32_t)(vws + start_off);
-          uint16_t alen = (uint16_t)(ref_position - rs + 1);
+          const char* se_text = neg ? sc.neg1.data() : sc.read1.data();
+          uint32_t rs, re_sam = ref_position;
+          if (mp.sam_mode) {
+            int start, endp;
+            KswSemiGlobal3(l1 + 2 * e, ref.Seq(rid) + vws, l1, se_text, mp,
+                           2 * e + 1, ctx->ksw_scratch, ctx->sam_tmp_cigar,
+                           &start, &endp);
+            int nm = GenerateNMMD(ref.Seq(rid), se_text, vws + start,
+                                  ctx->sam_tmp_cigar, ctx->sam_tmp_md);
+            ctx->sam_cigar_buf.insert(ctx->sam_cigar_buf.end(),
+                                      ctx->sam_tmp_cigar.begin(),
+                                      ctx->sam_tmp_cigar.end());
+            ctx->sam_cigar_offsets.push_back(
+                (int64_t)ctx->sam_cigar_buf.size());
+            ctx->sam_md_buf += ctx->sam_tmp_md;
+            ctx->sam_md_offsets.push_back((int64_t)ctx->sam_md_buf.size());
+            ctx->sam_nm.push_back((uint16_t)nm);
+            rs = (uint32_t)(vws + start);
+            re_sam = (uint32_t)(vws + endp - 1);
+          } else {
+            int start_off = e;
+            BandedTraceback(e, d.num_errors, ref.Seq(rid) + vws, se_text,
+                            l1, &start_off);
+            rs = (uint32_t)(vws + start_off);
+          }
+          uint16_t alen = (uint16_t)((mp.sam_mode ? re_sam : ref_position)
+                                     - rs + 1);
           uint8_t mapq = MapqSingleEnd(mp, d.num_errors, alen, l1, e, vs,
                                        s1.repetitive_seed_length);
           em.rid.push_back((int32_t)rid);
@@ -2975,7 +2996,18 @@ int64_t cn_map_single(
     }
   };
 
-  const int T = ctx->num_threads > 1 ? ctx->num_threads : 1;
+  // SAM mode appends to shared cigar/MD streams in emission order, so it
+  // runs single-threaded (PE does the same: selection is sequential)
+  const int T = (ctx->num_threads > 1 && !ctx->mp.sam_mode)
+                    ? ctx->num_threads
+                    : 1;
+  if (ctx->mp.sam_mode) {
+    ctx->sam_cigar_buf.clear();
+    ctx->sam_cigar_offsets.assign(1, 0);
+    ctx->sam_md_buf.clear();
+    ctx->sam_md_offsets.assign(1, 0);
+    ctx->sam_nm.clear();
+  }
   std::vector<SEEmit> emits(T);
   {
     auto run_range = [&](int t) {

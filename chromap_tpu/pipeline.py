@@ -279,9 +279,7 @@ class MappingPipeline:
             self.num_mappings_in_mem += 1
 
         native_engine = None
-        if cfg.native_engine_eligible(paired=False) and \
-                cfg.output_format in ("bed", "tagalign"):
-            # PAF/SAM native record construction is paired-end only so far
+        if cfg.native_engine_eligible(paired=False):
             try:
                 from .native import NativeEngine
                 native_engine = NativeEngine(cfg, self.index, self.ref_seqs)
@@ -320,9 +318,13 @@ class MappingPipeline:
             from .summary import TOTAL
             threshold = self.cache_single.get_update_threshold(
                 len(batch), self.num_reads, False, 0.01)
-            if native_engine is not None:
-                self._map_batch_native_se(native_engine, batch, threshold,
-                                          emit)
+            if native_engine is not None and batch_bc is None:
+                if cfg.output_format in ("paf", "sam"):
+                    self._map_batch_native_se_records(native_engine, batch,
+                                                      threshold, emit)
+                else:
+                    self._map_batch_native_se(native_engine, batch,
+                                              threshold, emit)
                 self._maybe_spill()
                 log(f"Mapped {len(batch)} reads.")
                 continue
@@ -1207,6 +1209,77 @@ class MappingPipeline:
         if self.summary is not None:
             self.summary.update_count(0, TOTAL, n)
             self.summary.update_count(0, CACHEHIT, int(stats[4]))
+
+    def _map_batch_native_se_records(self, engine, batch, threshold,
+                                     emit) -> None:
+        """Single-end PAF/SAM through the C++ mapper (select.py
+        _make_se_record field-for-field)."""
+        import ctypes as _ct
+
+        from .mapping.cigar import sequence_length_from_cigar
+        from .mapping.records import PafRecord, SamRecord, clip_mapq
+
+        cfg = self.cfg
+        sam = cfg.output_format == "sam"
+        if sam and not getattr(engine, "_sam_params_set", False):
+            engine.set_sam_params()
+            engine._sam_params_set = True
+
+        base_read_id = batch[0].read_id if batch else 0
+        reads = [bytes(r.seq) for r in batch]
+        n = len(reads)
+        r_bytes = b"".join(reads)
+        r_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum([len(r) for r in reads], out=r_off[1:])
+        out, stats = engine.map_single_raw(
+            r_bytes, r_off.ctypes.data_as(_ct.c_void_p), n, base_read_id,
+            threshold)
+        aux = engine.get_sam_aux() if sam else None
+        rid_a = out["rid"]
+        prev_read_id = None
+        occurrence = 0
+        for i in range(len(rid_a)):
+            read_id = int(out["read_id"][i])
+            occurrence = occurrence + 1 if read_id == prev_read_id else 0
+            prev_read_id = read_id
+            j = read_id - base_read_id
+            rec = batch[j]
+            neg = int(out["dir"][i]) == 0
+            mapq = int(out["mapq"][i])
+            if not sam:
+                emit(int(rid_a[i]), PafRecord(
+                    read_id=read_id, read_name=rec.name,
+                    read_length=len(reads[j]), start=int(out["start"][i]),
+                    length=int(out["flen"][i]), mapq=clip_mapq(mapq),
+                    direction=int(out["dir"][i]),
+                    is_unique=int(out["uniq"][i]), num_dups=1))
+                continue
+            cig_buf, cig_off, md_buf, md_off, nm_arr = aux
+            cigar = [int(c) for c in cig_buf[cig_off[i]:cig_off[i + 1]]]
+            md = md_buf[md_off[i]:md_off[i + 1]]
+            seq = rec.negative() if neg else bytes(reads[j])
+            qual = bytes(rec.qual or b"")
+            if neg and qual:
+                qual = qual[::-1]
+            ncons = sequence_length_from_cigar(cigar)
+            if ncons != len(seq):
+                seq, qual = seq[:ncons], qual[:ncons]
+            flag = 0x10 if neg else 0
+            if occurrence >= 1:
+                flag |= 0x100
+            emit(int(rid_a[i]), SamRecord(
+                read_id=read_id, read_name=rec.name, barcode=0, num_dups=1,
+                pos=int(out["start"][i]), rid=int(rid_a[i]), mpos=0,
+                mrid=-1, tlen=0, flag=flag,
+                direction=0 if neg else 1,
+                is_unique=int(out["uniq"][i]), mapq=mapq,
+                NM=int(nm_arr[i]), cigar=cigar, MD=md, sequence=seq,
+                qual=qual))
+        self.num_candidates += int(stats[0])
+        self.num_mappings += int(stats[1])
+        self.num_mapped_reads += int(stats[2])
+        self.num_uniquely_mapped_reads += int(stats[3])
+        self.cache_hits += int(stats[4])
 
     def _shard_filter_pairs(self, batch1, batch2, batch_bc):
         """Multi-host sharding: keep reads assigned to this shard
