@@ -124,6 +124,9 @@ def load_library():
     ] + [ctypes.c_void_p] * 19 + [ctypes.c_void_p]
     lib.cn_set_sam_params.argtypes = [ctypes.c_void_p] + [ctypes.c_int] * 6
     lib.cn_set_split_mode.argtypes = [ctypes.c_void_p]
+    lib.cn_get_pair_flags.restype = ctypes.c_int64
+    lib.cn_get_pair_flags.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
     lib.cn_get_sam_aux.restype = ctypes.c_int64
     lib.cn_get_sam_aux.argtypes = [
         ctypes.c_void_p,
@@ -345,6 +348,14 @@ class NativeEngine:
                     if n_rec else np.empty(0, np.uint16))
             aux = (cb_a, co_a, md_b, mo_a, nm_a)
         return out, stats, aux
+
+    def get_pair_flags(self) -> np.ndarray:
+        """Per-pair flags from the last paired mapping call (bit0 = cache
+        hit on either end)."""
+        fp = ctypes.POINTER(ctypes.c_uint8)()
+        n = self.lib.cn_get_pair_flags(self.ctx, ctypes.byref(fp))
+        return (np.ctypeslib.as_array(fp, shape=(n,)).copy()
+                if n else np.empty(0, np.uint8))
 
     def get_sam_aux(self):
         """CIGAR/NM/MD streams recorded by the last SAM-mode mapping call."""

@@ -2143,6 +2143,10 @@ struct CnContext {
   std::string sam_tmp_md;
   KswScratch ksw_scratch;
 
+  // per-pair flags from the last mapping call: bit0 = cache hit on
+  // either end (summary CACHEHIT, summary_metadata.h:17-25)
+  std::vector<uint8_t> pair_flags;
+
   // device-verification work buffers (phase split)
   std::vector<int64_t> wb_pattern_starts;
   std::vector<int32_t> wb_text_offsets;
@@ -2401,6 +2405,7 @@ static int64_t MapPairsCore(
   }
 
   std::vector<int> best_indices(mp.max_num_best_mappings);
+  ctx->pair_flags.assign((size_t)num_pairs, 0);
 
   // device-seed bookkeeping: per-pair flags and candidate cursors (the
   // cursor advances for every pair in order, whichever path handles it)
@@ -2468,6 +2473,7 @@ static int64_t MapPairsCore(
                         dev ? dcurs[2 * pi] : 0,
                         dev ? dcurs[2 * pi + 1] : 0, collect_mode, ext, sc);
     st_hits += sc.cache_hit;
+    ctx->pair_flags[pi] = sc.cache_hit;
     if (sc.status != 1) continue;
     st_cand += sc.n_cand;
 
@@ -2734,6 +2740,13 @@ void cn_set_sam_params(CnContext* ctx, int match_score, int mismatch,
   ctx->mp.gap_open[1] = gap_open_ins;
   ctx->mp.gap_ext[0] = gap_ext_del;
   ctx->mp.gap_ext[1] = gap_ext_ins;
+}
+
+// Per-pair flags from the last paired mapping call (bit0 = cache hit on
+// either end); returns the pair count.
+int64_t cn_get_pair_flags(CnContext* ctx, const uint8_t** flags) {
+  *flags = ctx->pair_flags.data();
+  return (int64_t)ctx->pair_flags.size();
 }
 
 // Enable Hi-C split (drop-off) alignment.

@@ -414,8 +414,7 @@ class MappingPipeline:
             self.num_mappings_in_mem += 1
 
         native_engine = None
-        if cfg.native_engine_eligible(paired=True) and (
-                cfg.is_bulk_data or self.summary is None):
+        if cfg.native_engine_eligible(paired=True):
             try:
                 from .native import NativeEngine
                 native_engine = NativeEngine(cfg, self.index, self.ref_seqs)
@@ -941,6 +940,7 @@ class MappingPipeline:
             self.num_barcode_in_whitelist += int(exact.sum())
 
         reads1, reads2, barcodes, orig_ids = [], [], [], []
+        nonwhitelist_count = 0
         for bi, (rec1, rec2) in enumerate(zip(batch1, batch2)):
             if exact[bi]:
                 whitelisted, barcode_key = True, int(keys[bi])
@@ -948,14 +948,27 @@ class MappingPipeline:
                 whitelisted, barcode_key = self._process_barcode(
                     batch_bc[bi])
             if not (whitelisted or cfg.output_mappings_not_in_whitelist):
+                nonwhitelist_count += 1
                 continue
             reads1.append(bytes(rec1.seq))
             reads2.append(bytes(rec2.seq))
             barcodes.append(barcode_key)
             orig_ids.append(rec1.read_id)
+        if self.summary is not None:
+            from .summary import CACHEHIT, TOTAL
+            for key in barcodes:
+                self.summary.update_count(key, TOTAL, 1)
+            self.summary.update_nonwhitelist(TOTAL, nonwhitelist_count)
         if not reads1:
             return
         out, stats = engine.map_pairs(reads1, reads2, 0, threshold)
+        if self.summary is not None:
+            from .summary import CACHEHIT
+            hits = engine.get_pair_flags()
+            mapped = np.zeros(len(reads1), dtype=bool)
+            mapped[out["read_id"]] = True
+            for j in np.flatnonzero(mapped & (hits[:len(reads1)] > 0)):
+                self.summary.update_count(barcodes[int(j)], CACHEHIT, 1)
         rid_a = out["rid"]
         oid = np.asarray(orig_ids, dtype=np.uint32)
         bcs = np.asarray(barcodes, dtype=np.uint64)
