@@ -294,6 +294,7 @@ class MappingPipeline:
                 and self.summary is None and not cfg.allocate_multi_mappings
                 and not cfg.matrix_output_prefix
                 and not cfg.low_memory_mode
+                and cfg.is_bulk_data
                 and cfg.output_format in ("bed", "tagalign")):
             self._map_single_end_full_native(native_engine)
             return
@@ -318,8 +319,14 @@ class MappingPipeline:
             from .summary import TOTAL
             threshold = self.cache_single.get_update_threshold(
                 len(batch), self.num_reads, False, 0.01)
-            if native_engine is not None and batch_bc is None:
-                if cfg.output_format in ("paf", "sam"):
+            if native_engine is not None and (
+                    batch_bc is None
+                    or (cfg.output_format in ("bed", "tagalign")
+                        and self.summary is None)):
+                if batch_bc is not None:
+                    self._map_batch_native_se_barcoded(
+                        native_engine, batch, batch_bc, threshold, emit)
+                elif cfg.output_format in ("paf", "sam"):
                     self._map_batch_native_se_records(native_engine, batch,
                                                       threshold, emit)
                 else:
@@ -1222,6 +1229,46 @@ class MappingPipeline:
         if self.summary is not None:
             self.summary.update_count(0, TOTAL, n)
             self.summary.update_count(0, CACHEHIT, int(stats[4]))
+
+    def _map_batch_native_se_barcoded(self, engine, batch, batch_bc,
+                                      threshold, emit) -> None:
+        """Barcoded single-end batch through the C++ mapper (no summary:
+        per-read cache-hit attribution stays on the Python path)."""
+        import ctypes as _ct
+
+        from .mapping.records import SEBedRecord
+
+        cfg = self.cfg
+        reads, barcodes, orig_ids = [], [], []
+        for bi, rec in enumerate(batch):
+            whitelisted, barcode_key = self._process_barcode(batch_bc[bi])
+            if not (whitelisted or cfg.output_mappings_not_in_whitelist):
+                continue
+            reads.append(bytes(rec.seq))
+            barcodes.append(barcode_key)
+            orig_ids.append(rec.read_id)
+        if not reads:
+            return
+        n = len(reads)
+        r_bytes = b"".join(reads)
+        r_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum([len(r) for r in reads], out=r_off[1:])
+        out, stats = engine.map_single_raw(
+            r_bytes, r_off.ctypes.data_as(_ct.c_void_p), n, 0, threshold)
+        rid_a = out["rid"]
+        for i in range(len(rid_a)):
+            j = int(out["read_id"][i])
+            emit(int(rid_a[i]), SEBedRecord(
+                read_id=int(orig_ids[j]), barcode=int(barcodes[j]),
+                start=int(out["start"][i]), length=int(out["flen"][i]),
+                mapq=int(out["mapq"][i]), direction=int(out["dir"][i]),
+                is_unique=int(out["uniq"][i]), num_dups=1,
+                has_barcode=True))
+        self.num_candidates += int(stats[0])
+        self.num_mappings += int(stats[1])
+        self.num_mapped_reads += int(stats[2])
+        self.num_uniquely_mapped_reads += int(stats[3])
+        self.cache_hits += int(stats[4])
 
     def _map_batch_native_se_records(self, engine, batch, threshold,
                                      emit) -> None:

@@ -68,6 +68,24 @@ def sim_bc_data(sim_data):
 
 
 @pytest.mark.parametrize("engine", ["auto", "per_read"])
+def test_sim_se_barcode_parity(engine, sim_bc_data, golden_dir, tmp_path):
+    """Single-end scATAC flow vs the reference golden (cell-level dedup
+    with barcodes; regression for the full-native gate that silently
+    dropped barcodes)."""
+    d = sim_bc_data
+    out = tmp_path / f"sebc_{engine}.bed"
+    args = [sys.executable, "-m", "chromap_tpu.cli", "--engine", engine,
+            "-x", f"{d}/index", "-r", f"{d}/ref.fa",
+            "-1", f"{d}/r1.fq", "-b", f"{d}/bc.fq",
+            "--barcode-whitelist", f"{d}/whitelist.txt",
+            "--remove-pcr-duplicates", "-o", str(out)]
+    result = subprocess.run(args, capture_output=True, text=True)
+    assert result.returncode == 0, result.stderr
+    assert out.read_bytes() == \
+        (golden_dir / "sim_se_barcode.bed").read_bytes()
+
+
+@pytest.mark.parametrize("engine", ["auto", "per_read"])
 def test_sim_barcode_parity(engine, sim_bc_data, golden_dir, tmp_path):
     """scATAC flow vs the reference binary's golden: barcode correction
     (1-substitution incl. N bases), whitelisting, cell-level dedup, Tn5,
