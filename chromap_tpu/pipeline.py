@@ -436,9 +436,10 @@ class MappingPipeline:
                 and cfg.is_bulk_data
                 and self.summary is None and not cfg.allocate_multi_mappings
                 and not cfg.matrix_output_prefix
-                and (cfg.output_format == "bed"
-                     or (cfg.output_format == "tagalign"
-                         and not cfg.low_memory_mode))):
+                and not cfg.low_memory_mode
+                and cfg.output_format in ("bed", "tagalign")):
+            # low-memory runs take the records path below, which spills
+            # sorted shards and k-way merges them at output
             self._map_paired_end_full_native(native_engine)
             return
 
