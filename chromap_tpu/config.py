@@ -95,10 +95,7 @@ class MappingConfig:
     def native_engine_eligible(self, paired: bool) -> bool:
         if self.engine in ("per_read", "batch"):
             return False
-        if self.num_shards > 1:
-            # sharded batches have non-contiguous read ids; route through
-            # the Python engines for now
-            return False
+
         if self.split_alignment and self.output_format != "pairs":
             # split (drop-off) alignment is native for the Hi-C pairs flow
             return False

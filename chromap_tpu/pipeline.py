@@ -294,7 +294,7 @@ class MappingPipeline:
                 and self.summary is None and not cfg.allocate_multi_mappings
                 and not cfg.matrix_output_prefix
                 and not cfg.low_memory_mode
-                and cfg.is_bulk_data
+                and cfg.is_bulk_data and cfg.num_shards == 1
                 and cfg.output_format in ("bed", "tagalign")):
             self._map_single_end_full_native(native_engine)
             return
@@ -433,7 +433,7 @@ class MappingPipeline:
 
         # full-native fast path: native FASTQ IO + mapping + postprocess
         if (native_engine is not None and not cfg.read_format
-                and cfg.is_bulk_data
+                and cfg.is_bulk_data and cfg.num_shards == 1
                 and self.summary is None and not cfg.allocate_multi_mappings
                 and not cfg.matrix_output_prefix
                 and not cfg.low_memory_mode
@@ -893,14 +893,15 @@ class MappingPipeline:
         from .mapping.records import PEBedRecord
         from .summary import CACHEHIT, TOTAL
 
-        base_read_id = batch1[0].read_id if batch1 else 0
         reads1 = [bytes(r.seq) for r in batch1]
         reads2 = [bytes(r.seq) for r in batch2]
-        out, stats = engine.map_pairs(reads1, reads2, base_read_id, threshold)
+        # sharded batches have strided read ids: map indices explicitly
+        orig_ids = np.asarray([r.read_id for r in batch1], dtype=np.uint32)
+        out, stats = engine.map_pairs(reads1, reads2, 0, threshold)
         rid_a = out["rid"]
         for i in range(len(rid_a)):
             rec = PEBedRecord(
-                read_id=int(out["read_id"][i]), barcode=0,
+                read_id=int(orig_ids[int(out["read_id"][i])]), barcode=0,
                 start=int(out["start"][i]), length=int(out["flen"][i]),
                 mapq=int(out["mapq"][i]), direction=int(out["dir"][i]),
                 is_unique=int(out["uniq"][i]), num_dups=1,
@@ -1204,20 +1205,19 @@ class MappingPipeline:
         from .mapping.records import SEBedRecord
         from .summary import CACHEHIT, TOTAL
 
-        base_read_id = batch[0].read_id if batch else 0
         reads = [bytes(r.seq) for r in batch]
+        orig_ids = np.asarray([r.read_id for r in batch], dtype=np.uint32)
         n = len(reads)
         r_bytes = b"".join(reads)
         r_off = np.zeros(n + 1, dtype=np.int64)
         np.cumsum([len(r) for r in reads], out=r_off[1:])
         import ctypes as _ct
         out, stats = engine.map_single_raw(
-            r_bytes, r_off.ctypes.data_as(_ct.c_void_p), n, base_read_id,
-            threshold)
+            r_bytes, r_off.ctypes.data_as(_ct.c_void_p), n, 0, threshold)
         rid_a = out["rid"]
         for i in range(len(rid_a)):
             rec = SEBedRecord(
-                read_id=int(out["read_id"][i]), barcode=0,
+                read_id=int(orig_ids[int(out["read_id"][i])]), barcode=0,
                 start=int(out["start"][i]), length=int(out["flen"][i]),
                 mapq=int(out["mapq"][i]), direction=int(out["dir"][i]),
                 is_unique=int(out["uniq"][i]), num_dups=1)
