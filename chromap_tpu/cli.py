@@ -14,12 +14,17 @@ from typing import List, Optional
 from .config import IndexConfig, MappingConfig, apply_preset
 from .io.fastx import expand_input_globs
 
+# capability-parity target: reference chromap 0.3.3-r521 (chromap.h:37)
+VERSION = "0.3.3-r521-tpu"
+
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="chromap-tpu",
         description="TPU-native fast alignment and preprocessing of "
                     "chromatin profiles")
+    p.add_argument("-v", "--version", action="store_true",
+                   help="print version")
     # Indexing
     p.add_argument("-i", "--build-index", action="store_true")
     p.add_argument("--min-frag-length", type=int, default=None)
@@ -110,9 +115,81 @@ def _split_csv(value: str) -> List[str]:
     return [v for v in value.split(",") if v]
 
 
+def _echo_mapping_parameters(cfg: MappingConfig, args) -> None:
+    """Echo the effective parameter set to stderr (reproducibility aid;
+    mirrors chromap_driver.cc:572-700)."""
+    err = sys.stderr
+    print(f"Parameters: error threshold: {cfg.error_threshold}, "
+          f"min-num-seeds: {cfg.min_num_seeds_required_for_mapping}, "
+          f"max-seed-frequency: {cfg.max_seed_frequencies[0]},"
+          f"{cfg.max_seed_frequencies[1]}, "
+          f"max-num-best-mappings: {cfg.max_num_best_mappings}, "
+          f"max-insert-size: {cfg.max_insert_size}, "
+          f"MAPQ-threshold: {cfg.mapq_threshold}, "
+          f"min-read-length: {cfg.min_read_length}, "
+          f"bc-error-threshold: {cfg.barcode_correction_error_threshold}, "
+          f"bc-probability-threshold: "
+          f"{cfg.barcode_correction_probability_threshold:.2f}", file=err)
+    print(f"Number of threads: {cfg.num_threads}", file=err)
+    print("Analyze bulk data." if cfg.is_bulk_data
+          else "Analyze single-cell data.", file=err)
+    print("Will try to remove adapters on 3'." if cfg.trim_adapters
+          else "Won't try to remove adapters on 3'.", file=err)
+    print("Will remove PCR duplicates after mapping."
+          if cfg.remove_pcr_duplicates
+          else "Won't remove PCR duplicates after mapping.", file=err)
+    print("Will remove PCR duplicates at bulk level."
+          if cfg.remove_pcr_duplicates_at_bulk_level
+          else "Will remove PCR duplicates at cell level.", file=err)
+    print("Will allocate multi-mappings after mapping."
+          if cfg.allocate_multi_mappings
+          else "Won't allocate multi-mappings after mapping.", file=err)
+    if cfg.only_output_unique_mappings:
+        print("Only output unique mappings after mapping.", file=err)
+    if not cfg.output_mappings_not_in_whitelist:
+        print("Only output mappings of which barcodes are in whitelist.",
+              file=err)
+    else:
+        print("No filtering of mappings based on whether their barcodes "
+              "are in whitelist.", file=err)
+    if cfg.max_num_best_mappings > cfg.drop_repetitive_reads:
+        print(f"WARNING: you want to drop mapped reads with more than "
+              f"{cfg.drop_repetitive_reads} mappings. But you want to output "
+              f"top {cfg.max_num_best_mappings} best mappings. In this case, "
+              f"only reads with <={cfg.drop_repetitive_reads} best mappings "
+              f"will be output.", file=err)
+        cfg.max_num_best_mappings = cfg.drop_repetitive_reads
+    if cfg.tn5_shift:
+        print("Perform Tn5 shift.", file=err)
+    if cfg.split_alignment:
+        print("Allow split alignment.", file=err)
+    fmt_names = {"bed": "BED/BEDPE", "tagalign": "TagAlign/PairedTagAlign",
+                 "paf": "PAF", "sam": "SAM", "pairs": "pairs"}
+    print(f"Output mappings in {fmt_names[cfg.output_format]} format.",
+          file=err)
+    print(f"Reference file: {cfg.reference_file_path}", file=err)
+    print(f"Index file: {cfg.index_file_path}", file=err)
+    for i, path in enumerate(cfg.read_file1_paths):
+        print(f"{i + 1}th read 1 file: {path}", file=err)
+    for i, path in enumerate(cfg.read_file2_paths):
+        print(f"{i + 1}th read 2 file: {path}", file=err)
+    for i, path in enumerate(cfg.barcode_file_paths):
+        print(f"{i + 1}th cell barcode file: {path}", file=err)
+    if cfg.barcode_whitelist_file_path:
+        print(f"Cell barcode whitelist file: "
+              f"{cfg.barcode_whitelist_file_path}", file=err)
+    print(f"Output file: {cfg.mapping_output_file_path}", file=err)
+    if cfg.matrix_output_prefix:
+        print(f"Matrix output prefix: {cfg.matrix_output_prefix}", file=err)
+
+
 def parse_args_and_run(argv: Optional[List[str]] = None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
+
+    if args.version:
+        print(VERSION, file=sys.stderr)
+        return 0
 
     if args.build_index:
         icfg = IndexConfig()
@@ -133,6 +210,11 @@ def parse_args_and_run(argv: Optional[List[str]] = None) -> int:
             parser.error("index construction requires -r and -o")
         icfg.reference_file_path = args.ref
         icfg.index_output_file_path = args.output
+        print("Build index for the reference.", file=sys.stderr)
+        print(f"Kmer length: {icfg.kmer_size}, window size: "
+              f"{icfg.window_size}", file=sys.stderr)
+        print(f"Reference file: {icfg.reference_file_path}", file=sys.stderr)
+        print(f"Output file: {icfg.index_output_file_path}", file=sys.stderr)
         from .pipeline import construct_index
         construct_index(icfg)
         return 0
@@ -263,10 +345,19 @@ def parse_args_and_run(argv: Optional[List[str]] = None) -> int:
         cfg.output_mappings_not_in_whitelist = True
     cfg.use_device = args.device
     cfg.engine = args.engine
+    import os as _os
+    if _os.environ.get("CHROMAP_TPU_LOWMEM_MAX_RECORDS"):
+        # test hook: force tiny spill shards to exercise the low-memory
+        # temp-file path on small datasets
+        cfg.low_mem_max_records = int(
+            _os.environ["CHROMAP_TPU_LOWMEM_MAX_RECORDS"])
     if args.read_batch_size is not None:
         cfg.read_batch_size = args.read_batch_size
     cfg.num_shards = args.num_shards
     cfg.shard_index = args.shard_index
+
+    print("Start to map reads.", file=sys.stderr)
+    _echo_mapping_parameters(cfg, args)
 
     from .pipeline import MappingPipeline
     pipeline = MappingPipeline(cfg)

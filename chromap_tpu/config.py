@@ -102,16 +102,10 @@ class MappingConfig:
         if self.output_format not in ("bed", "tagalign", "paf", "sam",
                                        "pairs"):
             return False
-        if self.output_format == "pairs" and not self.is_bulk_data:
-            return False
-        if self.output_format in ("paf", "sam") and (
-                self.trim_adapters or not self.is_bulk_data):
-            # PAF/SAM records carry (possibly trimmed) read sequences,
-            # lengths and names; the native arrays don't surface trimming
-            return False
         if self.error_threshold >= 16:
-            return False
-        if self.custom_rid_order_file_path:
+            # the native banded kernels hold the band in a 32-bit word
+            # (2e+1 <= 31 bits), exactly like the reference (alignment.cc:
+            # 144-150); e >= 16 takes the exact per-read path
             return False
         return True
 

@@ -6,43 +6,99 @@ shard; at the end all shards are k-way merged with streaming PCR dedup
 (keeping the highest-mapq duplicate; bulk-level barcode selection for
 single-cell data), mapq filtering, and Tn5 shifting.
 
-Shards are pickled per-rid record runs (the host format is free to differ
-from the reference's raw structs -- only the merge semantics matter).
-The same merge generalizes to multi-host sorted-shard merging (each host
-spills its shards; one merge pass unifies them).
+Shards are block-buffered binary record streams (the analog of the
+reference's raw-struct temp files, temp_mapping.h:21-105): per rid a u64
+count followed by the records in their binary codec (records.py), written
+and read through fixed-size buffers so neither side ever holds more than
+one block per shard in memory. The merge's total buffer budget mirrors the
+reference's 10 GiB (1 GiB for SAM/pairs/PAF) cap (mapping_writer.h:
+179-184). The same merge generalizes to multi-host sorted-shard merging
+(each host spills its shards; one merge pass unifies them).
 """
 
 from __future__ import annotations
 
 import heapq
 import os
-import pickle
+import struct
 from typing import Iterator, List, Optional, Tuple
 
 from ..config import MappingConfig
+from ..mapping.records import RECORD_CODECS, RECORD_TAGS
 from ..summary import DUP, LOWMAPQ, MAPPED
+
+_U64 = struct.Struct("<Q")
+_MAGIC = b"CTSH1\x00"
+_WRITE_BLOCK = 1 << 18          # flush granularity (256 KiB)
+_MAX_RECORD_BYTES = 1 << 16     # decode refill threshold (any record fits)
+_MERGE_BUDGET = 10 << 30        # reference merge budgets
+_MERGE_BUDGET_TEXT = 1 << 30    # SAM / pairs / PAF
 
 
 class TempMappingShard:
-    def __init__(self, path: str):
+    def __init__(self, path: str, read_block: int = 1 << 22):
         self.path = path
+        self.read_block = max(read_block, 2 * _MAX_RECORD_BYTES)
 
     @staticmethod
     def write(path: str, mappings_on_refs: List[List[object]]) -> None:
+        tag = 0
+        for lst in mappings_on_refs:
+            if lst:
+                tag = RECORD_TAGS[type(lst[0])]
+                break
+        buf = bytearray()
+        buf += _MAGIC
+        buf += bytes([tag])
+        buf += _U64.pack(len(mappings_on_refs))
         with open(path, "wb") as f:
-            pickle.dump([len(lst) for lst in mappings_on_refs], f)
             for lst in mappings_on_refs:
-                if lst:
-                    pickle.dump(lst, f)
+                buf += _U64.pack(len(lst))
+                for m in lst:
+                    m.to_binary(buf)
+                    if len(buf) >= _WRITE_BLOCK:
+                        f.write(buf)
+                        buf.clear()
+            if buf:
+                f.write(buf)
 
     def iterate(self) -> Iterator[Tuple[int, object]]:
-        with open(self.path, "rb") as f:
-            counts = pickle.load(f)
-            for rid, n in enumerate(counts):
-                if n:
-                    lst = pickle.load(f)
-                    for m in lst:
-                        yield rid, m
+        """Streaming decode: holds at most one read block in memory."""
+        with open(self.path, "rb", buffering=0) as f:
+            buf = bytearray(f.read(self.read_block))
+            off = 0
+
+            def ensure(n: int) -> bool:
+                nonlocal buf, off
+                if len(buf) - off >= n:
+                    return True
+                del buf[:off]
+                off = 0
+                chunk = f.read(self.read_block)
+                if chunk:
+                    buf += chunk
+                return len(buf) >= n
+
+            if not ensure(len(_MAGIC) + 1 + 8):
+                return
+            if bytes(buf[:len(_MAGIC)]) != _MAGIC:
+                raise IOError(f"bad temp shard header in {self.path}")
+            off = len(_MAGIC)
+            tag = buf[off]
+            off += 1
+            (num_rids,) = _U64.unpack_from(buf, off)
+            off += 8
+            if tag == 0:
+                return
+            decode = RECORD_CODECS[tag][1]
+            for rid in range(num_rids):
+                ensure(8)
+                (count,) = _U64.unpack_from(buf, off)
+                off += 8
+                for _ in range(count):
+                    ensure(_MAX_RECORD_BYTES)
+                    m, off = decode(memoryview(buf), off)
+                    yield rid, m
 
 
 def spill_mappings(cfg: MappingConfig, mappings_on_refs: List[List[object]],
@@ -85,7 +141,14 @@ def merge_and_output_low_memory(cfg: MappingConfig, shard_paths: List[str],
     if not shard_paths:
         return 0, 0, 0
 
-    shards = [TempMappingShard(p) for p in shard_paths]
+    # per-shard read-buffer size under the reference's merge memory budget
+    # (mapping_writer.h:179-184: 10 GiB, 1 GiB for text-record formats)
+    budget = (_MERGE_BUDGET_TEXT
+              if cfg.output_format in ("sam", "pairs", "paf")
+              else _MERGE_BUDGET)
+    read_block = min(1 << 22, max(2 * _MAX_RECORD_BYTES,
+                                  budget // max(1, len(shard_paths))))
+    shards = [TempMappingShard(p, read_block) for p in shard_paths]
 
     def keyed(shard_index: int):
         for rid, m in shards[shard_index].iterate():

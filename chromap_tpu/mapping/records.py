@@ -287,3 +287,159 @@ class PairsRecord:
 
     def end_position(self) -> int:
         return self.pos1 + 1
+
+
+# ---------------------------------------------------------------------------
+# Binary codecs for low-memory temp shards (temp_mapping.h analog).
+#
+# Fixed fields pack with one struct per type; string fields (names, MD,
+# sequence, qual) append u16-length-prefixed, CIGARs as u16 count + u32 ops
+# (the reference freads raw PODs for fixed types and uses per-record
+# WriteToFile/LoadFromFile specializations for string-bearing ones,
+# temp_mapping.h:107-273).
+# ---------------------------------------------------------------------------
+
+import struct as _struct
+
+_SE_S = _struct.Struct("<IQIHBBBBB")
+_PE_S = _struct.Struct("<IQIHBBBBHHB")
+_PAF_S = _struct.Struct("<IIIIBBBB")
+_PPAF_S = _struct.Struct("<IIIIIIIBBBBBB")
+_SAM_S = _struct.Struct("<IQBIiIiqHBBBH")
+_PAIRS_S = _struct.Struct("<IQiiIIBBBBB")
+_U16 = _struct.Struct("<H")
+_U64 = _struct.Struct("<Q")
+
+
+def _put_bytes(buf: bytearray, b: bytes) -> None:
+    buf += _U16.pack(len(b))
+    buf += b
+
+
+def _get_bytes(mv, off: int):
+    (n,) = _U16.unpack_from(mv, off)
+    off += 2
+    return bytes(mv[off:off + n]), off + n
+
+
+def _se_to_binary(self, buf: bytearray) -> None:
+    buf += _SE_S.pack(self.read_id, self.barcode, self.start, self.length,
+                      self.mapq, self.direction, self.is_unique,
+                      min(self.num_dups, 255), 1 if self.has_barcode else 0)
+
+
+def _se_from_binary(mv, off: int):
+    f = _SE_S.unpack_from(mv, off)
+    return SEBedRecord(f[0], f[1], f[2], f[3], f[4], f[5], f[6], f[7],
+                       bool(f[8])), off + _SE_S.size
+
+
+def _pe_to_binary(self, buf: bytearray) -> None:
+    buf += _PE_S.pack(self.read_id, self.barcode, self.start, self.length,
+                      self.mapq, self.direction, self.is_unique,
+                      min(self.num_dups, 255),
+                      self.positive_alignment_length,
+                      self.negative_alignment_length,
+                      1 if self.has_barcode else 0)
+
+
+def _pe_from_binary(mv, off: int):
+    f = _PE_S.unpack_from(mv, off)
+    return PEBedRecord(f[0], f[1], f[2], f[3], f[4], f[5], f[6], f[7],
+                       f[8], f[9], bool(f[10])), off + _PE_S.size
+
+
+def _paf_to_binary(self, buf: bytearray) -> None:
+    buf += _PAF_S.pack(self.read_id, self.read_length, self.start,
+                       self.length, self.mapq, self.direction,
+                       self.is_unique, min(self.num_dups, 255))
+    _put_bytes(buf, self.read_name)
+
+
+def _paf_from_binary(mv, off: int):
+    f = _PAF_S.unpack_from(mv, off)
+    name, off = _get_bytes(mv, off + _PAF_S.size)
+    return PafRecord(f[0], name, f[1], f[2], f[3], f[4], f[5], f[6],
+                     f[7]), off
+
+
+def _ppaf_to_binary(self, buf: bytearray) -> None:
+    buf += _PPAF_S.pack(self.read_id, self.read1_length, self.read2_length,
+                        self.start, self.negative_alignment_length,
+                        self.length, self.positive_alignment_length,
+                        self.mapq & 0xFF, self.mapq1, self.mapq2,
+                        self.direction, self.is_unique,
+                        min(self.num_dups, 255))
+    _put_bytes(buf, self.read1_name)
+    _put_bytes(buf, self.read2_name)
+
+
+def _ppaf_from_binary(mv, off: int):
+    f = _PPAF_S.unpack_from(mv, off)
+    n1, off = _get_bytes(mv, off + _PPAF_S.size)
+    n2, off = _get_bytes(mv, off)
+    return PairedPafRecord(f[0], n1, n2, f[1], f[2], f[3], f[4], f[5],
+                           f[6], f[7], f[8], f[9], f[10], f[11], f[12]), off
+
+
+def _sam_to_binary(self, buf: bytearray) -> None:
+    buf += _SAM_S.pack(self.read_id, self.barcode, min(self.num_dups, 255),
+                       self.pos, self.rid, self.mpos, self.mrid, self.tlen,
+                       self.flag, self.direction, self.is_unique, self.mapq,
+                       self.NM)
+    _put_bytes(buf, self.read_name)
+    _put_bytes(buf, self.MD)
+    _put_bytes(buf, self.sequence)
+    _put_bytes(buf, self.qual)
+    buf += _U16.pack(len(self.cigar))
+    for c in self.cigar:
+        buf += _struct.pack("<I", c)
+
+
+def _sam_from_binary(mv, off: int):
+    f = _SAM_S.unpack_from(mv, off)
+    off += _SAM_S.size
+    name, off = _get_bytes(mv, off)
+    md, off = _get_bytes(mv, off)
+    seq, off = _get_bytes(mv, off)
+    qual, off = _get_bytes(mv, off)
+    (nc,) = _U16.unpack_from(mv, off)
+    off += 2
+    cigar = list(_struct.unpack_from(f"<{nc}I", mv, off)) if nc else []
+    off += 4 * nc
+    return SamRecord(f[0], name, f[1], f[2], f[3], f[4], f[5], f[6], f[7],
+                     f[8], f[9], f[10], f[11], f[12], cigar, md, seq,
+                     qual), off
+
+
+def _pairs_to_binary(self, buf: bytearray) -> None:
+    buf += _PAIRS_S.pack(self.read_id, self.barcode, self.rid1, self.rid2,
+                         self.pos1, self.pos2, self.strand1, self.strand2,
+                         self.mapq, self.is_unique, min(self.num_dups, 255))
+    _put_bytes(buf, self.read_name)
+
+
+def _pairs_from_binary(mv, off: int):
+    f = _PAIRS_S.unpack_from(mv, off)
+    name, off = _get_bytes(mv, off + _PAIRS_S.size)
+    return PairsRecord(f[0], name, f[1], f[2], f[3], f[4], f[5], f[6],
+                       f[7], f[8], f[9], f[10]), off
+
+
+SEBedRecord.to_binary = _se_to_binary
+PEBedRecord.to_binary = _pe_to_binary
+PafRecord.to_binary = _paf_to_binary
+PairedPafRecord.to_binary = _ppaf_to_binary
+SamRecord.to_binary = _sam_to_binary
+PairsRecord.to_binary = _pairs_to_binary
+
+# shard type tags (format byte in the temp-shard header)
+RECORD_CODECS = {
+    1: (SEBedRecord, _se_from_binary),
+    2: (PEBedRecord, _pe_from_binary),
+    3: (PafRecord, _paf_from_binary),
+    4: (PairedPafRecord, _ppaf_from_binary),
+    5: (SamRecord, _sam_from_binary),
+    6: (PairsRecord, _pairs_from_binary),
+}
+RECORD_TAGS = {cls: tag for tag, (cls, _) in RECORD_CODECS.items()}

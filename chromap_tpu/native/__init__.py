@@ -127,6 +127,12 @@ def load_library():
     lib.cn_get_pair_flags.restype = ctypes.c_int64
     lib.cn_get_pair_flags.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
+    lib.cn_get_pair_trimmed_lengths.restype = ctypes.c_int64
+    lib.cn_get_pair_trimmed_lengths.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint16)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint16))]
+    lib.cn_set_rid_rank.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                    ctypes.c_int32]
     lib.cn_get_sam_aux.restype = ctypes.c_int64
     lib.cn_get_sam_aux.argtypes = [
         ctypes.c_void_p,
@@ -348,6 +354,23 @@ class NativeEngine:
                     if n_rec else np.empty(0, np.uint16))
             aux = (cb_a, co_a, md_b, mo_a, nm_a)
         return out, stats, aux
+
+    def set_rid_rank(self, ranks: List[int]) -> None:
+        """Custom chromosome order: rank per original rid (--chr-order)."""
+        self._rid_rank = np.asarray(ranks, dtype=np.int32)
+        self.lib.cn_set_rid_rank(self.ctx, _ptr(self._rid_rank),
+                                 len(self._rid_rank))
+
+    def get_pair_trimmed_lengths(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Per-pair read lengths after adapter trimming (last paired call)."""
+        p1 = ctypes.POINTER(ctypes.c_uint16)()
+        p2 = ctypes.POINTER(ctypes.c_uint16)()
+        n = self.lib.cn_get_pair_trimmed_lengths(self.ctx, ctypes.byref(p1),
+                                                 ctypes.byref(p2))
+        if not n:
+            return np.empty(0, np.uint16), np.empty(0, np.uint16)
+        return (np.ctypeslib.as_array(p1, shape=(n,)).copy(),
+                np.ctypeslib.as_array(p2, shape=(n,)).copy())
 
     def get_pair_flags(self) -> np.ndarray:
         """Per-pair flags from the last paired mapping call (bit0 = cache

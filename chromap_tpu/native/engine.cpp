@@ -2147,6 +2147,14 @@ struct CnContext {
   // either end (summary CACHEHIT, summary_metadata.h:17-25)
   std::vector<uint8_t> pair_flags;
 
+  // custom chromosome order (chromap.cc:916-923): candidate rids are
+  // reranked after paired reduction, before verification
+  std::vector<int32_t> rid_rank;
+
+  // per-pair read lengths after adapter trimming (PAF/SAM records carry
+  // the trimmed sequence); filled by the last paired mapping call
+  std::vector<uint16_t> pair_tl1, pair_tl2;
+
   // device-verification work buffers (phase split)
   std::vector<int64_t> wb_pattern_starts;
   std::vector<int32_t> wb_text_offsets;
@@ -2236,6 +2244,8 @@ static void SeedAndVerifyPair(
                   mp.min_read_length);
     l1 = (int)sc.read1.size();
     l2 = (int)sc.read2.size();
+    sc.l1 = l1;
+    sc.l2 = l2;
 
     sc.codes1.resize(l1);
     sc.codes2.resize(l2);
@@ -2313,6 +2323,22 @@ static void SeedAndVerifyPair(
     }
     if (n1 == 0 || n2 == 0) return;
     sc.n_cand = (int64_t)(n1 + n2);
+
+    if (!ctx->rid_rank.empty()) {
+      // --chr-order: rerank candidate rids to the custom order before
+      // verification (chromap.h:1060-1074, chromap.cc:916-923)
+      auto rerank = [&](std::vector<Candidate>& cands) {
+        for (auto& c : cands) {
+          uint64_t rid = (uint32_t)(c.position >> 32);
+          rid = (uint64_t)(uint32_t)ctx->rid_rank[rid];
+          c.position = (c.position & (uint64_t)0xffffffff) | (rid << 32);
+        }
+      };
+      rerank(s1.positive_candidates);
+      rerank(s1.negative_candidates);
+      rerank(s2.positive_candidates);
+      rerank(s2.negative_candidates);
+    }
 
     if (collect_mode) {
       CollectVerification(mp, ref, ref.offsets, sc.read1.data(),
@@ -2406,6 +2432,8 @@ static int64_t MapPairsCore(
 
   std::vector<int> best_indices(mp.max_num_best_mappings);
   ctx->pair_flags.assign((size_t)num_pairs, 0);
+  ctx->pair_tl1.assign((size_t)num_pairs, 0);
+  ctx->pair_tl2.assign((size_t)num_pairs, 0);
 
   // device-seed bookkeeping: per-pair flags and candidate cursors (the
   // cursor advances for every pair in order, whichever path handles it)
@@ -2475,6 +2503,8 @@ static int64_t MapPairsCore(
     st_hits += sc.cache_hit;
     ctx->pair_flags[pi] = sc.cache_hit;
     if (sc.status != 1) continue;
+    ctx->pair_tl1[pi] = (uint16_t)sc.l1;
+    ctx->pair_tl2[pi] = (uint16_t)sc.l2;
     st_cand += sc.n_cand;
 
     PairedState ps;
@@ -2747,6 +2777,21 @@ void cn_set_sam_params(CnContext* ctx, int match_score, int mismatch,
 int64_t cn_get_pair_flags(CnContext* ctx, const uint8_t** flags) {
   *flags = ctx->pair_flags.data();
   return (int64_t)ctx->pair_flags.size();
+}
+
+// Per-pair read lengths after adapter trimming from the last paired
+// mapping call; returns the pair count.
+int64_t cn_get_pair_trimmed_lengths(CnContext* ctx, const uint16_t** tl1,
+                                    const uint16_t** tl2) {
+  *tl1 = ctx->pair_tl1.data();
+  *tl2 = ctx->pair_tl2.data();
+  return (int64_t)ctx->pair_tl1.size();
+}
+
+// Custom chromosome order (--chr-order): rank per original rid
+// (chromap.cc:867-914 builds the table; candidates rerank pre-verification)
+void cn_set_rid_rank(CnContext* ctx, const int32_t* rank, int32_t n) {
+  ctx->rid_rank.assign(rank, rank + n);
 }
 
 // Enable Hi-C split (drop-off) alignment.

@@ -1,28 +1,37 @@
 """Device-resident seeding + verification: the TPU front half of mapping.
 
-One jitted program takes a padded batch of 2-bit-coded reads and produces,
+One jitted program takes a batch of 2-bit-packed reads and produces,
 entirely on device, what the host selection stage needs per read:
 
   minimizers   closed-form window-minimizer emission (the vectorized
                equivalent of minimizer_generator.cc:7-139, same derivation
                as ops/minimizer_vector.py, here in jnp over a (B, L) tile)
-  index probe  binary search over the sorted minimizer-hash array held in
-               HBM (the khash lookup of index_utils.h:13-58)
-  expansion    ragged occurrence-list gather into per-read hit slots with
-               the uint32 candidate-start arithmetic of index.cc:491-505
+  index probe  sort-method searchsorted over the sorted minimizer-hash
+               array held in HBM (the khash lookup of index_utils.h:13-58)
+  expansion    ragged occurrence-list gather with the uint32 candidate
+               arithmetic of index.cc:491-505
   clustering   an exact lax.scan port of the sequential cluster loop
                (candidate_processor.cc:283-342) -- sequential in the slot
                axis, vectorized over all reads
-  verification banded Myers edit distance over every candidate (the Pallas
-               kernel of ops/pallas_myers.py, one candidate per VPU lane)
+  verification banded Myers edit distance over every candidate (one
+               candidate per VPU lane, ops/pallas_myers.py)
 
-The download is compacted on device: one packed uint64 per read plus ~12
-bytes per candidate, sliced to the exact total so the (slow) device-to-host
-path moves no padding. Reads the vector path cannot reproduce exactly --
-hash ties inside a window, symmetric k-mers (even k), per-read capacity
-overflows, empty-first-round frequency escalation (candidate_processor.cc:
-24-59), and mate-rescue pairs (candidate_processor.cc:75-231) -- are
-flagged and re-run through the exact host path by the C++ finish stage.
+The work-proportional design: everything between the (B, L) elementwise
+stages and the (B, Hcap) cluster scan runs on FLAT arrays compacted across
+the whole batch, so gather/scatter element counts track the *actual*
+number of minimizers (~L/((w+1)/2) per read) and hits, not dense per-read
+capacities. Gathers of reference windows read 2-bit-packed u32 words (16
+bases per element) instead of one byte per base.
+
+The download is one packed u32 per read plus one packed u64 per candidate,
+sliced to the exact total (the d2h path here moves ~7 MB/s, so bytes are
+the budget); `resolve` unpacks to the wide DevSeedView format consumed by
+the C++ finish stage. Reads the vector path cannot reproduce exactly --
+hash ties inside a window, symmetric k-mers (even k), per-read hit/
+candidate-capacity overflows, empty-first-round frequency escalation
+(candidate_processor.cc:24-59), and mate-rescue pairs (candidate_
+processor.cc:75-231) -- are flagged and re-run through the exact host path
+by the C++ finish stage.
 
 Requires uint64 (jax_enable_x64); all dtypes here are explicit.
 """
@@ -39,8 +48,8 @@ import os
 import jax
 
 jax.config.update("jax_enable_x64", True)
-# the seeding program is large (u64 emulation + sort-based probe) and slow
-# to compile; persist compiled executables across processes
+# persist compiled executables across processes; the index/reference arrays
+# are jit *arguments* (not closed-over constants), so cache keys are stable
 _cache_dir = os.environ.get(
     "CHROMAP_TPU_JAX_CACHE",
     os.path.join(os.path.expanduser("~"), ".cache", "chromap_tpu_jax"))
@@ -59,6 +68,15 @@ UMAX32 = jnp.uint32(0xFFFFFFFF)
 # read-meta flag bits (must match engine.cpp DevSeedView)
 FLAG_FALLBACK = 1  # exact host path required for this read's pair
 FLAG_AUGMENT = 2   # no candidate supported by >= half the minimizers
+
+# capacities: per-read hit/candidate caps bound the dense cluster stage
+# (overflow -> exact host path per pair); the flat caps are per-batch-read
+# averages (overflow -> whole batch to the host engine, never wrong)
+HCAP = 128          # per-read hits (both strands)
+CCAP = 16           # per-read candidates per strand
+MZ_PER_READ = 40    # flat minimizer budget per read (~2L/(w+1) expected)
+HITS_PER_READ = 48  # flat hit budget per read
+CANDS_PER_READ = 4  # flat candidate budget per read
 
 
 def _hash64(key, mask):
@@ -94,8 +112,6 @@ def _window_values(b, k: int, reverse: bool):
     complemented bases). Positions with fewer than k prior columns hold
     garbage; callers mask on run length.
     """
-    # binary doubling: powers[m] holds the packed value of the m bases
-    # ending at p, for m = 1, 2, 4, ...
     m = 1
     power = b
     acc = None
@@ -107,8 +123,6 @@ def _window_values(b, k: int, reverse: bool):
                 acc = power
                 acc_len = m
             else:
-                # combine: earlier part = power (length m, at p - acc_len),
-                # later part = acc (length acc_len, at p)
                 earlier = _shift_right_cols(power, acc_len, U64(0))
                 if reverse:
                     acc = (acc << U64(2 * m)) | earlier
@@ -197,44 +211,6 @@ def _emission_stage(hashes, run, lengths, k: int, w: int):
     return emit, tie
 
 
-
-def _barrier(*arrays):
-    """Materialization fence: XLA's loop fusion serializes chained gathers
-    (gather-of-gather fuses into a per-element walk that runs ~100x slower
-    than the materialized form on TPU); a barrier between stages keeps each
-    gather a standalone vectorized kernel."""
-    out = lax.optimization_barrier(arrays)
-    return out if len(arrays) > 1 else out[0]
-
-def _compact_cols(mask, cap: int):
-    """Per-row stable compaction via cumsum + scatter: returns (B, cap)
-    int32 column indices of the masked columns in column order (an argsort
-    on TPU costs ~10x a scatter). Unfilled slots hold 0; callers mask on
-    position < count."""
-    B, L = mask.shape
-    dest = jnp.cumsum(mask, axis=1) - 1
-    rows = jnp.broadcast_to(
-        jnp.arange(B, dtype=jnp.int32)[:, None], (B, L))
-    cols = jnp.broadcast_to(
-        jnp.arange(L, dtype=jnp.int32)[None, :], (B, L))
-    flat_dest = jnp.where(mask & (dest < cap), rows * cap + dest, B * cap)
-    out = jnp.zeros((B * cap,), jnp.int32)
-    out = out.at[flat_dest].set(cols, mode="drop")
-    return out.reshape(B, cap)
-
-
-def _scatter_compact_flat(mask_flat, cap: int, *fields):
-    """Flat stable compaction: scatter each field's masked elements to the
-    front of a cap-sized buffer, preserving order."""
-    dest = jnp.cumsum(mask_flat) - 1
-    flat_dest = jnp.where(mask_flat & (dest < cap), dest, cap)
-    outs = []
-    for f in fields:
-        out = jnp.zeros((cap,), f.dtype)
-        outs.append(out.at[flat_dest].set(f, mode="drop"))
-    return outs
-
-
 def _cluster_scan(sort_hi, sort_lo, mm_count, num_required, e: int):
     """Exact port of the sequential cluster loop (candidate_processor.cc:
     283-342; ClusterHits in engine.cpp) as a lax.scan over sorted hit slots,
@@ -242,9 +218,10 @@ def _cluster_scan(sort_hi, sort_lo, mm_count, num_required, e: int):
 
     sort_hi/sort_lo: (B, H) uint32 sorted lexicographic hit keys, hi =
     strand<<31 | rid, lo = start; invalid slots are (UMAX32, UMAX32).
-    Emission i reports the cluster closed by slot i (or the final sentinel).
-    Returns (emit (B, H+1) bool, cand_hi, cand_lo (B, H+1) u32,
-    count (B, H+1) u8).
+    Emission i reports the cluster closed when processing slot i+1 (the
+    H-th output column comes from the appended sentinel, which closes the
+    final cluster). Returns (emit (B, H) bool, cand_hi, cand_lo (B, H)
+    u32, count (B, H) u8).
     """
     B, H = sort_hi.shape
     ethr = U32(e)
@@ -302,274 +279,374 @@ def _cluster_scan(sort_hi, sort_lo, mm_count, num_required, e: int):
     return emit.T, chi.T, clo.T, ccnt.T
 
 
+def _unpack_codes(packed, nmask, B: int, L: int):
+    """(B, W) u32 2-bit words + (B, WN) u32 N-bitmaps -> (B, L) u8 codes
+    with 4 at N positions. Static per-column word/shift indices compile to
+    strided slices, not gathers."""
+    cols = np.arange(L)
+    words = jnp.repeat(packed, 16, axis=1)[:, :L]
+    shifts = jnp.asarray((2 * (cols % 16)).astype(np.uint32))[None, :]
+    code2 = (words >> shifts) & U32(3)
+    nwords = jnp.repeat(nmask, 32, axis=1)[:, :L]
+    nshift = jnp.asarray((cols % 32).astype(np.uint32))[None, :]
+    nbit = (nwords >> nshift) & U32(1)
+    return jnp.where(nbit == 1, jnp.uint8(4), code2.astype(jnp.uint8))
+
+
+def _flat_compact(mask2d, cap: int):
+    """Row-major flat compaction of a (B, L) mask: returns (flat source
+    index u32 (cap,), total i32). Overflowing elements are dropped (callers
+    gate on total)."""
+    B, L = mask2d.shape
+    m8 = mask2d.astype(jnp.int32)
+    flat = m8.reshape(-1)
+    dest = jnp.cumsum(flat) - 1
+    total = dest[-1] + 1
+    src = jnp.arange(B * L, dtype=jnp.uint32)
+    fd = jnp.where(mask2d.reshape(-1) & (dest < cap), dest, cap)
+    out = jnp.zeros((cap,), jnp.uint32)
+    out = out.at[fd].set(src, mode="drop")
+    return out, total
+
+
+def _gather_ref_windows(ref_words, ref_nwords, pstart, span: int,
+                        captot: int):
+    """Gather span-base reference windows from 2-bit packed words.
+
+    ref_words: (GW,) u32 (16 bases each); ref_nwords: (GN,) u32 N-bitmaps
+    (32 bases each); pstart: (captot,) int64 base offsets (clamped valid).
+    Returns (captot, span) int32 codes with 4 at N positions."""
+    nw = span // 16 + 2
+    word0 = (pstart >> 3 >> 1).astype(jnp.int64)  # pstart // 16
+    rem = (pstart & 15).astype(jnp.uint32)
+    gidx = word0[:, None] + jnp.arange(nw, dtype=jnp.int64)[None, :]
+    gidx = jnp.clip(gidx, 0, ref_words.shape[0] - 1)
+    gw = ref_words[gidx]                              # (captot, nw)
+    sh = (2 * rem)[:, None]
+    lo = gw[:, :-1] >> sh
+    hi_part = jnp.where((rem == 0)[:, None], U32(0),
+                        gw[:, 1:] << ((U32(32) - 2 * rem) % U32(32))[:, None])
+    aligned = lo | hi_part                            # (captot, nw-1)
+
+    cols = np.arange(span)
+    words = jnp.repeat(aligned, 16, axis=1)[:, :span]
+    shifts = jnp.asarray((2 * (cols % 16)).astype(np.uint32))[None, :]
+    code2 = ((words >> shifts) & U32(3)).astype(jnp.int32)
+
+    nnw = span // 32 + 2
+    nword0 = (pstart >> 5).astype(jnp.int64)
+    nrem = (pstart & 31).astype(jnp.uint32)
+    nidx = nword0[:, None] + jnp.arange(nnw, dtype=jnp.int64)[None, :]
+    nidx = jnp.clip(nidx, 0, ref_nwords.shape[0] - 1)
+    gn = ref_nwords[nidx]
+    nlo = gn[:, :-1] >> nrem[:, None]
+    nhi = jnp.where((nrem == 0)[:, None], U32(0),
+                    gn[:, 1:] << ((U32(32) - nrem) % U32(32))[:, None])
+    naligned = nlo | nhi
+    nw_rep = jnp.repeat(naligned, 32, axis=1)[:, :span]
+    nshifts = jnp.asarray((cols % 32).astype(np.uint32))[None, :]
+    nbit = (nw_rep >> nshifts) & U32(1)
+    return jnp.where(nbit == 1, jnp.int32(4), code2)
+
+
+def _build_step(k: int, w: int, e: int, f0: int, f1: int, min_seeds: int,
+                num_refs: int, use_pallas: bool):
+    """Returns the jittable batch step; index/reference arrays are
+    arguments so compiled executables are reusable (and cacheable on disk)
+    across processes."""
+
+    def step(packed, nmask, lengths, hash_keys, offcnt, occurrences,
+             ref_words, ref_nwords, ref_lens, ref_offsets,
+             L: int, B: int, Mtot: int, Htot: int, captot: int):
+        # ---- unpack + minimizers (dense (B, L) elementwise) -------------
+        codes = _unpack_codes(packed, nmask, B, L)
+        h, strand, symmetric, run = _kmer_stage(codes, k)
+        emit, tie = _emission_stage(h, run, lengths, k, w)
+        mm_count = emit.sum(axis=1).astype(jnp.int32)
+        bad_mz = (tie | symmetric).any(axis=1) | (lengths != L)
+
+        # ---- flat minimizer compaction ----------------------------------
+        fsrc, total_mz = _flat_compact(emit, Mtot)     # (Mtot,), i32
+        mz_valid = jnp.arange(Mtot, dtype=jnp.int32) < total_mz
+        mz_h = jnp.where(mz_valid, h.reshape(-1)[fsrc], UMAX64)
+        mz_row = (fsrc // L).astype(jnp.int32)
+        mz_pos = (fsrc % L).astype(jnp.uint32)
+        mz_strand = strand.reshape(-1)[fsrc]
+        # one-gather expansion metadata: row<<9 | pos<<1 | strand
+        mz_packmeta = ((fsrc // L) << U32(9)) | (mz_pos << U32(1)) \
+            | mz_strand.astype(jnp.uint32)
+
+        # ---- index probe ------------------------------------------------
+        loc = jnp.searchsorted(hash_keys, mz_h, side="left", method="sort")
+        loc = jnp.minimum(loc, hash_keys.shape[0] - 1)
+        found = (hash_keys[loc] == mz_h) & mz_valid
+        oc = offcnt[loc]
+        off = (oc >> U64(12)).astype(jnp.int64)
+        cnt = jnp.where(found, (oc & U64(0xFFF)).astype(jnp.int32), 0)
+
+        # round-1 frequency cap (candidate_processor.cc:24-32)
+        cnt_eff = jnp.where(cnt < f0, cnt, 0)
+        # per-read aggregates (segment sums by row)
+        total_rd = jnp.zeros((B,), jnp.int32).at[mz_row].add(
+            cnt_eff, mode="drop")
+        esc = jnp.zeros((B,), jnp.int32).at[mz_row].add(
+            ((cnt > 0) & (cnt < f1)).astype(jnp.int32), mode="drop")
+        # empty round 1 with a round-2 cap that would admit hits:
+        # frequency escalation -> exact host path
+        round2 = (total_rd == 0) & (esc > 0)
+        overflow_rd = total_rd > HCAP
+
+        # ---- repetitive-seed stats (index.cc:507-523) -------------------
+        # segmented scan-free form: for each repetitive minimizer, find the
+        # previous repetitive one in the same read via cummax, then add
+        # min(gap, k) (positions ascend within a read, so prev <= pos)
+        rep_mask = found & (cnt >= f0)
+        slot_idx = jnp.arange(Mtot, dtype=jnp.int32)
+        prev_incl = lax.cummax(jnp.where(rep_mask, slot_idx, -1))
+        prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32),
+                                prev_incl[:-1]])
+        prev_c = jnp.maximum(prev, 0)
+        same_row = (prev >= 0) & (mz_row[prev_c] == mz_row)
+        prev_pos = mz_pos[prev_c]
+        gap = mz_pos - prev_pos
+        inc = jnp.where(~same_row, jnp.uint32(k),
+                        jnp.where(gap < jnp.uint32(k + w - 1), gap,
+                                  jnp.uint32(k)))
+        rep_len = jnp.zeros((B,), jnp.uint32).at[mz_row].add(
+            jnp.where(rep_mask, inc, 0), mode="drop")
+        rep_count = jnp.zeros((B,), jnp.int32).at[mz_row].add(
+            rep_mask.astype(jnp.int32), mode="drop")
+        num_required = jnp.clip(mm_count - rep_count, 1, min_seeds)
+
+        # ---- flat occurrence expansion (index.cc:237-349) ---------------
+        hcum = jnp.cumsum(cnt_eff)                     # inclusive, (Mtot,)
+        total_hits = hcum[-1]
+        hbase = hcum - cnt_eff                         # exclusive
+        hist = jnp.zeros((Htot + 1,), jnp.int32)
+        hist = hist.at[jnp.minimum(hcum, Htot)].add(1, mode="drop")
+        mi = jnp.cumsum(hist[:Htot])                   # owner minimizer/slot
+        mi = jnp.minimum(mi, Mtot - 1)
+        slots = jnp.arange(Htot, dtype=jnp.int32)
+        slot_ok = slots < jnp.minimum(total_hits, Htot)
+        base = hbase[mi]
+        occ_idx = off[mi] + (slots - base).astype(jnp.int64)
+        occ_idx = jnp.clip(occ_idx, 0, occurrences.shape[0] - 1)
+        occ = occurrences[occ_idx]
+        meta_i = mz_packmeta[mi]
+        hit_row = (meta_i >> U32(9)).astype(jnp.int32)
+        read_pos = (meta_i >> U32(1)) & U32(0xFF)
+        m_strand = meta_i & U32(1)
+
+        rid = (occ >> U64(33)).astype(jnp.uint32)
+        ref_pos = (occ >> U64(1)).astype(jnp.uint32)
+        same = (occ & U64(1)).astype(jnp.uint32) == m_strand
+        start = jnp.where(same, ref_pos - read_pos,
+                          ref_pos + read_pos - U32(k - 1))
+        hit_hi = jnp.where(same, rid, rid | U32(1 << 31))
+        hit_hi = jnp.where(slot_ok, hit_hi, UMAX32)
+        hit_lo = jnp.where(slot_ok, start, UMAX32)
+
+        # ---- per-read sort + scatter to the dense cluster tile ----------
+        key1 = (jnp.where(slot_ok, hit_row, B).astype(jnp.uint64)
+                << U64(32)) | hit_hi.astype(jnp.uint64)
+        skey, s_lo = lax.sort((key1, hit_lo), num_keys=2)
+        s_hi = (skey & U64(0xFFFFFFFF)).astype(jnp.uint32)
+        s_row = jnp.minimum((skey >> U64(32)).astype(jnp.int32), B - 1)
+        # hits per read are contiguous after the stable flat sort; the
+        # in-read rank is the slot index minus the read's first slot
+        read_base = jnp.zeros((B,), jnp.int32).at[hit_row].add(
+            jnp.where(slot_ok, 1, 0), mode="drop")
+        read_start = jnp.cumsum(read_base) - read_base  # exclusive per read
+        dest_in = slots - read_start[s_row]
+        dense_hi = jnp.full((B, HCAP), UMAX32)
+        dense_lo = jnp.full((B, HCAP), UMAX32)
+        okd = slot_ok & (dest_in >= 0) & (dest_in < HCAP)
+        flatd = jnp.where(okd, s_row * HCAP + dest_in, B * HCAP)
+        dense_hi = dense_hi.reshape(-1).at[flatd].set(
+            s_hi, mode="drop").reshape(B, HCAP)
+        dense_lo = dense_lo.reshape(-1).at[flatd].set(
+            s_lo, mode="drop").reshape(B, HCAP)
+
+        # ---- cluster (exact sequential semantics) ------------------------
+        cl_emit, cl_hi, cl_lo, cl_cnt = _cluster_scan(
+            dense_hi, dense_lo, mm_count, num_required, e)
+
+        cl_neg = (cl_hi >> 31).astype(jnp.uint8)
+        n_pos = (cl_emit & (cl_neg == 0)).sum(axis=1).astype(jnp.int32)
+        n_neg = (cl_emit & (cl_neg == 1)).sum(axis=1).astype(jnp.int32)
+        cand_over = (n_pos > CCAP) | (n_neg > CCAP)
+
+        fallback = bad_mz | round2 | overflow_rd | cand_over
+        n_pos = jnp.where(fallback, 0, n_pos)
+        n_neg = jnp.where(fallback, 0, n_neg)
+
+        # augment trigger (candidate_processor.cc:86-103): no candidate
+        # supported by >= half the minimizers
+        half = (mm_count // 2).astype(jnp.uint32)
+        supported = (cl_emit
+                     & (cl_cnt.astype(jnp.uint32) >= half[:, None]))
+        augment = ~supported.any(axis=1)
+
+        # ---- flat candidate compaction ----------------------------------
+        csrc, total_cands = _flat_compact(
+            cl_emit & ~fallback[:, None], captot)
+        sel_real = jnp.arange(captot, dtype=jnp.int32) < total_cands
+        cl_w = cl_emit.shape[1]
+        sc_hi = cl_hi.reshape(-1)[csrc]
+        sc_lo = cl_lo.reshape(-1)[csrc]
+        sc_cnt = cl_cnt.reshape(-1)[csrc]
+        sc_row = (csrc // cl_w).astype(jnp.int32)
+
+        # ---- verification (alignment.cc:141-192 per candidate) ----------
+        crid = sc_hi & U32(0x7FFFFFFF)
+        cneg = (sc_hi >> 31).astype(jnp.uint8)
+        position = jnp.where(cneg == 1, sc_lo - U32(L - 1), sc_lo)
+        pos64 = position.astype(jnp.int64)
+        rid_c = jnp.minimum(crid, num_refs - 1).astype(jnp.int32)
+        rl = jnp.where(crid < num_refs, ref_lens[rid_c], 0)
+        vvalid = (sel_real & (crid < num_refs)
+                  & (pos64 >= e) & (pos64 < rl)
+                  & (pos64 + L + e < rl))
+        pstart = jnp.where(vvalid, ref_offsets[rid_c] + pos64 - e, 0)
+        patterns = _gather_ref_windows(ref_words, ref_nwords, pstart,
+                                       L + 2 * e, captot)
+
+        rc_codes = jnp.where(codes[:, ::-1] < 4, codes[:, ::-1] ^ 3, 4)
+        text_sel = jnp.where((cneg == 1)[:, None],
+                             rc_codes[sc_row, :],
+                             codes[sc_row, :]).astype(jnp.int32)
+
+        from .pallas_myers import myers_jnp
+        err, endp = myers_jnp(patterns.T, text_sel.T, e, L)
+        # pack: err clamps at e+1 (only <= e is ever consumed), endp is
+        # band-relative (end - (L-1) in [0, 2e])
+        err_p = jnp.clip(err, 0, e + 1).astype(jnp.uint64)
+        endp_p = jnp.clip(endp - (L - 1), 0, 2 * e).astype(jnp.uint64)
+
+        # ---- packed outputs ---------------------------------------------
+        flags = (fallback.astype(jnp.uint32) * FLAG_FALLBACK
+                 | augment.astype(jnp.uint32) * FLAG_AUGMENT)
+        read_meta = (jnp.minimum(mm_count, 255).astype(jnp.uint32)
+                     | (jnp.minimum(rep_len, 511) << U32(8))
+                     | (flags << U32(17))
+                     | (n_pos.astype(jnp.uint32) << U32(19))
+                     | (n_neg.astype(jnp.uint32) << U32(24)))
+        cand = (sc_lo.astype(jnp.uint64)
+                | (crid.astype(jnp.uint64) << U64(32))
+                | (sc_cnt.astype(jnp.uint64) << U64(46))
+                | (err_p << U64(54))
+                | (endp_p << U64(59)))
+        cand = jnp.where(sel_real, cand, U64(0))
+        batch_over = ((total_mz > Mtot) | (total_hits > Htot)
+                      | (total_cands > captot))
+        return read_meta, cand, total_cands, batch_over
+
+    return step
+
+
+@functools.lru_cache(maxsize=8)
+def _jitted_step(k, w, e, f0, f1, min_seeds, num_refs, use_pallas):
+    return jax.jit(
+        _build_step(k, w, e, f0, f1, min_seeds, num_refs, use_pallas),
+        static_argnames=("L", "B", "Mtot", "Htot", "captot"))
+
+
+def _pack_reads(codes: np.ndarray):
+    """(B, L) u8 codes -> ((B, W) u32 2-bit words, (B, WN) u32 N-bitmaps).
+    Keeps the h2d payload at ~2.25 bits/base."""
+    B, L = codes.shape
+    W = (L + 15) // 16
+    WN = (L + 31) // 32
+    pad = np.zeros((B, 16 * W - L), np.uint8)
+    c = np.concatenate([codes, pad], axis=1)
+    c2 = (c & 3).astype(np.uint32).reshape(B, W, 16)
+    shifts = (2 * np.arange(16, dtype=np.uint32))[None, None, :]
+    packed = (c2 << shifts).sum(axis=2, dtype=np.uint32)
+    padn = np.zeros((B, 32 * WN - L), np.uint8)
+    n = np.concatenate([codes >= 4, padn.astype(bool)], axis=1)
+    n2 = n.astype(np.uint32).reshape(B, WN, 32)
+    nshifts = np.arange(32, dtype=np.uint32)[None, None, :]
+    nmask = (n2 << nshifts).sum(axis=2, dtype=np.uint32)
+    return packed, nmask
+
+
+def _pack_genome(ref_codes: np.ndarray):
+    """(G,) u8 codes -> ((GW,) u32 2-bit words, (GN,) u32 N-bitmaps)."""
+    G = len(ref_codes)
+    GW = (G + 15) // 16 + 2
+    GN = (G + 31) // 32 + 2
+    c = np.zeros(16 * GW, np.uint8)
+    c[:G] = ref_codes & 3
+    c2 = c.astype(np.uint32).reshape(GW, 16)
+    words = (c2 << (2 * np.arange(16, dtype=np.uint32))[None, :]).sum(
+        axis=1, dtype=np.uint32)
+    n = np.zeros(32 * GN, bool)
+    n[:G] = ref_codes >= 4
+    n2 = n.astype(np.uint32).reshape(GN, 32)
+    nwords = (n2 << np.arange(32, dtype=np.uint32)[None, :]).sum(
+        axis=1, dtype=np.uint32)
+    return words, nwords
+
+
 class DeviceSeeder:
     """Holds the device-resident index/reference and the jitted batch step.
 
-    Capacities (minimizers/hits/candidates per read) bound the dense
-    buffers; reads that exceed any of them are flagged for the exact host
-    path, so caps trade device memory against fallback rate, never
-    correctness.
+    Per-read capacities (HCAP hits, CCAP candidates/strand) route
+    overflowing reads to the exact host path; the flat per-batch budgets
+    (minimizers/hits/candidates) trade device memory against whole-batch
+    fallback, never correctness.
     """
 
     def __init__(self, index, ref_seqs, error_threshold: int,
                  min_num_seeds: int, max_seed_frequencies,
-                 mcap: int = 64, hcap: int = 128, ccap: int = 16,
-                 use_pallas: bool | None = None):
+                 use_pallas: bool | None = None, **_compat):
         self.k = int(index.kmer_size)
         self.w = int(index.window_size)
         self.e = int(error_threshold)
         self.f0 = int(max_seed_frequencies[0])
         self.f1 = int(max_seed_frequencies[1])
         self.min_num_seeds = int(min_num_seeds)
-        self.mcap = mcap
-        self.hcap = hcap
-        self.ccap = ccap
         if use_pallas is None:
             # the jnp Myers fuses into one XLA loop kernel and sustains
             # >1 T band-cells/s on v5e; it also composes with the x64
-            # tracing this module needs (the Pallas kernel's fori_loop does
-            # not lower under x64 yet)
+            # tracing this module needs
             use_pallas = False
         self.use_pallas = use_pallas
+        self.num_refs = len(ref_seqs)
+        # packed-candidate format bounds: rid in 14 bits, occurrence counts
+        # saturate at 12 bits (anything >= f1 behaves identically)
+        if self.num_refs >= (1 << 14):
+            raise ValueError("device seeding supports < 16384 reference "
+                             "sequences (packed candidate format)")
+        if self.f1 > 4000:
+            raise ValueError("device seeding requires max seed frequency "
+                             "<= 4000 (12-bit saturating counts)")
 
-        self.hash_keys = jnp.asarray(index.hash_keys, dtype=jnp.uint64)
-        self.offsets = jnp.asarray(
-            np.asarray(index.offsets, dtype=np.int64))
-        self.counts = jnp.asarray(
-            np.asarray(index.counts, dtype=np.int32))
-        self.occurrences = jnp.asarray(index.occurrences,
-                                       dtype=jnp.uint64)
+        self.hash_keys = jax.device_put(
+            jnp.asarray(index.hash_keys, dtype=jnp.uint64))
+        off = np.asarray(index.offsets, dtype=np.uint64)
+        cnt = np.asarray(index.counts, dtype=np.uint64)
+        self.offcnt = jax.device_put(jnp.asarray(
+            (off << np.uint64(12)) | np.minimum(cnt, 0xFFF)))
+        self.occurrences = jax.device_put(
+            jnp.asarray(index.occurrences, dtype=jnp.uint64))
         tbl = np.full(256, 4, np.uint8)
         for i, c in enumerate(b"ACGT"):
             tbl[c] = i
         for i, c in enumerate(b"acgt"):
             tbl[c] = i
         ref_codes = tbl[np.frombuffer(b"".join(ref_seqs), np.uint8)]
-        self.ref_codes = jnp.asarray(ref_codes)
+        words, nwords = _pack_genome(ref_codes)
+        self.ref_words = jax.device_put(jnp.asarray(words))
+        self.ref_nwords = jax.device_put(jnp.asarray(nwords))
         lens = np.array([len(s) for s in ref_seqs], dtype=np.int64)
-        self.ref_lens = jnp.asarray(lens)
-        off = np.zeros(len(ref_seqs), dtype=np.int64)
-        np.cumsum(lens[:-1], out=off[1:])
-        self.ref_offsets = jnp.asarray(off)
-        self.num_refs = len(ref_seqs)
-        assert self.num_refs < (1 << 31)
-        self._step = jax.jit(self._build_step(),
-                             static_argnames=("L", "captot"))
-
-    # ------------------------------------------------------------------
-    def _build_step(self):
-        k, w, e = self.k, self.w, self.e
-        f0, f1 = self.f0, self.f1
-        min_seeds = self.min_num_seeds
-        Mcap, Hcap, Ccap = self.mcap, self.hcap, self.ccap
-        hash_keys = self.hash_keys
-        offsets = self.offsets
-        counts = self.counts
-        occurrences = self.occurrences
-        ref_codes = self.ref_codes
-        ref_lens = self.ref_lens
-        ref_offsets = self.ref_offsets
-        num_refs = self.num_refs
-        use_pallas = self.use_pallas
-
-        def step(codes, lengths, L: int, captot: int):
-            B = codes.shape[0]
-
-            # ---- minimizers --------------------------------------------
-            h, strand, symmetric, run = _barrier(
-                *_kmer_stage(codes, k))
-            emit, tie = _barrier(*_emission_stage(h, run, lengths, k, w))
-            mm_count = emit.sum(axis=1).astype(jnp.int32)
-            bad_mz = ((tie | symmetric).any(axis=1) | (mm_count > Mcap)
-                      | (lengths != L))
-
-            mz_cols = _barrier(_compact_cols(emit, Mcap))  # (B, Mcap)
-            mz_valid = (jnp.arange(Mcap, dtype=jnp.int32)[None, :]
-                        < jnp.minimum(mm_count, Mcap)[:, None])
-            mz_hash, mz_strand = _barrier(
-                jnp.take_along_axis(h, mz_cols, axis=1),
-                jnp.take_along_axis(strand, mz_cols, axis=1))
-            mz_pos = mz_cols.astype(jnp.uint32)
-
-            # ---- index probe -------------------------------------------
-            flat = mz_hash.reshape(-1)
-            loc = jnp.searchsorted(hash_keys, flat, side="left",
-                                   method="sort")
-            loc = _barrier(jnp.minimum(loc, hash_keys.shape[0] - 1))
-            found = (hash_keys[loc] == flat).reshape(B, Mcap) & mz_valid
-            off = offsets[loc].reshape(B, Mcap)
-            cnt = jnp.where(found, counts[loc].reshape(B, Mcap), 0)
-            found, off, cnt = _barrier(found, off, cnt)
-
-            # round-1 frequency cap (candidate_processor.cc:24-32)
-            cnt_eff = jnp.where(cnt < f0, cnt, 0)
-            total = cnt_eff.sum(axis=1)
-            # empty round 1 with a round-2 cap that would admit hits:
-            # frequency escalation -> exact host path
-            round2 = (total == 0) & ((cnt > 0) & (cnt < f1)).any(axis=1)
-            overflow = total > Hcap
-
-            # ---- repetitive-seed stats (index.cc:507-523) --------------
-            rep_mask = found & (cnt >= f0)
-
-            def rep_step(carry, x):
-                prev, length = carry
-                is_rep, pos = x
-                pos64 = pos.astype(jnp.uint64)
-                inc = jnp.where(
-                    prev > pos64, jnp.uint32(k),
-                    jnp.where(pos64 < prev + U64(k + w - 1),
-                              (pos64 - prev).astype(jnp.uint32),
-                              jnp.uint32(k)))
-                length = jnp.where(is_rep, length + inc, length)
-                prev = jnp.where(is_rep, pos64, prev)
-                return (prev, length), None
-
-            rep_init = (jnp.full((B,), 1 << 32, jnp.uint64),
-                        jnp.zeros((B,), jnp.uint32))
-            (_, rep_len), _ = lax.scan(rep_step, rep_init,
-                                       (rep_mask.T, mz_pos.T))
-            rep_count = rep_mask.sum(axis=1).astype(jnp.int32)
-            num_required = jnp.clip(mm_count - rep_count, 1, min_seeds)
-
-            # ---- occurrence expansion (index.cc:237-349) ---------------
-            cum = jnp.cumsum(cnt_eff, axis=1)
-            slots = jnp.broadcast_to(
-                jnp.arange(Hcap, dtype=jnp.int32)[None, :], (B, Hcap))
-            # mi[s] = #{j : cum[j] <= s} (a searchsorted-right), computed as
-            # an inclusive prefix sum of the cum-value histogram
-            hist = jnp.zeros((B, Hcap + 1), jnp.int32)
-            hist = hist.at[
-                jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None],
-                                 (B, Mcap)),
-                jnp.minimum(cum, Hcap)].add(1, mode="drop")
-            mi = jnp.cumsum(hist[:, :Hcap], axis=1)
-            mi = _barrier(jnp.minimum(mi, Mcap - 1))
-            base = jnp.where(mi > 0,
-                             jnp.take_along_axis(cum, jnp.maximum(mi - 1, 0),
-                                                 axis=1), 0)
-            occ_idx = (jnp.take_along_axis(off, mi, axis=1)
-                       + (slots - base).astype(jnp.int64))
-            slot_ok = slots < jnp.minimum(total, Hcap)[:, None]
-            occ_idx = _barrier(jnp.clip(occ_idx, 0,
-                                        occurrences.shape[0] - 1))
-            occ = _barrier(occurrences[occ_idx])
-            rid = (occ >> U64(33)).astype(jnp.uint32)
-            ref_pos = (occ >> U64(1)).astype(jnp.uint32)
-            m_strand = jnp.take_along_axis(mz_strand, mi, axis=1)
-            same = (occ & U64(1)).astype(jnp.uint8) == m_strand
-            read_pos = jnp.take_along_axis(mz_pos, mi, axis=1)
-            start = jnp.where(same, ref_pos - read_pos,
-                              ref_pos + read_pos - U32(k - 1))
-            hit_hi = jnp.where(same, rid, rid | U32(1 << 31))
-            hit_hi, hit_lo = _barrier(jnp.where(slot_ok, hit_hi, UMAX32),
-                                      jnp.where(slot_ok, start, UMAX32))
-
-            # ---- per-read sort + cluster -------------------------------
-            sort_hi, sort_lo = lax.sort((hit_hi, hit_lo), dimension=1,
-                                        num_keys=2)
-            cl_emit, cl_hi, cl_lo, cl_cnt = _cluster_scan(
-                sort_hi, sort_lo, mm_count, num_required, e)
-
-            cl_neg = (cl_hi >> 31).astype(jnp.uint8)     # strand bit
-            n_pos = (cl_emit & (cl_neg == 0)).sum(axis=1).astype(jnp.int32)
-            n_neg = (cl_emit & (cl_neg == 1)).sum(axis=1).astype(jnp.int32)
-            cand_over = (n_pos > Ccap) | (n_neg > Ccap)
-
-            fallback = bad_mz | round2 | overflow | cand_over
-            n_pos = jnp.where(fallback, 0, n_pos)
-            n_neg = jnp.where(fallback, 0, n_neg)
-            n_all = n_pos + n_neg
-
-            # compact emitted clusters (strand-major, position order) into
-            # (B, 2*Ccap)
-            C2 = 2 * Ccap
-            csel = _barrier(_compact_cols(cl_emit & ~fallback[:, None],
-                                          C2))
-            cand_hi, cand_lo, cand_cnt = _barrier(
-                jnp.take_along_axis(cl_hi, csel, axis=1),
-                jnp.take_along_axis(cl_lo, csel, axis=1),
-                jnp.take_along_axis(cl_cnt, csel, axis=1))
-            cand_real = (jnp.arange(C2, dtype=jnp.int32)[None, :]
-                         < n_all[:, None])
-
-            # augment trigger (candidate_processor.cc:86-103): no candidate
-            # supported by >= half the minimizers
-            half = (mm_count // 2).astype(jnp.uint32)
-            supported = (cand_real
-                         & (cand_cnt.astype(jnp.uint32) >= half[:, None]))
-            augment = ~supported.any(axis=1)
-
-            # ---- compact candidates (row-major) before verification -----
-            flags = (fallback.astype(jnp.uint64) * FLAG_FALLBACK
-                     | augment.astype(jnp.uint64) * FLAG_AUGMENT)
-            read_meta = (jnp.minimum(mm_count, 255).astype(jnp.uint64)
-                         | (jnp.minimum(rep_len, 0xFFFF).astype(jnp.uint64)
-                            << U64(8))
-                         | (flags << U64(24))
-                         | (n_pos.astype(jnp.uint64) << U64(32))
-                         | (n_neg.astype(jnp.uint64) << U64(40)))
-
-            flat_real = cand_real.reshape(-1)
-            rows2 = jnp.broadcast_to(
-                jnp.arange(B, dtype=jnp.int32)[:, None],
-                (B, C2)).reshape(-1)
-            sc_hi, sc_lo, sc_cnt, sc_row = _barrier(*_scatter_compact_flat(
-                flat_real, captot, cand_hi.reshape(-1), cand_lo.reshape(-1),
-                cand_cnt.reshape(-1), rows2))
-            total_cands = flat_real.sum()
-            sel_real = jnp.arange(captot, dtype=jnp.int32) < total_cands
-
-            # ---- verification (alignment.cc:141-192 per candidate) ------
-            crid = sc_hi & U32(0x7FFFFFFF)
-            cneg = (sc_hi >> 31).astype(jnp.uint8)
-            position = jnp.where(cneg == 1, sc_lo - U32(L - 1), sc_lo)
-            pos64 = position.astype(jnp.int64)
-            rid_c = jnp.minimum(crid, num_refs - 1).astype(jnp.int32)
-            rl = jnp.where(crid < num_refs, ref_lens[rid_c], 0)
-            vvalid = (sel_real & (crid < num_refs)
-                      & (pos64 >= e) & (pos64 < rl)
-                      & (pos64 + L + e < rl))
-            pstart = jnp.where(vvalid, ref_offsets[rid_c] + pos64 - e, 0)
-
-            gidx = (pstart[:, None]
-                    + jnp.arange(L + 2 * e, dtype=jnp.int64)[None, :])
-            gidx = _barrier(jnp.clip(gidx, 0, ref_codes.shape[0] - 1))
-            patterns = _barrier(
-                ref_codes[gidx].astype(jnp.int32))  # (captot, L+2e)
-
-            rc_codes = jnp.where(codes[:, ::-1] < 4, codes[:, ::-1] ^ 3, 4)
-            text_sel = _barrier(jnp.where((cneg == 1)[:, None],
-                                          rc_codes[sc_row, :],
-                                          codes[sc_row, :]).astype(jnp.int32))
-
-            from .pallas_myers import LANE_TILE, myers_jnp
-            if use_pallas:
-                from .pallas_myers import myers_device
-                pad = (-captot) % LANE_TILE
-                pt = jnp.concatenate(
-                    [patterns.T, jnp.zeros((L + 2 * e, pad), jnp.int32)],
-                    axis=1)
-                tt = jnp.concatenate(
-                    [text_sel.T, jnp.zeros((L, pad), jnp.int32)], axis=1)
-                err, endp = myers_device(pt, tt, e, L)
-                err, endp = err[:captot], endp[:captot]
-            else:
-                err, endp = myers_jnp(patterns.T, text_sel.T, e, L)
-            err = jnp.clip(err, 0, 255).astype(jnp.uint32)
-            endp = jnp.clip(endp, 0, 255).astype(jnp.uint32)
-
-            out_pos = jnp.where(
-                sel_real,
-                (crid.astype(jnp.uint64) << U64(32))
-                | sc_lo.astype(jnp.uint64), U64(0))
-            out_meta = jnp.where(
-                sel_real,
-                sc_cnt.astype(jnp.uint32) | (err << U32(8))
-                | (endp << U32(16)), U32(0))
-            return read_meta, out_pos, out_meta, total_cands
-
-        return step
+        self.ref_lens = jax.device_put(jnp.asarray(lens))
+        offr = np.zeros(len(ref_seqs), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offr[1:])
+        self.ref_offsets = jax.device_put(jnp.asarray(offr))
+        self._step = _jitted_step(self.k, self.w, self.e, self.f0, self.f1,
+                                  self.min_num_seeds, self.num_refs,
+                                  self.use_pallas)
 
     # ------------------------------------------------------------------
     def submit(self, codes: np.ndarray, lengths: np.ndarray):
@@ -577,28 +654,60 @@ class DeviceSeeder:
         Device compute and the host's work on other batches overlap until
         `resolve` forces the (small, exact-length) download."""
         B, L = codes.shape
-        captot = 4 * B
-        out = self._step(jnp.asarray(codes),
+        Mtot = MZ_PER_READ * B
+        Htot = HITS_PER_READ * B
+        captot = CANDS_PER_READ * B
+        packed, nmask = _pack_reads(codes)
+        out = self._step(jnp.asarray(packed), jnp.asarray(nmask),
                          jnp.asarray(lengths, dtype=jnp.int32),
-                         L=L, captot=captot)
-        return (out, captot)
+                         self.hash_keys, self.offcnt, self.occurrences,
+                         self.ref_words, self.ref_nwords, self.ref_lens,
+                         self.ref_offsets,
+                         L=L, B=B, Mtot=Mtot, Htot=Htot, captot=captot)
+        read_meta, cand, total_cands, batch_over = out
+        for a in out:
+            try:
+                a.copy_to_host_async()
+            except Exception:
+                pass
+        return (out, captot, L)
 
     def resolve(self, handle
                 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, bool]:
         """Blocks on a submitted batch. Returns (read_meta u64 (B,),
-        cand_pos u64, cand_meta u32, batch_overflow); candidates are
+        cand_pos u64, cand_meta u32, batch_overflow) in the wide
+        DevSeedView layout the C++ finish stage consumes; candidates are
         row-major (read, strand, position-order) and sliced to the exact
-        total so the d2h transfer moves no padding."""
-        (read_meta, out_pos, out_meta, total), captot = handle
-        total = int(total)
-        if total > captot:
-            # whole batch exceeds the compaction budget: caller should use
-            # the host engine for this batch
+        total so the (slow) d2h path moves no padding."""
+        (read_meta, cand, total_cands, batch_over), captot, L = handle
+        if bool(batch_over):
+            # flat budget exceeded: caller maps this batch on the host
             return None, None, None, True
-        meta_np = np.asarray(read_meta)
-        pos_np = np.asarray(out_pos[:total])
-        cmeta_np = np.asarray(out_meta[:total])
-        return meta_np, pos_np, cmeta_np, False
+        total = int(total_cands)
+        meta32 = np.asarray(read_meta)
+        cand64 = np.asarray(cand[:total])
+
+        # unpack to the wide DevSeedView format (engine.cpp:1407-1455)
+        mm = meta32 & 0xFF
+        rep = (meta32 >> 8) & 0x1FF
+        flags = (meta32 >> 17) & 0x3
+        npos = (meta32 >> 19) & 0x1F
+        nneg = (meta32 >> 24) & 0x1F
+        meta_np = (mm.astype(np.uint64)
+                   | (rep.astype(np.uint64) << np.uint64(8))
+                   | (flags.astype(np.uint64) << np.uint64(24))
+                   | (npos.astype(np.uint64) << np.uint64(32))
+                   | (nneg.astype(np.uint64) << np.uint64(40)))
+        pos_np = cand64 & np.uint64(0x3FFFFFFFFFFF)  # rid<<32 | start
+        cnt_np = ((cand64 >> np.uint64(46)) & np.uint64(0xFF)).astype(
+            np.uint32)
+        err_np = ((cand64 >> np.uint64(54)) & np.uint64(0x1F)).astype(
+            np.uint32)
+        endp_np = np.minimum(
+            ((cand64 >> np.uint64(59)) & np.uint64(0x1F)).astype(np.uint32)
+            + (L - 1), 255)
+        cmeta_np = cnt_np | (err_np << 8) | (endp_np << 16)
+        return meta_np, pos_np, cmeta_np.astype(np.uint32), False
 
     def seed_and_verify(self, codes: np.ndarray, lengths: np.ndarray
                         ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:

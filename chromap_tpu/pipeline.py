@@ -30,7 +30,7 @@ from .mapping.postprocess import (allocate_multi_mappings, apply_tn5_shift,
 from .mapping.rng import MT19937
 from .mapping.select import (BestMappingSelector, PairContext,
                              PairedVerifyState)
-from .utils import generate_seed_from_codes
+from .utils import generate_seed_from_codes, reverse_complement_ascii
 
 
 def log(msg: str) -> None:
@@ -425,6 +425,11 @@ class MappingPipeline:
             try:
                 from .native import NativeEngine
                 native_engine = NativeEngine(cfg, self.index, self.ref_seqs)
+                if self.custom_rid_rank is not None:
+                    # paired-end only: the reference's single-end rerank
+                    # call site runs before candidates exist (chromap.h:
+                    # 418-419) and is a no-op
+                    native_engine.set_rid_rank(self.custom_rid_rank)
                 log("Using native host engine.")
             except Exception as exc:
                 log(f"Native engine unavailable ({exc}); "
@@ -468,22 +473,23 @@ class MappingPipeline:
             self.num_reads += 2 * len(batch1)
             threshold = self.cache_paired.get_update_threshold(
                 len(batch1), self.num_reads, True, cfg.cache_update_param)
-            if native_engine is not None and batch_bc is not None:
+            if (native_engine is not None and batch_bc is not None
+                    and cfg.output_format in ("bed", "tagalign")):
                 self._map_batch_native_barcoded(native_engine, batch1,
                                                 batch2, batch_bc, threshold,
                                                 emit)
             elif (native_engine is not None
                   and cfg.output_format == "paf"):
                 self._map_batch_native_paf(native_engine, batch1, batch2,
-                                           threshold, emit)
+                                           threshold, emit, batch_bc)
             elif (native_engine is not None
                   and cfg.output_format == "sam"):
                 self._map_batch_native_sam(native_engine, batch1, batch2,
-                                           threshold, emit)
+                                           threshold, emit, batch_bc)
             elif (native_engine is not None
                   and cfg.output_format == "pairs"):
                 self._map_batch_native_pairs(native_engine, batch1, batch2,
-                                             threshold, emit)
+                                             threshold, emit, batch_bc)
             elif native_engine is not None:
                 self._map_batch_native(native_engine, batch1, batch2,
                                        threshold, emit)
@@ -730,6 +736,13 @@ class MappingPipeline:
             base = f"{cfg.mapping_output_file_path}.shard{cfg.shard_index}"
         spill_mappings(cfg, self.mappings_on_refs, self.temp_shard_paths,
                        base=base)
+        if (len(self.temp_shard_paths) > 850
+                and len(self.temp_shard_paths) % 10 == 1):
+            # past 850 temp files, double the per-file volume so the file
+            # count stays bounded (chromap.h:1263-1267)
+            self.max_mappings_in_mem <<= 1
+            log(f"Used {len(self.temp_shard_paths)} temp files. Double the "
+                f"temp file volume to {self.max_mappings_in_mem}")
         self.num_mappings_in_mem = 0
 
     def _map_paired_end_full_native(self, engine) -> None:
@@ -836,7 +849,7 @@ class MappingPipeline:
         L = int(len1[0]) if n1 else 0
         uniform = (n1 > 0 and (len1 == L).all() and (len2 == L).all()
                    and 30 <= L <= 230)
-        if not uniform or cfg.trim_adapters:
+        if not uniform or cfg.trim_adapters or cfg.custom_rid_order_file_path:
             return ("host",
                     engine.map_pairs_raw(b1, o1, b2, o2, n1, base_read_id,
                                          threshold))
@@ -917,21 +930,19 @@ class MappingPipeline:
             self.summary.update_count(0, TOTAL, len(batch1))
             self.summary.update_count(0, CACHEHIT, int(stats[4]))
 
-    def _map_batch_native_barcoded(self, engine, batch1, batch2, batch_bc,
-                                   threshold, emit) -> None:
-        """Barcoded (single-cell) batch through the C++ mapper: barcode
-        extraction/correction/translation stays in Python, pairs that pass
-        the whitelist map natively, records carry the barcode key for
-        cell-level dedup and fragment output downstream."""
-        from .mapping.records import PEBedRecord
+    def _native_barcode_prefilter(self, batch1, batch2, batch_bc):
+        """Extract/correct every barcode and keep whitelisted pairs for the
+        native mapper. Returns (reads1, reads2, barcode_keys, sel_indices)
+        where sel_indices are positions into the input batch; also updates
+        per-barcode summary TOTAL counts.
 
+        Vectorized exact-whitelist fast path (chromap.cc:589-593): pack
+        every barcode, one searchsorted against the sorted whitelist; only
+        N-containing or non-exact barcodes take the per-read correction
+        (chromap.cc:572-799)."""
         cfg = self.cfg
         nb = len(batch_bc)
         blen = self.barcode_length
-        # vectorized exact-whitelist fast path (chromap.cc:589-593): pack
-        # every barcode, one searchsorted against the sorted whitelist;
-        # only N-containing or non-exact barcodes take the per-read
-        # correction (chromap.cc:572-799)
         exact = np.zeros(nb, dtype=bool)
         keys = np.zeros(nb, dtype=np.uint64)
         if self.whitelist is not None and nb:
@@ -962,24 +973,45 @@ class MappingPipeline:
             reads1.append(bytes(rec1.seq))
             reads2.append(bytes(rec2.seq))
             barcodes.append(barcode_key)
-            orig_ids.append(rec1.read_id)
+            orig_ids.append(bi)
         if self.summary is not None:
-            from .summary import CACHEHIT, TOTAL
+            from .summary import TOTAL
             for key in barcodes:
                 self.summary.update_count(key, TOTAL, 1)
             self.summary.update_nonwhitelist(TOTAL, nonwhitelist_count)
+        return reads1, reads2, barcodes, orig_ids
+
+    def _native_barcode_cachehits(self, engine, out, num_pairs,
+                                  barcodes) -> None:
+        """Per-barcode CACHEHIT summary counts from the native engine's
+        per-pair flags (summary_metadata.h:17-25 semantics: a mapped pair
+        whose either end hit the candidate cache)."""
+        if self.summary is None:
+            return
+        from .summary import CACHEHIT
+        hits = engine.get_pair_flags()
+        mapped = np.zeros(num_pairs, dtype=bool)
+        mapped[out["read_id"]] = True
+        for j in np.flatnonzero(mapped & (hits[:num_pairs] > 0)):
+            self.summary.update_count(barcodes[int(j)], CACHEHIT, 1)
+
+    def _map_batch_native_barcoded(self, engine, batch1, batch2, batch_bc,
+                                   threshold, emit) -> None:
+        """Barcoded (single-cell) batch through the C++ mapper: barcode
+        extraction/correction/translation stays in Python, pairs that pass
+        the whitelist map natively, records carry the barcode key for
+        cell-level dedup and fragment output downstream."""
+        from .mapping.records import PEBedRecord
+
+        reads1, reads2, barcodes, sel = self._native_barcode_prefilter(
+            batch1, batch2, batch_bc)
         if not reads1:
             return
         out, stats = engine.map_pairs(reads1, reads2, 0, threshold)
-        if self.summary is not None:
-            from .summary import CACHEHIT
-            hits = engine.get_pair_flags()
-            mapped = np.zeros(len(reads1), dtype=bool)
-            mapped[out["read_id"]] = True
-            for j in np.flatnonzero(mapped & (hits[:len(reads1)] > 0)):
-                self.summary.update_count(barcodes[int(j)], CACHEHIT, 1)
+        self._native_barcode_cachehits(engine, out, len(reads1), barcodes)
         rid_a = out["rid"]
-        oid = np.asarray(orig_ids, dtype=np.uint32)
+        oid = np.asarray([batch1[bi].read_id for bi in sel],
+                         dtype=np.uint32)
         bcs = np.asarray(barcodes, dtype=np.uint64)
         idx = out["read_id"]
         for i in range(len(rid_a)):
@@ -1000,26 +1032,46 @@ class MappingPipeline:
         self.cache_hits += int(stats[4])
 
     def _map_batch_native_paf(self, engine, batch1, batch2, threshold,
-                              emit) -> None:
+                              emit, batch_bc=None) -> None:
         """Paired-end PAF through the C++ mapper. The reference stores the
         pair MAPQ in both per-end slots and scrambles the length fields
         (mapping_generator.cc:146-169); the record construction mirrors
-        select.py's per-read emission exactly."""
+        select.py's per-read emission exactly. Barcoded runs prefilter on
+        the whitelist; trimmed runs take per-pair lengths from the engine."""
         from .mapping.records import PairedPafRecord, clip_mapq
 
-        base_read_id = batch1[0].read_id if batch1 else 0
-        reads1 = [bytes(r.seq) for r in batch1]
-        reads2 = [bytes(r.seq) for r in batch2]
+        cfg = self.cfg
+        if batch_bc is not None:
+            reads1, reads2, barcodes, sel = \
+                self._native_barcode_prefilter(batch1, batch2, batch_bc)
+            base_read_id = 0
+        else:
+            reads1 = [bytes(r.seq) for r in batch1]
+            reads2 = [bytes(r.seq) for r in batch2]
+            barcodes = None
+            sel = list(range(len(batch1)))
+            base_read_id = batch1[0].read_id if batch1 else 0
+        if not reads1:
+            return
         out, stats = engine.map_pairs(reads1, reads2, base_read_id,
                                       threshold)
+        if batch_bc is not None:
+            self._native_barcode_cachehits(engine, out, len(reads1),
+                                           barcodes)
+        tl1 = tl2 = None
+        if cfg.trim_adapters:
+            tl1, tl2 = engine.get_pair_trimmed_lengths()
         rid_a = out["rid"]
         for i in range(len(rid_a)):
             j = int(out["read_id"][i]) - base_read_id
+            bj = sel[j]
             mapq = int(out["mapq"][i])
+            l1 = int(tl1[j]) if tl1 is not None else len(reads1[j])
+            l2 = int(tl2[j]) if tl2 is not None else len(reads2[j])
             emit(int(rid_a[i]), PairedPafRecord(
-                read_id=int(out["read_id"][i]),
-                read1_name=batch1[j].name, read2_name=batch2[j].name,
-                read1_length=len(reads1[j]), read2_length=len(reads2[j]),
+                read_id=int(batch1[bj].read_id),
+                read1_name=batch1[bj].name, read2_name=batch2[bj].name,
+                read1_length=l1, read2_length=l2,
                 start=int(out["start"][i]),
                 negative_alignment_length=int(out["posalen"][i]),
                 length=int(out["negalen"][i]),
@@ -1034,38 +1086,58 @@ class MappingPipeline:
         self.cache_hits += int(stats[4])
 
     def _map_batch_native_sam(self, engine, batch1, batch2, threshold,
-                              emit) -> None:
+                              emit, batch_bc=None) -> None:
         """Paired-end SAM through the C++ mapper: positions, CIGAR, NM and
         MD come from the native affine semi-global recover path; flags,
         mate fields, sequence orientation and qualities are assembled here
-        exactly as the per-read path does (select.py SAM emission)."""
+        exactly as the per-read path does (select.py SAM emission).
+        Barcoded runs prefilter on the whitelist; trimmed runs slice the
+        sequences/qualities to the engine's per-pair trimmed lengths."""
         from .mapping.cigar import sequence_length_from_cigar
         from .mapping.records import SamRecord
 
+        cfg = self.cfg
         if not getattr(engine, "_sam_params_set", False):
             engine.set_sam_params()
             engine._sam_params_set = True
 
-        base_read_id = batch1[0].read_id if batch1 else 0
-        reads1 = [bytes(r.seq) for r in batch1]
-        reads2 = [bytes(r.seq) for r in batch2]
+        if batch_bc is not None:
+            reads1, reads2, barcodes, sel = \
+                self._native_barcode_prefilter(batch1, batch2, batch_bc)
+            base_read_id = 0
+        else:
+            reads1 = [bytes(r.seq) for r in batch1]
+            reads2 = [bytes(r.seq) for r in batch2]
+            barcodes = None
+            sel = list(range(len(batch1)))
+            base_read_id = batch1[0].read_id if batch1 else 0
+        if not reads1:
+            return
         out, stats, aux = engine.map_pairs_full(reads1, reads2, base_read_id,
                                                 threshold, sam_aux=True)
+        if batch_bc is not None:
+            self._native_barcode_cachehits(engine, out, len(reads1),
+                                           barcodes)
+        tl1 = tl2 = None
+        if cfg.trim_adapters:
+            tl1, tl2 = engine.get_pair_trimmed_lengths()
         cig_buf, cig_off, md_buf, md_off, nm_arr = aux
         rid_a = out["rid"]
         prev_read_id = None
         occurrence = 0
         for i in range(len(rid_a)):
-            read_id = int(out["read_id"][i])
+            j = int(out["read_id"][i]) - base_read_id
+            bj = sel[j]
+            read_id = int(batch1[bj].read_id)
             occurrence = occurrence + 1 if read_id == prev_read_id else 0
             prev_read_id = read_id
-            j = read_id - base_read_id
             first_negative = int(out["dir"][i]) == 0
             rid = int(rid_a[i])
             rs1, re1 = int(out["rs1"][i]), int(out["re1"][i])
             rs2, re2 = int(out["rs2"][i]), int(out["re2"][i])
             mapq = int(out["mapq"][i])
             uniq = int(out["uniq"][i])
+            barcode = int(barcodes[j]) if barcodes is not None else 0
             tlen = (re1 - rs2 + 1) if first_negative else (re2 - rs1 + 1)
             flag1, flag2 = 3, 3
             if first_negative:
@@ -1079,22 +1151,32 @@ class MappingPipeline:
             if occurrence >= 1:
                 flag1 |= 0x100
                 flag2 |= 0x100
-            for (end, rec, flagv, pos, mpos, neg) in (
-                    (0, batch1[j], flag1, rs1, rs2, first_negative),
-                    (1, batch2[j], flag2, rs2, rs1, not first_negative)):
+            for (end, rec, flagv, pos, mpos, neg, tl) in (
+                    (0, batch1[bj], flag1, rs1, rs2, first_negative,
+                     int(tl1[j]) if tl1 is not None else None),
+                    (1, batch2[bj], flag2, rs2, rs1, not first_negative,
+                     int(tl2[j]) if tl2 is not None else None)):
                 k = 2 * i + end
                 cigar = [int(c) for c in cig_buf[cig_off[k]:cig_off[k + 1]]]
                 md = md_buf[md_off[k]:md_off[k + 1]]
-                seq = rec.negative() if neg else bytes(rec.seq)
+                full = bytes(rec.seq)
                 qual = bytes(rec.qual or b"")
-                if neg and qual:
+                if tl is not None and tl < len(full):
+                    # adapter-trimmed: the record carries the trimmed prefix
+                    # (TrimSequenceAt shrinks seq+qual in place)
+                    full = full[:tl]
+                    qual = qual[:tl]
+                if neg:
+                    seq = reverse_complement_ascii(full)
                     qual = qual[::-1]
+                else:
+                    seq = full
                 ncons = sequence_length_from_cigar(cigar)
                 if ncons != len(seq):
                     seq, qual = seq[:ncons], qual[:ncons]
                 strand_bit = 0 if neg else 1
                 emit(rid, SamRecord(
-                    read_id=read_id, read_name=rec.name, barcode=0,
+                    read_id=read_id, read_name=rec.name, barcode=barcode,
                     num_dups=1, pos=pos, rid=rid, mpos=mpos, mrid=rid,
                     tlen=tlen if strand_bit else -tlen, flag=flagv,
                     direction=strand_bit, is_unique=uniq, mapq=mapq,
@@ -1107,10 +1189,11 @@ class MappingPipeline:
         self.cache_hits += int(stats[4])
 
     def _map_batch_native_pairs(self, engine, batch1, batch2, threshold,
-                                emit) -> None:
+                                emit, batch_bc=None) -> None:
         """4DN pairs (non-split) through the C++ mapper: per-end positions
         come from the extended outputs; rid flipping by the custom order
-        follows pairs_mapping.h / select.py exactly."""
+        follows pairs_mapping.h / select.py exactly. Barcoded runs
+        prefilter on the whitelist and carry the barcode key."""
         from .mapping.records import PairsRecord
 
         if self.cfg.split_alignment and \
@@ -1118,16 +1201,29 @@ class MappingPipeline:
             engine.set_split_mode()
             engine._split_mode_set = True
 
-        base_read_id = batch1[0].read_id if batch1 else 0
-        reads1 = [bytes(r.seq) for r in batch1]
-        reads2 = [bytes(r.seq) for r in batch2]
+        if batch_bc is not None:
+            reads1, reads2, barcodes, sel = \
+                self._native_barcode_prefilter(batch1, batch2, batch_bc)
+            base_read_id = 0
+        else:
+            reads1 = [bytes(r.seq) for r in batch1]
+            reads2 = [bytes(r.seq) for r in batch2]
+            barcodes = None
+            sel = list(range(len(batch1)))
+            base_read_id = batch1[0].read_id if batch1 else 0
+        if not reads1:
+            return
         out, stats, _ = engine.map_pairs_full(reads1, reads2, base_read_id,
                                               threshold)
+        if batch_bc is not None:
+            self._native_barcode_cachehits(engine, out, len(reads1),
+                                           barcodes)
         rank = self.pairs_custom_rid_rank
         rid_a = out["rid"]
         for i in range(len(rid_a)):
-            read_id = int(out["read_id"][i])
-            j = read_id - base_read_id
+            j = int(out["read_id"][i]) - base_read_id
+            bj = sel[j]
+            read_id = int(batch1[bj].read_id)
             rid = int(rid_a[i])
             first_negative = int(out["dir"][i]) == 0
             second_negative = int(out["dir2"][i]) == 0
@@ -1142,7 +1238,8 @@ class MappingPipeline:
                 pos1, pos2 = pos2, pos1
                 strand1, strand2 = strand2, strand1
             emit(rid1, PairsRecord(
-                read_id=read_id, read_name=batch1[j].name, barcode=0,
+                read_id=read_id, read_name=batch1[bj].name,
+                barcode=(int(barcodes[j]) if barcodes is not None else 0),
                 rid1=rid1, rid2=rid2, pos1=pos1, pos2=pos2,
                 strand1=strand1, strand2=strand2,
                 mapq=int(out["mapq"][i]),
