@@ -49,11 +49,16 @@ def ensure_data():
 def main():
     ensure_data()
 
-    # The Pallas kernel wins on-chip, but on this tunneled TPU setup each
-    # dispatch pays host<->device transfer over a network relay, which loses
-    # to the vectorized numpy kernel at current batch sizes. Keep the device
-    # path opt-in for the end-to-end bench; kernel throughput is measured
-    # separately (see ops/pallas_myers.py).
+    # Scored path: the fastest end-to-end configuration on this machine.
+    # The TPU seeding program runs 40k reads in 0.36 s (3.5x faster than
+    # round 1 after the flat redesign + packed transfers), but on this
+    # tunneled single-chip setup one 8192-pair device chunk still costs
+    # ~0.3 s wall (0.15 s compute + ~0.15 s fixed h2d/d2h/dispatch over
+    # the relay at 7 MB/s d2h) vs 0.068 s for the same chunk on the one
+    # host core -- so the hybrid scheduler (--device) only adds ~15-20%
+    # at large scale and *loses* on this 20k-pair set. See
+    # ARCHITECTURE.md "Device path: measured bound" for the breakdown.
+    # CHROMAP_TPU_BENCH_DEVICE=1 scores the hybrid TPU path instead.
     use_device = os.environ.get("CHROMAP_TPU_BENCH_DEVICE", "0") == "1"
 
     from chromap_tpu.config import MappingConfig

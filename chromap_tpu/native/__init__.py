@@ -74,6 +74,18 @@ def load_library():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p,
     ]
+    lib.cn_phase1_run.restype = ctypes.c_void_p
+    lib.cn_phase1_run.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_void_p, ctypes.c_char_p,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]
+    lib.cn_phase1_finish.restype = ctypes.c_int64
+    lib.cn_phase1_finish.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+    ] + [ctypes.c_void_p] * 10
+    lib.cn_pack_reads.restype = ctypes.c_int64
+    lib.cn_pack_reads.argtypes = [
+        ctypes.c_char_p, ctypes.c_void_p, ctypes.c_char_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p]
     lib.cn_fastx_open.restype = ctypes.c_void_p
     lib.cn_fastx_open.argtypes = [ctypes.c_char_p]
     lib.cn_fastx_close.argtypes = [ctypes.c_void_p]
@@ -354,6 +366,40 @@ class NativeEngine:
                     if n_rec else np.empty(0, np.uint16))
             aux = (cb_a, co_a, md_b, mo_a, nm_a)
         return out, stats, aux
+
+    def phase1_run(self, r1_bytes, r1_off_ptr, r2_bytes, r2_off_ptr,
+                   n: int, cache_update_threshold: int):
+        """Seed + verify one chunk into a detached state (selection later
+        via phase1_finish, in chunk order)."""
+        return self.lib.cn_phase1_run(self.ctx, r1_bytes, r1_off_ptr,
+                                      r2_bytes, r2_off_ptr, n,
+                                      cache_update_threshold)
+
+    def phase1_finish(self, handle, n: int,
+                      base_read_id: int) -> Tuple[dict, np.ndarray]:
+        """Selection + records for a phase1_run chunk (frees it)."""
+        cap = max(1, n * max(1, self.cfg.max_num_best_mappings))
+        out = {
+            "rid": np.empty(cap, dtype=np.int32),
+            "read_id": np.empty(cap, dtype=np.uint32),
+            "start": np.empty(cap, dtype=np.uint32),
+            "flen": np.empty(cap, dtype=np.uint16),
+            "mapq": np.empty(cap, dtype=np.uint8),
+            "dir": np.empty(cap, dtype=np.uint8),
+            "uniq": np.empty(cap, dtype=np.uint8),
+            "posalen": np.empty(cap, dtype=np.uint16),
+            "negalen": np.empty(cap, dtype=np.uint16),
+        }
+        stats = np.zeros(5, dtype=np.int64)
+        count = self.lib.cn_phase1_finish(
+            self.ctx, handle, base_read_id,
+            _ptr(out["rid"]), _ptr(out["read_id"]), _ptr(out["start"]),
+            _ptr(out["flen"]), _ptr(out["mapq"]), _ptr(out["dir"]),
+            _ptr(out["uniq"]), _ptr(out["posalen"]), _ptr(out["negalen"]),
+            _ptr(stats))
+        for key in out:
+            out[key] = out[key][:count]
+        return out, stats
 
     def set_rid_rank(self, ranks: List[int]) -> None:
         """Custom chromosome order: rank per original rid (--chr-order)."""

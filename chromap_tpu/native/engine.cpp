@@ -2111,6 +2111,24 @@ struct PairScratch {
   int64_t n_cand = 0;
 };
 
+// candidate-cache update record for one read end (mm_history analog)
+struct HistEntry {
+  std::vector<Minimizer> mzs;
+  std::vector<Candidate> pos, neg;
+  uint32_t rep;
+};
+
+// precomputed phase-1 (seed + verify) results for one chunk of pairs;
+// selection runs later, in chunk order, so several chunks can hold
+// completed phase-1 state while the device seeds other chunks
+struct Phase1Chunk {
+  std::vector<PairScratch> work;
+  std::vector<uint8_t> hist_valid;
+  std::vector<std::pair<HistEntry, HistEntry>> history;
+  int64_t n = 0;
+  int64_t threshold = 0;
+};
+
 struct CnContext {
   IndexView idx;
   RefView ref;
@@ -2125,11 +2143,6 @@ struct CnContext {
   std::vector<char> read1, read2, neg1, neg2;
   PairScratch ps;                    // single-thread pair scratch
   std::vector<PairScratch> mt_work;  // per-pair states (threaded phase 1)
-  struct HistEntry {
-    std::vector<Minimizer> mzs;
-    std::vector<Candidate> pos, neg;
-    uint32_t rep;
-  };
   std::vector<std::pair<HistEntry, HistEntry>> history;
 
   // SAM-mode per-record alignment outputs (cigar/NM/MD), end1 then end2
@@ -2212,7 +2225,8 @@ static void SeedAndVerifyPair(
     const int64_t* r2_offsets, int64_t cache_update_threshold,
     uint8_t* hist_valid, const DevSeedView* dev, bool dev_pair,
     uint64_t dmeta1, uint64_t dmeta2, int64_t dcur1, int64_t dcur2,
-    int collect_mode, ExtVerify* ext, PairScratch& sc) {
+    int collect_mode, ExtVerify* ext, PairScratch& sc,
+    std::pair<HistEntry, HistEntry>* history_arr = nullptr) {
   const MappingParams& mp = ctx->mp;
   const IndexView& idx = ctx->idx;
   const RefView& ref = ctx->ref;
@@ -2283,7 +2297,7 @@ static void SeedAndVerifyPair(
     }
 
     if (pi < cache_update_threshold && !collect_mode) {
-      auto& he = ctx->history[pi];
+      auto& he = history_arr ? history_arr[pi] : ctx->history[pi];
       he.first.mzs = s1.minimizers;
       he.first.pos = s1.positive_candidates;
       he.first.neg = s1.negative_candidates;
@@ -2399,7 +2413,8 @@ static int64_t MapPairsCore(
     uint8_t* out_mapq, uint8_t* out_dir, uint8_t* out_uniq,
     uint16_t* out_posalen, uint16_t* out_negalen, int64_t* stats,
     int collect_mode, const int32_t* ext_err, const int32_t* ext_end,
-    const DevSeedView* dev = nullptr, const PEExtOut* xout = nullptr) {
+    const DevSeedView* dev = nullptr, const PEExtOut* xout = nullptr,
+    Phase1Chunk* pre = nullptr) {
   const MappingParams& mp = ctx->mp;
   const IndexView& idx = ctx->idx;
   const RefView& ref = ctx->ref;
@@ -2467,7 +2482,8 @@ static int64_t MapPairsCore(
   // threaded phase 1: seed + verify every pair into pooled per-pair
   // states; selection stays sequential below so the output (including the
   // reservoir-sampling RNG stream) is byte-identical at any thread count.
-  const bool mt = ctx->num_threads > 1 && !collect_mode && ext == nullptr;
+  const bool mt = ctx->num_threads > 1 && !collect_mode && ext == nullptr
+                  && pre == nullptr;
   if (mt) {
     if ((int64_t)ctx->mt_work.size() < num_pairs)
       ctx->mt_work.resize((size_t)num_pairs);
@@ -2492,8 +2508,9 @@ static int64_t MapPairsCore(
   }
 
   for (int64_t pi = 0; pi < num_pairs; ++pi) {
-    PairScratch& sc = mt ? ctx->mt_work[pi] : ctx->ps;
-    if (!mt)
+    PairScratch& sc = pre ? pre->work[pi]
+                          : (mt ? ctx->mt_work[pi] : ctx->ps);
+    if (!mt && !pre)
       SeedAndVerifyPair(ctx, pi, r1_bytes, r1_offsets, r2_bytes, r2_offsets,
                         cache_update_threshold, hist_valid.data(), dev,
                         dev && devflag[pi], dev ? dmeta[2 * pi] : 0,
@@ -2724,15 +2741,21 @@ static int64_t MapPairsCore(
   }
 
   // cache updates in pair order, end1 then end2
-  for (int64_t pi = 0; !collect_mode &&
-       pi < std::min((int64_t)ctx->history.size(), cache_update_threshold);
-       ++pi) {
-    if (!hist_valid[pi]) continue;
-    auto& he = ctx->history[pi];
-    ctx->cache.Update(he.first.mzs, he.first.pos, he.first.neg,
-                      he.first.rep);
-    ctx->cache.Update(he.second.mzs, he.second.pos, he.second.neg,
-                      he.second.rep);
+  {
+    auto* hist = pre ? pre->history.data() : ctx->history.data();
+    const uint8_t* hv = pre ? pre->hist_valid.data() : hist_valid.data();
+    int64_t hn = pre ? std::min((int64_t)pre->history.size(),
+                                pre->threshold)
+                     : std::min((int64_t)ctx->history.size(),
+                                cache_update_threshold);
+    for (int64_t pi = 0; !collect_mode && pi < hn; ++pi) {
+      if (!hv[pi]) continue;
+      auto& he = hist[pi];
+      ctx->cache.Update(he.first.mzs, he.first.pos, he.first.neg,
+                        he.first.rep);
+      ctx->cache.Update(he.second.mzs, he.second.pos, he.second.neg,
+                        he.second.rep);
+    }
   }
 
   if (stats) {
@@ -2757,6 +2780,58 @@ int64_t cn_map_pairs(
                       out_rid, out_read_id, out_start, out_flen, out_mapq,
                       out_dir, out_uniq, out_posalen, out_negalen, stats, 0,
                       nullptr, nullptr);
+}
+
+// Phase-1 only (seed + verify) for one chunk of pairs, into a detached
+// chunk state. Lets the CPU work through host chunks while the device
+// seeds others; cn_phase1_finish later runs selection in chunk order, so
+// the single mt19937 stream (and the output) is preserved.
+Phase1Chunk* cn_phase1_run(CnContext* ctx, const char* r1_bytes,
+                           const int64_t* r1_offsets, const char* r2_bytes,
+                           const int64_t* r2_offsets, int64_t num_pairs,
+                           int64_t cache_update_threshold) {
+  Phase1Chunk* ch = new Phase1Chunk;
+  ch->n = num_pairs;
+  ch->threshold = cache_update_threshold;
+  ch->work.resize((size_t)num_pairs);
+  ch->hist_valid.assign((size_t)num_pairs, 0);
+  if (cache_update_threshold > 0)
+    ch->history.resize((size_t)num_pairs);
+  int T = ctx->num_threads;
+  auto run_range = [&](int64_t lo, int64_t hi) {
+    for (int64_t pi = lo; pi < hi; ++pi)
+      SeedAndVerifyPair(ctx, pi, r1_bytes, r1_offsets, r2_bytes,
+                        r2_offsets, cache_update_threshold,
+                        ch->hist_valid.data(), nullptr, false, 0, 0, 0, 0,
+                        0, nullptr, ch->work[pi], ch->history.data());
+  };
+  if (T > 1) {
+    std::vector<std::thread> threads;
+    for (int t = 1; t < T; ++t)
+      threads.emplace_back(run_range, num_pairs * t / T,
+                           num_pairs * (t + 1) / T);
+    run_range(0, num_pairs / T);
+    for (auto& th : threads) th.join();
+  } else {
+    run_range(0, num_pairs);
+  }
+  return ch;
+}
+
+// Selection + records for a phase-1 chunk (in chunk order); frees it.
+int64_t cn_phase1_finish(
+    CnContext* ctx, Phase1Chunk* ch, int64_t base_read_id, int32_t* out_rid,
+    uint32_t* out_read_id, uint32_t* out_start, uint16_t* out_flen,
+    uint8_t* out_mapq, uint8_t* out_dir, uint8_t* out_uniq,
+    uint16_t* out_posalen, uint16_t* out_negalen, int64_t* stats) {
+  int64_t r = MapPairsCore(ctx, nullptr, nullptr, nullptr, nullptr, ch->n,
+                           base_read_id, ch->threshold, out_rid,
+                           out_read_id, out_start, out_flen, out_mapq,
+                           out_dir, out_uniq, out_posalen, out_negalen,
+                           stats, 0, nullptr, nullptr, nullptr, nullptr,
+                           ch);
+  delete ch;
+  return r;
 }
 
 // Enable SAM mode: alignment scoring for the CIGAR-producing recover path.
@@ -3441,6 +3516,36 @@ int64_t cn_fastx_read_batch(FastxReader* r, int64_t max_n,
   *seq_bytes = r->seqs.data();
   *offsets = r->offsets.data();
   return n;
+}
+
+// Packs interleaved paired reads (r1 of pair 0, r2 of pair 0, ...) from
+// raw ASCII buffers into the device seeding upload format: per read one
+// row of W 2-bit-code words followed by WN N-bitmap words, W = (L+15)/16,
+// WN = (L+31)/32. out must hold 2*n*(W+WN) uint32 (caller-owned and
+// reusable, so the hot loop allocates nothing). Returns 0, or -1 when a
+// read length differs from L.
+int64_t cn_pack_reads(const char* r1, const int64_t* o1, const char* r2,
+                      const int64_t* o2, int64_t n, int32_t L,
+                      uint32_t* out) {
+  const int W = (L + 15) / 16, WN = (L + 31) / 32;
+  const int stride = W + WN;
+  for (int64_t p = 0; p < n; ++p) {
+    for (int end = 0; end < 2; ++end) {
+      const char* s = end ? r2 + o2[p] : r1 + o1[p];
+      int64_t len = end ? o2[p + 1] - o2[p] : o1[p + 1] - o1[p];
+      if (len != L) return -1;
+      uint32_t* row = out + (2 * p + end) * stride;
+      memset(row, 0, (size_t)stride * 4);
+      for (int i = 0; i < L; ++i) {
+        uint8_t c = kCharToCode[(uint8_t)s[i]];
+        if (c < 4)
+          row[i >> 4] |= (uint32_t)c << (2 * (i & 15));
+        else
+          row[W + (i >> 5)] |= 1u << (i & 31);
+      }
+    }
+  }
+  return 0;
 }
 
 // Sort + Tn5 + dedup + mapq-filter + write PE BED/TagAlign records.

@@ -71,12 +71,15 @@ FLAG_AUGMENT = 2   # no candidate supported by >= half the minimizers
 
 # capacities: per-read hit/candidate caps bound the dense cluster stage
 # (overflow -> exact host path per pair); the flat caps are per-batch-read
-# averages (overflow -> whole batch to the host engine, never wrong)
+# averages (overflow -> whole batch to the host engine, never wrong).
+# Expected occupancy: ~2L/(w+1) minimizers/read (~20 at L=100, w=7) and a
+# similar hit count on non-pathological genomes -- the budgets leave ~1.3x
+# headroom, and every flat-stage cost scales with them.
 HCAP = 128          # per-read hits (both strands)
 CCAP = 16           # per-read candidates per strand
-MZ_PER_READ = 40    # flat minimizer budget per read (~2L/(w+1) expected)
-HITS_PER_READ = 48  # flat hit budget per read
-CANDS_PER_READ = 4  # flat candidate budget per read
+MZ_PER_READ = 26    # flat minimizer budget per read
+HITS_PER_READ = 30  # flat hit budget per read
+CANDS_PER_READ = 3  # flat candidate budget per read
 
 
 def _hash64(key, mask):
@@ -355,10 +358,14 @@ def _build_step(k: int, w: int, e: int, f0: int, f1: int, min_seeds: int,
     arguments so compiled executables are reusable (and cacheable on disk)
     across processes."""
 
-    def step(packed, nmask, lengths, hash_keys, offcnt, occurrences,
+    def step(rw, lengths, hash_keys, offcnt, occurrences,
              ref_words, ref_nwords, ref_lens, ref_offsets,
              L: int, B: int, Mtot: int, Htot: int, captot: int):
         # ---- unpack + minimizers (dense (B, L) elementwise) -------------
+        # rw: one row per read, W 2-bit-code words then WN N-bitmap words
+        W = (L + 15) // 16
+        packed = rw[:, :W]
+        nmask = rw[:, W:]
         codes = _unpack_codes(packed, nmask, B, L)
         h, strand, symmetric, run = _kmer_stage(codes, k)
         emit, tie = _emission_stage(h, run, lengths, k, w)
@@ -384,38 +391,42 @@ def _build_step(k: int, w: int, e: int, f0: int, f1: int, min_seeds: int,
         off = (oc >> U64(12)).astype(jnp.int64)
         cnt = jnp.where(found, (oc & U64(0xFFF)).astype(jnp.int32), 0)
 
-        # round-1 frequency cap (candidate_processor.cc:24-32)
+        # round-1 frequency cap (candidate_processor.cc:24-32); the two
+        # per-read aggregates ride one packed scatter-add (cnt sums stay
+        # below 2^20, escalation counts below 2^9)
         cnt_eff = jnp.where(cnt < f0, cnt, 0)
-        # per-read aggregates (segment sums by row)
-        total_rd = jnp.zeros((B,), jnp.int32).at[mz_row].add(
-            cnt_eff, mode="drop")
-        esc = jnp.zeros((B,), jnp.int32).at[mz_row].add(
-            ((cnt > 0) & (cnt < f1)).astype(jnp.int32), mode="drop")
+        esc_flag = ((cnt > 0) & (cnt < f1)).astype(jnp.int32)
+        agg = jnp.zeros((B,), jnp.int32).at[mz_row].add(
+            cnt_eff | (esc_flag << 20), mode="drop")
+        total_rd = agg & 0xFFFFF
         # empty round 1 with a round-2 cap that would admit hits:
         # frequency escalation -> exact host path
-        round2 = (total_rd == 0) & (esc > 0)
+        round2 = (total_rd == 0) & ((agg >> 20) > 0)
         overflow_rd = total_rd > HCAP
 
         # ---- repetitive-seed stats (index.cc:507-523) -------------------
         # segmented scan-free form: for each repetitive minimizer, find the
         # previous repetitive one in the same read via cummax, then add
-        # min(gap, k) (positions ascend within a read, so prev <= pos)
+        # min(gap, k) (positions ascend within a read, so prev <= pos);
+        # rep length and count share one packed scatter-add
         rep_mask = found & (cnt >= f0)
         slot_idx = jnp.arange(Mtot, dtype=jnp.int32)
         prev_incl = lax.cummax(jnp.where(rep_mask, slot_idx, -1))
         prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32),
                                 prev_incl[:-1]])
         prev_c = jnp.maximum(prev, 0)
-        same_row = (prev >= 0) & (mz_row[prev_c] == mz_row)
-        prev_pos = mz_pos[prev_c]
+        prev_meta = mz_packmeta[prev_c]
+        same_row = (prev >= 0) & ((prev_meta >> U32(9))
+                                  == (mz_packmeta >> U32(9)))
+        prev_pos = (prev_meta >> U32(1)) & U32(0xFF)
         gap = mz_pos - prev_pos
         inc = jnp.where(~same_row, jnp.uint32(k),
                         jnp.where(gap < jnp.uint32(k + w - 1), gap,
                                   jnp.uint32(k)))
-        rep_len = jnp.zeros((B,), jnp.uint32).at[mz_row].add(
-            jnp.where(rep_mask, inc, 0), mode="drop")
-        rep_count = jnp.zeros((B,), jnp.int32).at[mz_row].add(
-            rep_mask.astype(jnp.int32), mode="drop")
+        rep_agg = jnp.zeros((B,), jnp.uint32).at[mz_row].add(
+            jnp.where(rep_mask, inc | U32(1 << 16), 0), mode="drop")
+        rep_len = rep_agg & U32(0xFFFF)
+        rep_count = (rep_agg >> U32(16)).astype(jnp.int32)
         num_required = jnp.clip(mm_count - rep_count, 1, min_seeds)
 
         # ---- flat occurrence expansion (index.cc:237-349) ---------------
@@ -428,8 +439,10 @@ def _build_step(k: int, w: int, e: int, f0: int, f1: int, min_seeds: int,
         mi = jnp.minimum(mi, Mtot - 1)
         slots = jnp.arange(Htot, dtype=jnp.int32)
         slot_ok = slots < jnp.minimum(total_hits, Htot)
-        base = hbase[mi]
-        occ_idx = off[mi] + (slots - base).astype(jnp.int64)
+        # per-minimizer occurrence base folded into one gathered value:
+        # occ index of hit slot s = (off - hbase)[mi] + s
+        occ_base = off - hbase.astype(jnp.int64)
+        occ_idx = occ_base[mi] + slots.astype(jnp.int64)
         occ_idx = jnp.clip(occ_idx, 0, occurrences.shape[0] - 1)
         occ = occurrences[occ_idx]
         meta_i = mz_packmeta[mi]
@@ -539,7 +552,13 @@ def _build_step(k: int, w: int, e: int, f0: int, f1: int, min_seeds: int,
         cand = jnp.where(sel_real, cand, U64(0))
         batch_over = ((total_mz > Mtot) | (total_hits > Htot)
                       | (total_cands > captot))
-        return read_meta, cand, total_cands, batch_over
+        # single download stream: [total, over, meta(B), cand as u32 pairs]
+        # -- each d2h transfer costs ~40 ms fixed on the tunnel, so the
+        # header+meta ride one round and the exact candidate slice a second
+        header = jnp.stack([total_cands.astype(jnp.uint32),
+                            batch_over.astype(jnp.uint32)])
+        cand32 = lax.bitcast_convert_type(cand, jnp.uint32).reshape(-1)
+        return jnp.concatenate([header, read_meta, cand32])
 
     return step
 
@@ -551,9 +570,36 @@ def _jitted_step(k, w, e, f0, f1, min_seeds, num_refs, use_pallas):
         static_argnames=("L", "B", "Mtot", "Htot", "captot"))
 
 
+def unpack_download(meta32: np.ndarray, cand64: np.ndarray, L: int):
+    """Unpack the device download (u32 per read, u64 per candidate) to the
+    wide DevSeedView layout the C++ finish stage consumes
+    (engine.cpp:1407-1455)."""
+    mm = meta32 & 0xFF
+    rep = (meta32 >> 8) & 0x1FF
+    flags = (meta32 >> 17) & 0x3
+    npos = (meta32 >> 19) & 0x1F
+    nneg = (meta32 >> 24) & 0x1F
+    meta_np = (mm.astype(np.uint64)
+               | (rep.astype(np.uint64) << np.uint64(8))
+               | (flags.astype(np.uint64) << np.uint64(24))
+               | (npos.astype(np.uint64) << np.uint64(32))
+               | (nneg.astype(np.uint64) << np.uint64(40)))
+    pos_np = cand64 & np.uint64(0x3FFFFFFFFFFF)  # rid<<32 | start
+    cnt_np = ((cand64 >> np.uint64(46)) & np.uint64(0xFF)).astype(np.uint32)
+    err_np = ((cand64 >> np.uint64(54)) & np.uint64(0x1F)).astype(np.uint32)
+    endp_np = np.minimum(
+        ((cand64 >> np.uint64(59)) & np.uint64(0x1F)).astype(np.uint32)
+        + (L - 1), 255)
+    cmeta_np = (cnt_np | (err_np << 8) | (endp_np << 16)).astype(np.uint32)
+    return meta_np, pos_np, cmeta_np
+
+
 def _pack_reads(codes: np.ndarray):
-    """(B, L) u8 codes -> ((B, W) u32 2-bit words, (B, WN) u32 N-bitmaps).
-    Keeps the h2d payload at ~2.25 bits/base."""
+    """(B, L) u8 codes -> (B, W+WN) u32: per row W 2-bit-code words then WN
+    N-bitmap words (the cn_pack_reads upload layout, ~2.25 bits/base).
+    numpy reference implementation; the pipeline packs in C++ straight
+    from the FASTQ buffers (fresh numpy temporaries page-fault at
+    ~200 s/GB on the target VM)."""
     B, L = codes.shape
     W = (L + 15) // 16
     WN = (L + 31) // 32
@@ -567,7 +613,7 @@ def _pack_reads(codes: np.ndarray):
     n2 = n.astype(np.uint32).reshape(B, WN, 32)
     nshifts = np.arange(32, dtype=np.uint32)[None, None, :]
     nmask = (n2 << nshifts).sum(axis=2, dtype=np.uint32)
-    return packed, nmask
+    return np.concatenate([packed, nmask], axis=1)
 
 
 def _pack_genome(ref_codes: np.ndarray):
@@ -644,33 +690,50 @@ class DeviceSeeder:
         offr = np.zeros(len(ref_seqs), dtype=np.int64)
         np.cumsum(lens[:-1], out=offr[1:])
         self.ref_offsets = jax.device_put(jnp.asarray(offr))
+        self._lengths_cache = {}
         self._step = _jitted_step(self.k, self.w, self.e, self.f0, self.f1,
                                   self.min_num_seeds, self.num_refs,
                                   self.use_pallas)
 
     # ------------------------------------------------------------------
     def submit(self, codes: np.ndarray, lengths: np.ndarray):
-        """Asynchronously dispatch one batch; returns an opaque handle.
-        Device compute and the host's work on other batches overlap until
-        `resolve` forces the (small, exact-length) download."""
+        """Asynchronously dispatch one batch of (B, L) u8 codes; returns an
+        opaque handle. Device compute and the host's work on other batches
+        overlap until `resolve` forces the (small, exact-length)
+        download."""
         B, L = codes.shape
+        return self.submit_packed(_pack_reads(codes), B, L,
+                                  lengths=lengths)
+
+    def submit_packed(self, rw: np.ndarray, B: int, L: int,
+                      lengths: np.ndarray | None = None):
+        """Dispatch a prepacked (B, W+WN) u32 batch (cn_pack_reads layout).
+        With lengths=None all reads are length L (the packer enforces
+        uniformity), and the device-resident lengths vector is reused
+        across batches."""
         Mtot = MZ_PER_READ * B
         Htot = HITS_PER_READ * B
         captot = CANDS_PER_READ * B
-        packed, nmask = _pack_reads(codes)
-        out = self._step(jnp.asarray(packed), jnp.asarray(nmask),
-                         jnp.asarray(lengths, dtype=jnp.int32),
+        if lengths is None:
+            key = (B, L)
+            lend = self._lengths_cache.get(key)
+            if lend is None:
+                lend = jax.device_put(
+                    jnp.full((B,), L, dtype=jnp.int32))
+                self._lengths_cache[key] = lend
+        else:
+            lend = jnp.asarray(lengths, dtype=jnp.int32)
+        out = self._step(jnp.asarray(rw), lend,
                          self.hash_keys, self.offcnt, self.occurrences,
                          self.ref_words, self.ref_nwords, self.ref_lens,
                          self.ref_offsets,
                          L=L, B=B, Mtot=Mtot, Htot=Htot, captot=captot)
-        read_meta, cand, total_cands, batch_over = out
-        for a in out:
-            try:
-                a.copy_to_host_async()
-            except Exception:
-                pass
-        return (out, captot, L)
+        head = out[:2 + B]
+        try:
+            head.copy_to_host_async()
+        except Exception:
+            pass
+        return ((out, head, B), captot, L)
 
     def resolve(self, handle
                 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, bool]:
@@ -679,35 +742,16 @@ class DeviceSeeder:
         DevSeedView layout the C++ finish stage consumes; candidates are
         row-major (read, strand, position-order) and sliced to the exact
         total so the (slow) d2h path moves no padding."""
-        (read_meta, cand, total_cands, batch_over), captot, L = handle
-        if bool(batch_over):
+        (out, head, B), captot, L = handle
+        head_np = np.asarray(head)
+        total = int(head_np[0])
+        if head_np[1]:
             # flat budget exceeded: caller maps this batch on the host
             return None, None, None, True
-        total = int(total_cands)
-        meta32 = np.asarray(read_meta)
-        cand64 = np.asarray(cand[:total])
-
-        # unpack to the wide DevSeedView format (engine.cpp:1407-1455)
-        mm = meta32 & 0xFF
-        rep = (meta32 >> 8) & 0x1FF
-        flags = (meta32 >> 17) & 0x3
-        npos = (meta32 >> 19) & 0x1F
-        nneg = (meta32 >> 24) & 0x1F
-        meta_np = (mm.astype(np.uint64)
-                   | (rep.astype(np.uint64) << np.uint64(8))
-                   | (flags.astype(np.uint64) << np.uint64(24))
-                   | (npos.astype(np.uint64) << np.uint64(32))
-                   | (nneg.astype(np.uint64) << np.uint64(40)))
-        pos_np = cand64 & np.uint64(0x3FFFFFFFFFFF)  # rid<<32 | start
-        cnt_np = ((cand64 >> np.uint64(46)) & np.uint64(0xFF)).astype(
-            np.uint32)
-        err_np = ((cand64 >> np.uint64(54)) & np.uint64(0x1F)).astype(
-            np.uint32)
-        endp_np = np.minimum(
-            ((cand64 >> np.uint64(59)) & np.uint64(0x1F)).astype(np.uint32)
-            + (L - 1), 255)
-        cmeta_np = cnt_np | (err_np << 8) | (endp_np << 16)
-        return meta_np, pos_np, cmeta_np.astype(np.uint32), False
+        meta32 = head_np[2:]
+        cand64 = np.asarray(out[2 + B:2 + B + 2 * total]).view(np.uint64)
+        meta_np, pos_np, cmeta_np = unpack_download(meta32, cand64, L)
+        return meta_np, pos_np, cmeta_np, False
 
     def seed_and_verify(self, codes: np.ndarray, lengths: np.ndarray
                         ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:

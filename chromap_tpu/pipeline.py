@@ -756,7 +756,6 @@ class MappingPipeline:
         t_map = _time.time()
         chunks: List[dict] = []
         base_read_id = 0
-        pending = None  # one in-flight device batch (double buffering)
 
         def account(out_stats):
             out, stats = out_stats
@@ -767,12 +766,18 @@ class MappingPipeline:
             self.num_uniquely_mapped_reads += int(stats[3])
             self.cache_hits += int(stats[4])
 
+        # device runs use small fixed-size chunks so one compiled program
+        # shape serves every batch; the hybrid scheduler seeds every P-th
+        # chunk on the chip while the CPU phase-1s the others
+        batch_n = (min(cfg.read_batch_size, cfg.device_batch_size)
+                   if cfg.use_device else cfg.read_batch_size)
+        hyb = self._hybrid_state() if cfg.use_device else None
         for file_index in range(len(cfg.read_file1_paths)):
             r1 = NativeFastxReader(cfg.read_file1_paths[file_index])
             r2 = NativeFastxReader(cfg.read_file2_paths[file_index])
             while True:
-                n1, b1, o1 = r1.read_batch(cfg.read_batch_size)
-                n2, b2, o2 = r2.read_batch(cfg.read_batch_size)
+                n1, b1, o1 = r1.read_batch(batch_n)
+                n2, b2, o2 = r2.read_batch(batch_n)
                 if n1 != n2:
                     raise RuntimeError(
                         "Numbers of reads and barcodes don't match!")
@@ -781,15 +786,9 @@ class MappingPipeline:
                 self.num_reads += 2 * n1
                 threshold = self.cache_paired.get_update_threshold(
                     n1, self.num_reads, True, cfg.cache_update_param)
-                if cfg.use_device:
-                    # submit this batch, then finish the previous one while
-                    # the device computes (host work and device compute
-                    # overlap across batches)
-                    new_pending = self._device_submit(
-                        engine, b1, o1, b2, o2, n1, base_read_id, threshold)
-                    if pending is not None:
-                        account(self._device_resolve(engine, pending))
-                    pending = new_pending
+                if hyb is not None:
+                    self._hybrid_step(engine, hyb, b1, o1, b2, o2, n1,
+                                      base_read_id, threshold, account)
                 else:
                     account(engine.map_pairs_raw(b1, o1, b2, o2, n1,
                                                  base_read_id, threshold))
@@ -797,8 +796,10 @@ class MappingPipeline:
                 log(f"Mapped {n1} read pairs.")
             r1.close()
             r2.close()
-        if pending is not None:
-            account(self._device_resolve(engine, pending))
+        if hyb is not None:
+            while hyb["queue"]:
+                self._hybrid_finish_one(engine, hyb, account)
+            hyb["executor"].shutdown(wait=True)
         log(f"Mapped all reads in {_time.time() - t_map:.2f}s.")
         self._output_stats()
 
@@ -818,16 +819,46 @@ class MappingPipeline:
             f"total: {uni + multi}.")
         log(f"Number of output mappings (passed filters): {written}")
 
-    def _device_submit(self, engine, b1, o1, b2, o2, n1: int,
-                       base_read_id: int, threshold: int):
-        """TPU front end, asynchronous: encode + dispatch one batch.
+    def _hybrid_state(self) -> dict:
+        """Scheduler state for the TPU/CPU hybrid mapping loop.
 
-        Returns a pending tuple for _device_resolve. Batches the device
-        path cannot take exactly (mixed read lengths, adapter trimming)
-        are mapped synchronously through the host engine instead. Raw
-        read bytes are copied so the reader can advance to the next batch
-        while this one is in flight.
+        The device seeds every P-th chunk (P = device_hybrid_period) in
+        flight while the CPU runs native phase-1 (seed + verify) on the
+        intervening chunks; a single worker thread absorbs the d2h
+        transfer waits. Selections run strictly in chunk order on the main
+        thread, so the single mt19937 stream -- and the output -- is
+        byte-identical to the host-only run.
         """
+        from concurrent.futures import ThreadPoolExecutor
+
+        from collections import deque
+        return {"queue": deque(), "ci": 0,
+                "executor": ThreadPoolExecutor(max_workers=1),
+                "saved": [None, None], "devn": 0}
+
+    def _hybrid_step(self, engine, hyb, b1, o1, b2, o2, n1: int,
+                     base_read_id: int, threshold: int, account) -> None:
+        cfg = self.cfg
+        P = max(1, getattr(cfg, "device_hybrid_period", 4))
+        if hyb["ci"] % P == 0:
+            pend = self._hybrid_submit_device(engine, hyb, b1, o1, b2, o2,
+                                              n1, base_read_id, threshold)
+            hyb["queue"].append(pend)
+            # drain everything before this chunk: the previous device chunk
+            # computed while the CPU phase-1'd its successors, and the new
+            # one computes while these selections run
+            while len(hyb["queue"]) > 1:
+                self._hybrid_finish_one(engine, hyb, account)
+        else:
+            h = engine.phase1_run(b1, o1, b2, o2, n1, threshold)
+            hyb["queue"].append(("p1", h, n1, base_read_id))
+        hyb["ci"] += 1
+
+    def _hybrid_submit_device(self, engine, hyb, b1, o1, b2, o2, n1: int,
+                              base_read_id: int, threshold: int):
+        """Pack + dispatch one chunk to the device; the resolve (transfer
+        wait + unpack) runs on the worker thread. Chunks the device cannot
+        take exactly fall back to CPU phase-1 (order preserved)."""
         import ctypes as _ct
 
         cfg = self.cfg
@@ -839,66 +870,102 @@ class MappingPipeline:
 
         offs1 = _i64_view(o1, n1 + 1)
         offs2 = _i64_view(o2, n1 + 1)
+        L = int(offs1[1] - offs1[0]) if n1 else 0
+
+        def cpu_fallback():
+            return ("p1", engine.phase1_run(b1, o1, b2, o2, n1, threshold),
+                    n1, base_read_id)
+
+        if (n1 == 0 or not (30 <= L <= 230) or cfg.trim_adapters
+                or cfg.custom_rid_order_file_path):
+            return cpu_fallback()
+
+        if self._device_seeder is None:
+            from .ops.device_seed import DeviceSeeder
+            try:
+                self._device_seeder = DeviceSeeder(
+                    self.index, self.ref_seqs, cfg.error_threshold,
+                    cfg.min_num_seeds_required_for_mapping,
+                    cfg.max_seed_frequencies)
+            except Exception as exc:
+                log(f"Device seeding unavailable ({exc}); CPU only.")
+                self._device_seeder = False
+            else:
+                log("Using TPU device seeding + verification.")
+        if self._device_seeder is False:
+            return cpu_fallback()
+
+        # pack straight from the reader's raw buffers in C++ into a
+        # reusable upload buffer (fresh numpy temporaries page-fault at
+        # ~200 s/GB on the target VM); -1 = non-uniform lengths. Tail
+        # chunks pad to the fixed chunk size with all-N rows (zero
+        # minimizers) so every dispatch reuses one compiled program shape.
+        chunk = max(n1, min(cfg.device_batch_size, cfg.read_batch_size))
+        W = (L + 15) // 16 + (L + 31) // 32
+        need = 2 * chunk * W
+        buf = getattr(self, "_dev_pack_buf", None)
+        if buf is None or buf.size < need:
+            buf = np.zeros(need, dtype=np.uint32)
+            self._dev_pack_buf = buf
+        rc = engine.lib.cn_pack_reads(b1, o1, b2, o2, n1, L,
+                                      buf.ctypes.data_as(_ct.c_void_p))
+        if rc != 0:
+            return cpu_fallback()
+        buf2d = buf[:need].reshape(2 * chunk, W)
+        if n1 < chunk:
+            buf2d[2 * n1:] = 0xFFFFFFFF
+
+        handle = self._device_seeder.submit_packed(buf2d, 2 * chunk, L)
+        fut = hyb["executor"].submit(self._device_seeder.resolve, handle)
+        # the reader reuses its buffers on the next read_batch: keep the
+        # raw bytes in ping-pong slots (at most one device chunk in flight)
         raw1 = np.ctypeslib.as_array(
             _ct.cast(b1, _ct.POINTER(_ct.c_uint8)), shape=(int(offs1[n1]),))
         raw2 = np.ctypeslib.as_array(
             _ct.cast(b2, _ct.POINTER(_ct.c_uint8)), shape=(int(offs2[n1]),))
+        slot_id = hyb["devn"] % 2
+        hyb["devn"] += 1
+        slot = hyb["saved"][slot_id]
+        sizes = (raw1.size, raw2.size, n1 + 1)
+        if slot is None or slot[0].size < sizes[0] \
+                or slot[2].size < sizes[1]:
+            slot = (np.empty(max(sizes[0], 1), np.uint8),
+                    np.empty(n1 + 1, np.int64),
+                    np.empty(max(sizes[1], 1), np.uint8),
+                    np.empty(n1 + 1, np.int64))
+            hyb["saved"][slot_id] = slot
+        if slot[1].size < n1 + 1:
+            slot = (slot[0], np.empty(n1 + 1, np.int64),
+                    slot[2], np.empty(n1 + 1, np.int64))
+            hyb["saved"][slot_id] = slot
+        np.copyto(slot[0][:raw1.size], raw1)
+        np.copyto(slot[1][:n1 + 1], offs1)
+        np.copyto(slot[2][:raw2.size], raw2)
+        np.copyto(slot[3][:n1 + 1], offs2)
+        return ("dev", fut, slot, n1, base_read_id, threshold)
 
-        len1 = np.diff(offs1)
-        len2 = np.diff(offs2)
-        L = int(len1[0]) if n1 else 0
-        uniform = (n1 > 0 and (len1 == L).all() and (len2 == L).all()
-                   and 30 <= L <= 230)
-        if not uniform or cfg.trim_adapters or cfg.custom_rid_order_file_path:
-            return ("host",
-                    engine.map_pairs_raw(b1, o1, b2, o2, n1, base_read_id,
-                                         threshold))
-
-        if self._device_seeder is None:
-            from .ops.device_seed import DeviceSeeder
-            self._device_seeder = DeviceSeeder(
-                self.index, self.ref_seqs, cfg.error_threshold,
-                cfg.min_num_seeds_required_for_mapping,
-                cfg.max_seed_frequencies)
-            log("Using TPU device seeding + verification.")
-
-        if not hasattr(self, "_code_tbl"):
-            tbl = np.full(256, 4, np.uint8)
-            for i, c in enumerate(b"ACGT"):
-                tbl[c] = i
-            for i, c in enumerate(b"acgt"):
-                tbl[c] = i
-            self._code_tbl = tbl
-        codes = np.empty((2 * n1, L), dtype=np.uint8)
-        codes[0::2] = self._code_tbl[raw1].reshape(n1, L)
-        codes[1::2] = self._code_tbl[raw2].reshape(n1, L)
-        lengths = np.full(2 * n1, L, dtype=np.int64)
-
-        handle = self._device_seeder.submit(codes, lengths)
-        # the reader reuses its buffers on the next read_batch: keep copies
-        saved = (raw1.copy(), offs1.copy(), raw2.copy(), offs2.copy())
-        return ("dev", handle, saved, n1, base_read_id, threshold)
-
-    def _device_resolve(self, engine, pending):
-        """Blocks on a submitted device batch and runs the native finish."""
+    def _hybrid_finish_one(self, engine, hyb, account) -> None:
+        """Finish the oldest queued chunk (selection in chunk order)."""
         import ctypes as _ct
 
-        if pending[0] == "host":
-            return pending[1]
-        _, handle, saved, n1, base_read_id, threshold = pending
-        raw1, offs1, raw2, offs2 = saved
-        meta, cand_pos, cand_meta, overflow = \
-            self._device_seeder.resolve(handle)
-        r1p = _ct.cast(raw1.ctypes.data, _ct.c_char_p)
-        r2p = _ct.cast(raw2.ctypes.data, _ct.c_char_p)
-        o1p = offs1.ctypes.data_as(_ct.c_void_p)
-        o2p = offs2.ctypes.data_as(_ct.c_void_p)
+        item = hyb["queue"].popleft()
+        if item[0] == "p1":
+            _, handle, n1, base = item
+            account(engine.phase1_finish(handle, n1, base))
+            return
+        _, fut, slot, n1, base, threshold = item
+        meta, cand_pos, cand_meta, overflow = fut.result()
+        r1p = _ct.cast(slot[0].ctypes.data, _ct.c_char_p)
+        r2p = _ct.cast(slot[2].ctypes.data, _ct.c_char_p)
+        o1p = slot[1].ctypes.data_as(_ct.c_void_p)
+        o2p = slot[3].ctypes.data_as(_ct.c_void_p)
         if overflow:
-            return engine.map_pairs_raw(r1p, o1p, r2p, o2p, n1,
-                                        base_read_id, threshold)
-        return engine.map_pairs_dev_seeded(r1p, o1p, r2p, o2p, n1,
-                                           base_read_id, meta, cand_pos,
-                                           cand_meta)
+            account(engine.map_pairs_raw(r1p, o1p, r2p, o2p, n1, base,
+                                         threshold))
+        else:
+            account(engine.map_pairs_dev_seeded(r1p, o1p, r2p, o2p, n1,
+                                                base, meta, cand_pos,
+                                                cand_meta))
 
     def _map_batch_native(self, engine, batch1, batch2, threshold,
                           emit) -> None:

@@ -264,3 +264,62 @@ def test_parallel_index_build_exact():
     a3 = native_build_index_arrays([g], 17, 7, 3)
     for x, y in zip(a1, a3):
         np.testing.assert_array_equal(x, y)
+
+
+def test_phase1_split_byte_parity(small_world):
+    """cn_phase1_run + cn_phase1_finish (the hybrid scheduler's split) is
+    byte-identical to the single-call cn_map_pairs, including cache
+    updates and the mt19937 stream across chunk boundaries."""
+    from chromap_tpu.native import NativeEngine, load_library
+
+    if load_library() is None:
+        pytest.skip("native engine unavailable")
+
+    index, ref_codes, ref_seqs = small_world
+    rng = np.random.default_rng(31)
+    B, L = 300, 80
+    reads1, reads2 = [], []
+    for i in range(B):
+        g = ref_codes[i % len(ref_codes)]
+        st = rng.integers(0, len(g) - 400)
+        frag = g[st:st + rng.integers(2 * L, 400)].copy()
+        a, b = frag[:L].copy(), (frag[-L:][::-1] ^ 3) % 4
+        for _ in range(rng.integers(0, 3)):
+            a[rng.integers(0, L)] = rng.integers(0, 4)
+        reads1.append(_to_seq(a % 4))
+        reads2.append(_to_seq(b))
+
+    class Cfg:
+        error_threshold = E
+        min_num_seeds_required_for_mapping = MIN_SEEDS
+        max_seed_frequencies = F
+        max_num_best_mappings = 1
+        max_insert_size = 1000
+        min_read_length = 30
+        drop_repetitive_reads = 500000
+        cache_size = 4000003
+        trim_adapters = False
+
+    import ctypes
+    eng1 = NativeEngine(Cfg(), index, ref_seqs)
+    out_ref, _ = eng1.map_pairs(reads1, reads2, 0, B)  # cache updates on
+
+    # split path: two chunks, phase1 for both, then finishes in order
+    eng2 = NativeEngine(Cfg(), index, ref_seqs)
+    half = B // 2
+    outs = []
+    for lo, hi in ((0, half), (half, B)):
+        r1b = b"".join(reads1[lo:hi])
+        r2b = b"".join(reads2[lo:hi])
+        off = np.arange(hi - lo + 1, dtype=np.int64) * L
+        offp = off.ctypes.data_as(ctypes.c_void_p)
+        h = eng2.phase1_run(r1b, offp, r2b, offp, hi - lo, hi - lo)
+        outs.append((h, hi - lo, lo, r1b, r2b, off))
+    merged = {}
+    for h, n, base, r1b, r2b, off in outs:
+        out, _ = eng2.phase1_finish(h, n, base)
+        for key, arr in out.items():
+            merged.setdefault(key, []).append(arr)
+    for key in out_ref:
+        got = np.concatenate(merged[key])
+        np.testing.assert_array_equal(out_ref[key], got, err_msg=key)

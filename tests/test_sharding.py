@@ -71,3 +71,26 @@ def test_two_shard_map_merge_equals_single_run(data_dir, golden_dir,
     res = subprocess.run(merge, capture_output=True, text=True)
     assert res.returncode == 0, res.stderr
     assert out.read_bytes() == (golden_dir / "chip-equiv.bed").read_bytes()
+
+
+def test_multichip_end_to_end_byte_parity():
+    """The full map -> select -> emit path under a multi-device data mesh
+    equals the single-device host run byte-for-byte (the driver's
+    dryrun_multichip, on the virtual CPU mesh). Child process: the mesh
+    override must precede interpreter start (axon sitecustomize)."""
+    import os
+    import pathlib
+    repo = str(pathlib.Path(__file__).parent.parent)
+    env = dict(os.environ)
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8")
+    script = ("import sys; sys.path.insert(0, %r)\n"
+              "from __graft_entry__ import dryrun_multichip\n"
+              "dryrun_multichip(2)\n" % repo)
+    res = subprocess.run([sys.executable, "-c", script],
+                         capture_output=True, text=True, env=env)
+    assert res.returncode == 0, res.stderr
+    assert "byte-identical to the single-device host run" in res.stdout, \
+        res.stdout
