@@ -86,6 +86,16 @@ def load_library():
     lib.cn_pack_reads.argtypes = [
         ctypes.c_char_p, ctypes.c_void_p, ctypes.c_char_p, ctypes.c_void_p,
         ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p]
+    lib.cn_pack_reads_se.restype = ctypes.c_int64
+    lib.cn_pack_reads_se.argtypes = [
+        ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_void_p]
+    lib.cn_map_single_dev.restype = ctypes.c_int64
+    lib.cn_map_single_dev.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ] + [ctypes.c_void_p] * 8
     lib.cn_fastx_open.restype = ctypes.c_void_p
     lib.cn_fastx_open.argtypes = [ctypes.c_char_p]
     lib.cn_fastx_close.argtypes = [ctypes.c_void_p]
@@ -288,6 +298,37 @@ class NativeEngine:
         count = self.lib.cn_map_single(
             self.ctx, r_bytes, r_off_ptr, n, base_read_id,
             cache_update_threshold,
+            _ptr(out["rid"]), _ptr(out["read_id"]), _ptr(out["start"]),
+            _ptr(out["flen"]), _ptr(out["mapq"]), _ptr(out["dir"]),
+            _ptr(out["uniq"]), _ptr(stats))
+        for key in out:
+            out[key] = out[key][:count]
+        out["posalen"] = np.zeros(count, dtype=np.uint16)
+        out["negalen"] = np.zeros(count, dtype=np.uint16)
+        return out, stats
+
+    def map_single_dev_seeded(self, r_bytes, r_off_ptr, n: int,
+                              base_read_id: int, read_meta: np.ndarray,
+                              cand_pos: np.ndarray, cand_meta: np.ndarray
+                              ) -> Tuple[dict, np.ndarray]:
+        """Single-end finish from device-computed seeding + verification."""
+        read_meta = np.ascontiguousarray(read_meta, dtype=np.uint64)
+        cand_pos = np.ascontiguousarray(cand_pos, dtype=np.uint64)
+        cand_meta = np.ascontiguousarray(cand_meta, dtype=np.uint32)
+        cap = max(1, n * max(1, self.cfg.max_num_best_mappings))
+        out = {
+            "rid": np.empty(cap, dtype=np.int32),
+            "read_id": np.empty(cap, dtype=np.uint32),
+            "start": np.empty(cap, dtype=np.uint32),
+            "flen": np.empty(cap, dtype=np.uint16),
+            "mapq": np.empty(cap, dtype=np.uint8),
+            "dir": np.empty(cap, dtype=np.uint8),
+            "uniq": np.empty(cap, dtype=np.uint8),
+        }
+        stats = np.zeros(5, dtype=np.int64)
+        count = self.lib.cn_map_single_dev(
+            self.ctx, r_bytes, r_off_ptr, n, base_read_id,
+            _ptr(read_meta), _ptr(cand_pos), _ptr(cand_meta),
             _ptr(out["rid"]), _ptr(out["read_id"]), _ptr(out["start"]),
             _ptr(out["flen"]), _ptr(out["mapq"]), _ptr(out["dir"]),
             _ptr(out["uniq"]), _ptr(stats))

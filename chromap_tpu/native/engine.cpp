@@ -2971,12 +2971,12 @@ int64_t cn_map_pairs_ext(
 
 // --------------------------- single-end mapping ---------------------------
 
-int64_t cn_map_single(
+static int64_t MapSingleCore(
     CnContext* ctx, const char* r_bytes, const int64_t* r_offsets,
     int64_t num_reads, int64_t base_read_id, int64_t cache_update_threshold,
     int32_t* out_rid, uint32_t* out_read_id, uint32_t* out_start,
     uint16_t* out_flen, uint8_t* out_mapq, uint8_t* out_dir,
-    uint8_t* out_uniq, int64_t* stats) {
+    uint8_t* out_uniq, int64_t* stats, const DevSeedView* dev) {
   const MappingParams& mp = ctx->mp;
   const IndexView& idx = ctx->idx;
   const RefView& ref = ctx->ref;
@@ -2986,6 +2986,23 @@ int64_t cn_map_single(
   ctx->history.clear();
   if (cache_update_threshold > 0) ctx->history.resize((size_t)num_reads);
   std::vector<uint8_t> hist_valid(num_reads, 0);
+
+  // device-seed bookkeeping: per-read candidate cursors; fallback-flagged
+  // reads re-run the exact path (single-end never mate-rescues, so the
+  // AUGMENT flag is irrelevant here)
+  std::vector<int64_t> dcurs;
+  std::vector<uint8_t> devflag;
+  if (dev) {
+    dcurs.resize(num_reads);
+    devflag.resize(num_reads);
+    int64_t cursor = 0;
+    for (int64_t pi = 0; pi < num_reads; ++pi) {
+      uint64_t m = dev->read_meta[pi];
+      dcurs[pi] = cursor;
+      cursor += (int64_t)((m >> 32) & 0xFF) + (int64_t)((m >> 40) & 0xFF);
+      devflag[pi] = ((m >> 24) & kDevFlagFallback) == 0 ? 1 : 0;
+    }
+  }
 
   // Single-end selection draws from a fresh mt19937(11) per read
   // (mapping_generator.h:128), so whole reads parallelize -- including
@@ -3022,20 +3039,26 @@ int64_t cn_map_single(
 
     SeedState& s1 = sc.s1;
     s1.Clear();
-    GenerateMinimizers(sc.codes1.data(), l1, idx.k, idx.w, s1.minimizers);
-    if (s1.minimizers.empty()) return;
-    int q1 = ctx->cache.Query(s1.minimizers, l1, s1.positive_candidates,
-                              s1.negative_candidates,
-                              s1.repetitive_seed_length);
-    if (q1 == -1) GenerateCandidates(idx, mp, s1);
-    else ++em.st_hits;
-    if (pi < cache_update_threshold) {
-      auto& he = ctx->history[pi];
-      he.first.mzs = s1.minimizers;
-      he.first.pos = s1.positive_candidates;
-      he.first.neg = s1.negative_candidates;
-      he.first.rep = s1.repetitive_seed_length;
-      hist_valid[pi] = 1;
+    if (dev && devflag[pi]) {
+      LoadDevSeed(*dev, dev->read_meta[pi], dcurs[pi], s1,
+                  &s1.num_minimizers);
+      if (s1.num_minimizers == 0) return;
+    } else {
+      GenerateMinimizers(sc.codes1.data(), l1, idx.k, idx.w, s1.minimizers);
+      if (s1.minimizers.empty()) return;
+      int q1 = ctx->cache.Query(s1.minimizers, l1, s1.positive_candidates,
+                                s1.negative_candidates,
+                                s1.repetitive_seed_length);
+      if (q1 == -1) GenerateCandidates(idx, mp, s1);
+      else ++em.st_hits;
+      if (pi < cache_update_threshold) {
+        auto& he = ctx->history[pi];
+        he.first.mzs = s1.minimizers;
+        he.first.pos = s1.positive_candidates;
+        he.first.neg = s1.negative_candidates;
+        he.first.rep = s1.repetitive_seed_length;
+        hist_valid[pi] = 1;
+      }
     }
     if (s1.NumCandidates() == 0) return;
     em.st_cand += (int64_t)s1.NumCandidates();
@@ -3190,6 +3213,33 @@ int64_t cn_map_single(
   return out_n;
 }
 
+int64_t cn_map_single(
+    CnContext* ctx, const char* r_bytes, const int64_t* r_offsets,
+    int64_t num_reads, int64_t base_read_id, int64_t cache_update_threshold,
+    int32_t* out_rid, uint32_t* out_read_id, uint32_t* out_start,
+    uint16_t* out_flen, uint8_t* out_mapq, uint8_t* out_dir,
+    uint8_t* out_uniq, int64_t* stats) {
+  return MapSingleCore(ctx, r_bytes, r_offsets, num_reads, base_read_id,
+                       cache_update_threshold, out_rid, out_read_id,
+                       out_start, out_flen, out_mapq, out_dir, out_uniq,
+                       stats, nullptr);
+}
+
+// Single-end finish from device-computed seeding + verification
+// (ops/device_seed.py download, one meta per read, reads in order).
+int64_t cn_map_single_dev(
+    CnContext* ctx, const char* r_bytes, const int64_t* r_offsets,
+    int64_t num_reads, int64_t base_read_id, const uint64_t* read_meta,
+    const uint64_t* cand_pos, const uint32_t* cand_meta, int32_t* out_rid,
+    uint32_t* out_read_id, uint32_t* out_start, uint16_t* out_flen,
+    uint8_t* out_mapq, uint8_t* out_dir, uint8_t* out_uniq,
+    int64_t* stats) {
+  DevSeedView dev = {read_meta, cand_pos, cand_meta};
+  return MapSingleCore(ctx, r_bytes, r_offsets, num_reads, base_read_id, 0,
+                       out_rid, out_read_id, out_start, out_flen, out_mapq,
+                       out_dir, out_uniq, stats, &dev);
+}
+
 }  // extern "C"
 
 // ------------------------------ FASTQ reader ------------------------------
@@ -3202,8 +3252,12 @@ struct FastxReader {
   std::vector<char> buf;
   size_t pos = 0, len = 0;
   bool eof = false;
-  std::vector<char> seqs;       // concatenated batch sequences
-  std::vector<int64_t> offsets; // n+1
+  // ping-pong batch buffers: the previous batch stays valid while the
+  // next one loads (load/map overlap, the SwapSequenceBatch analog of
+  // chromap.h:871-877)
+  std::vector<char> seqs_bufs[2];        // concatenated batch sequences
+  std::vector<int64_t> offsets_bufs[2];  // n+1
+  int cur = 0;
 
   explicit FastxReader(const char* path) : f(nullptr) {
     buf.resize(1 << 20);
@@ -3299,6 +3353,9 @@ struct FastxReader {
 
   // kseq-equivalent record parse; returns #records loaded (<= max_n)
   int64_t ReadBatch(int64_t max_n) {
+    cur ^= 1;
+    std::vector<char>& seqs = seqs_bufs[cur];
+    std::vector<int64_t>& offsets = offsets_bufs[cur];
     seqs.clear();
     offsets.clear();
     offsets.push_back(0);
@@ -3513,8 +3570,8 @@ int64_t cn_fastx_read_batch(FastxReader* r, int64_t max_n,
                             const char** seq_bytes,
                             const int64_t** offsets) {
   int64_t n = r->ReadBatch(max_n);
-  *seq_bytes = r->seqs.data();
-  *offsets = r->offsets.data();
+  *seq_bytes = r->seqs_bufs[r->cur].data();
+  *offsets = r->offsets_bufs[r->cur].data();
   return n;
 }
 
@@ -3543,6 +3600,27 @@ int64_t cn_pack_reads(const char* r1, const int64_t* o1, const char* r2,
         else
           row[W + (i >> 5)] |= 1u << (i & 31);
       }
+    }
+  }
+  return 0;
+}
+
+// Single-stream variant (single-end runs): one row per read in order.
+int64_t cn_pack_reads_se(const char* r, const int64_t* o, int64_t n,
+                         int32_t L, uint32_t* out) {
+  const int W = (L + 15) / 16, WN = (L + 31) / 32;
+  const int stride = W + WN;
+  for (int64_t p = 0; p < n; ++p) {
+    const char* s = r + o[p];
+    if (o[p + 1] - o[p] != L) return -1;
+    uint32_t* row = out + p * stride;
+    memset(row, 0, (size_t)stride * 4);
+    for (int i = 0; i < L; ++i) {
+      uint8_t c = kCharToCode[(uint8_t)s[i]];
+      if (c < 4)
+        row[i >> 4] |= (uint32_t)c << (2 * (i & 15));
+      else
+        row[W + (i >> 5)] |= 1u << (i & 31);
     }
   }
   return 0;

@@ -447,6 +447,13 @@ class MappingPipeline:
             # sorted shards and k-way merges them at output
             self._map_paired_end_full_native(native_engine)
             return
+        if cfg.use_device:
+            # e.g. --preset atac sets low_memory_mode; make the routing
+            # visible instead of silently ignoring the flag
+            log("WARNING: --device applies to bulk BED/TagAlign runs "
+                "without low-memory mode, read-format, shards, summary, "
+                "allocation or matrix output; this run maps on the host "
+                "engine.")
 
         batch_mapper = None
         if native_engine is None and cfg.batch_engine_eligible(paired=True):
@@ -773,11 +780,12 @@ class MappingPipeline:
                    if cfg.use_device else cfg.read_batch_size)
         hyb = self._hybrid_state() if cfg.use_device else None
         for file_index in range(len(cfg.read_file1_paths)):
-            r1 = NativeFastxReader(cfg.read_file1_paths[file_index])
-            r2 = NativeFastxReader(cfg.read_file2_paths[file_index])
+            stream = self._PrefetchStream(
+                [NativeFastxReader(cfg.read_file1_paths[file_index]),
+                 NativeFastxReader(cfg.read_file2_paths[file_index])],
+                batch_n)
             while True:
-                n1, b1, o1 = r1.read_batch(batch_n)
-                n2, b2, o2 = r2.read_batch(batch_n)
+                (n1, b1, o1), (n2, b2, o2) = stream.next()
                 if n1 != n2:
                     raise RuntimeError(
                         "Numbers of reads and barcodes don't match!")
@@ -794,8 +802,7 @@ class MappingPipeline:
                                                  base_read_id, threshold))
                 base_read_id += n1
                 log(f"Mapped {n1} read pairs.")
-            r1.close()
-            r2.close()
+            stream.close()
         if hyb is not None:
             while hyb["queue"]:
                 self._hybrid_finish_one(engine, hyb, account)
@@ -818,6 +825,32 @@ class MappingPipeline:
         log(f"# uni-mappings: {uni}, # multi-mappings: {multi}, "
             f"total: {uni + multi}.")
         log(f"Number of output mappings (passed filters): {written}")
+
+    class _PrefetchStream:
+        """Reads the next FASTQ batch on a worker thread while the current
+        one maps (chromap.h:871-877's load/map overlap); safe because the
+        native reader ping-pongs its batch buffers."""
+
+        def __init__(self, readers, batch_n: int):
+            from concurrent.futures import ThreadPoolExecutor
+            self.readers = readers
+            self.batch_n = batch_n
+            self.ex = ThreadPoolExecutor(max_workers=1)
+            self.fut = self.ex.submit(self._read)
+
+        def _read(self):
+            return [r.read_batch(self.batch_n) for r in self.readers]
+
+        def next(self):
+            res = self.fut.result()
+            if res[0][0] > 0:
+                self.fut = self.ex.submit(self._read)
+            return res
+
+        def close(self):
+            self.ex.shutdown(wait=True)
+            for r in self.readers:
+                r.close()
 
     def _hybrid_state(self) -> dict:
         """Scheduler state for the TPU/CPU hybrid mapping loop.
@@ -1327,26 +1360,53 @@ class MappingPipeline:
         t_map = _time.time()
         chunks: List[dict] = []
         base_read_id = 0
+
+        def account(out_stats):
+            out, stats = out_stats
+            chunks.append(out)
+            self.num_candidates += int(stats[0])
+            self.num_mappings += int(stats[1])
+            self.num_mapped_reads += int(stats[2])
+            self.num_uniquely_mapped_reads += int(stats[3])
+            self.cache_hits += int(stats[4])
+
+        # single-end selection draws a fresh per-read RNG, so device and
+        # host chunks need no ordering: every P-th chunk seeds on the chip
+        # (same program shape as the paired hybrid) while the CPU maps the
+        # rest; one device chunk stays in flight
+        batch_n = (min(cfg.read_batch_size, 2 * cfg.device_batch_size)
+                   if cfg.use_device else cfg.read_batch_size)
+        P = max(1, cfg.device_hybrid_period)
+        ci = 0
+        pending = None
         for file_index in range(len(cfg.read_file1_paths)):
-            r1 = NativeFastxReader(cfg.read_file1_paths[file_index])
+            stream = self._PrefetchStream(
+                [NativeFastxReader(cfg.read_file1_paths[file_index])],
+                batch_n)
             while True:
-                n1, b1, o1 = r1.read_batch(cfg.read_batch_size)
+                ((n1, b1, o1),) = stream.next()
                 if n1 == 0:
                     break
                 self.num_reads += n1
                 threshold = self.cache_single.get_update_threshold(
                     n1, self.num_reads, False, 0.01)
-                out, stats = engine.map_single_raw(b1, o1, n1, base_read_id,
-                                                   threshold)
+                newp = None
+                if cfg.use_device and ci % P == 0:
+                    newp = self._se_device_submit(engine, b1, o1, n1,
+                                                  base_read_id)
+                if newp is None:
+                    account(engine.map_single_raw(b1, o1, n1, base_read_id,
+                                                  threshold))
+                else:
+                    if pending is not None:
+                        account(self._se_device_resolve(engine, pending))
+                    pending = newp
                 base_read_id += n1
-                chunks.append(out)
-                self.num_candidates += int(stats[0])
-                self.num_mappings += int(stats[1])
-                self.num_mapped_reads += int(stats[2])
-                self.num_uniquely_mapped_reads += int(stats[3])
-                self.cache_hits += int(stats[4])
+                ci += 1
                 log(f"Mapped {n1} reads.")
-            r1.close()
+            stream.close()
+        if pending is not None:
+            account(self._se_device_resolve(engine, pending))
         log(f"Mapped all reads in {_time.time() - t_map:.2f}s.")
         self._output_stats()
 
@@ -1363,6 +1423,72 @@ class MappingPipeline:
         log(f"# uni-mappings: {uni}, # multi-mappings: {multi}, "
             f"total: {uni + multi}.")
         log(f"Number of output mappings (passed filters): {written}")
+
+    def _se_device_submit(self, engine, b1, o1, n1: int,
+                          base_read_id: int):
+        """Dispatch one single-end chunk to the device seeder (same packed
+        program as the paired hybrid); returns None when the chunk is
+        ineligible (CPU maps it instead)."""
+        import ctypes as _ct
+
+        cfg = self.cfg
+
+        offs1 = np.ctypeslib.as_array(
+            _ct.cast(o1.value if hasattr(o1, "value") else o1,
+                     _ct.POINTER(_ct.c_int64)), shape=(n1 + 1,))
+        L = int(offs1[1] - offs1[0]) if n1 else 0
+        if n1 == 0 or not (30 <= L <= 230):
+            return None
+        if self._device_seeder is None:
+            from .ops.device_seed import DeviceSeeder
+            try:
+                self._device_seeder = DeviceSeeder(
+                    self.index, self.ref_seqs, cfg.error_threshold,
+                    cfg.min_num_seeds_required_for_mapping,
+                    cfg.max_seed_frequencies)
+            except Exception as exc:
+                log(f"Device seeding unavailable ({exc}); CPU only.")
+                self._device_seeder = False
+            else:
+                log("Using TPU device seeding + verification.")
+        if self._device_seeder is False:
+            return None
+
+        chunk = max(n1, min(2 * cfg.device_batch_size, cfg.read_batch_size))
+        W = (L + 15) // 16 + (L + 31) // 32
+        need = chunk * W
+        buf = getattr(self, "_dev_pack_buf", None)
+        if buf is None or buf.size < need:
+            buf = np.zeros(need, dtype=np.uint32)
+            self._dev_pack_buf = buf
+        rc = engine.lib.cn_pack_reads_se(b1, o1, n1, L,
+                                         buf.ctypes.data_as(_ct.c_void_p))
+        if rc != 0:
+            return None
+        buf2d = buf[:need].reshape(chunk, W)
+        if n1 < chunk:
+            buf2d[n1:] = 0xFFFFFFFF
+        handle = self._device_seeder.submit_packed(buf2d, chunk, L)
+        raw1 = np.ctypeslib.as_array(
+            _ct.cast(b1, _ct.POINTER(_ct.c_uint8)), shape=(int(offs1[n1]),))
+        saved = (raw1.copy(), offs1.copy())
+        return (handle, saved, n1, base_read_id)
+
+    def _se_device_resolve(self, engine, pending):
+        """Blocks on a single-end device chunk and runs the native
+        finish (fallback-flagged reads re-run the exact path inside)."""
+        import ctypes as _ct
+
+        handle, saved, n1, base = pending
+        raw1, offs1 = saved
+        meta, cand_pos, cand_meta, overflow = \
+            self._device_seeder.resolve(handle)
+        rp = _ct.cast(raw1.ctypes.data, _ct.c_char_p)
+        op = offs1.ctypes.data_as(_ct.c_void_p)
+        if overflow:
+            return engine.map_single_raw(rp, op, n1, base, 0)
+        return engine.map_single_dev_seeded(rp, op, n1, base, meta,
+                                            cand_pos, cand_meta)
 
     def _map_batch_native_se(self, engine, batch, threshold, emit) -> None:
         """Map one single-end batch through the C++ host engine."""

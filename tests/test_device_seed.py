@@ -323,3 +323,48 @@ def test_phase1_split_byte_parity(small_world):
     for key in out_ref:
         got = np.concatenate(merged[key])
         np.testing.assert_array_equal(out_ref[key], got, err_msg=key)
+
+
+def test_se_dev_engine_byte_parity(small_world):
+    """cn_map_single_dev output equals cn_map_single on simulated reads
+    (single-end device coverage)."""
+    from chromap_tpu.native import NativeEngine, load_library
+    from chromap_tpu.ops.device_seed import DeviceSeeder
+
+    if load_library() is None:
+        pytest.skip("native engine unavailable")
+
+    index, ref_codes, ref_seqs = small_world
+    rng = np.random.default_rng(17)
+    B, L = 200, 80
+    reads = _simulate_reads(ref_codes, rng, B, L)
+    read_seqs = [_to_seq(r) for r in reads]
+
+    class Cfg:
+        error_threshold = E
+        min_num_seeds_required_for_mapping = MIN_SEEDS
+        max_seed_frequencies = F
+        max_num_best_mappings = 3
+        max_insert_size = 1000
+        min_read_length = 30
+        drop_repetitive_reads = 500000
+        cache_size = 4000003
+        trim_adapters = False
+
+    import ctypes
+    r_bytes = b"".join(read_seqs)
+    off = np.arange(B + 1, dtype=np.int64) * L
+    offp = off.ctypes.data_as(ctypes.c_void_p)
+    eng1 = NativeEngine(Cfg(), index, ref_seqs)
+    out_host, _ = eng1.map_single_raw(r_bytes, offp, B, 0, 0)
+
+    seeder = DeviceSeeder(index, ref_seqs, E, MIN_SEEDS, F, use_pallas=False)
+    meta, cand_pos, cand_meta, overflow = seeder.seed_and_verify(
+        reads, np.full(B, L, dtype=np.int64))
+    assert not overflow
+    eng2 = NativeEngine(Cfg(), index, ref_seqs)
+    out_dev, _ = eng2.map_single_dev_seeded(r_bytes, offp, B, 0, meta,
+                                            cand_pos, cand_meta)
+    for key in out_host:
+        np.testing.assert_array_equal(out_host[key], out_dev[key],
+                                      err_msg=key)
