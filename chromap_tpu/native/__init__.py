@@ -34,6 +34,10 @@ def _build() -> None:
     # vectorizes the Hash64 lanes in GenerateMinimizers (4x uint64)
     if _cpu_supports("avx2"):
         cmd.append("-mavx2")
+    if os.environ.get("CHROMAP_TPU_NATIVE_ASAN") == "1":
+        # sanitizer build (the reference's `make asan=1`); run python with
+        # LD_PRELOAD=$(g++ -print-file-name=libasan.so) to load it
+        cmd += ["-fsanitize=address", "-g"]
     cmd += ["-o", _SO, _SRC, "-lz"]
     subprocess.run(cmd, check=True, capture_output=True, text=True)
 

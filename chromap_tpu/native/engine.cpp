@@ -112,7 +112,8 @@ void GenerateMinimizers(const uint8_t* codes, int n, int k, int w,
     kind_v.resize(blk);
   }
 
-  std::vector<std::pair<uint64_t, uint64_t>> buffer(w, {kUmax, kUmax});
+  static thread_local std::vector<std::pair<uint64_t, uint64_t>> buffer;
+  buffer.assign(w, {kUmax, kUmax});
   std::pair<uint64_t, uint64_t> min_seed = {kUmax, kUmax};
   int min_position = 0, position_in_buffer = 0, unambiguous_length = 0;
   uint64_t fwd = 0, rc = 0;
@@ -896,6 +897,87 @@ struct MMCache {
 
 // --------------------------- Myers verification ---------------------------
 
+// Multi-candidate Myers: NL reference windows (one per lane) against one
+// read, u32 band words in auto-vectorized lanes (the VPU-lane analog of
+// the reference's 4/8-pattern SSE kernels, alignment.cc:378-655 -- wider
+// here: AVX2 fits 8 u32 lanes where the reference packed 8 int16). Lanes
+// whose boundary count ever exceeds 3e report e+1, exactly like the
+// scalar early exit; their end positions are unused by callers.
+template <int NL>
+static void BandedAlignLanes(int e, const char* const* pats,
+                             const char* text, int L, int* errs,
+                             int* ends) {
+  uint32_t peq[5][NL];
+  for (int c = 0; c < 5; ++c)
+    for (int l = 0; l < NL; ++l) peq[c][l] = 0;
+  for (int i = 0; i < 2 * e; ++i)
+    for (int l = 0; l < NL; ++l)
+      peq[kCharToCode[(uint8_t)pats[l][i]]][l] |= 1u << i;
+  const uint32_t highest = 1u << (2 * e);
+  const int32_t limit = 3 * e;
+  uint32_t vp[NL], vn[NL], dead[NL];
+  int32_t nerr[NL];
+  for (int l = 0; l < NL; ++l) {
+    vp[l] = vn[l] = dead[l] = 0;
+    nerr[l] = 0;
+  }
+  uint8_t pcs[NL];
+  for (int i = 0; i < L; ++i) {
+    for (int l = 0; l < NL; ++l)
+      pcs[l] = kCharToCode[(uint8_t)pats[l][i + 2 * e]];
+    for (int c = 0; c < 5; ++c) {
+      uint32_t* pq = peq[c];
+#pragma omp simd
+      for (int l = 0; l < NL; ++l)
+        pq[l] |= (pcs[l] == (uint8_t)c) ? highest : 0u;
+    }
+    const uint32_t* pq = peq[kCharToCode[(uint8_t)text[i]]];
+#pragma omp simd
+    for (int l = 0; l < NL; ++l) {
+      uint32_t x = pq[l] | vn[l];
+      uint32_t d0 = ((vp[l] + (x & vp[l])) ^ vp[l]) | x;
+      uint32_t hn = vp[l] & d0;
+      uint32_t hp = vn[l] | ~(vp[l] | d0);
+      uint32_t x2 = d0 >> 1;
+      vn[l] = x2 & hp;
+      vp[l] = hn | ~(x2 | hp);
+      nerr[l] += 1 - (int32_t)(d0 & 1);
+      dead[l] |= (uint32_t)(nerr[l] > limit);
+    }
+    for (int c = 0; c < 5; ++c) {
+      uint32_t* q = peq[c];
+#pragma omp simd
+      for (int l = 0; l < NL; ++l) q[l] >>= 1;
+    }
+    if ((i & 15) == 15) {
+      uint32_t all = 1;
+      for (int l = 0; l < NL; ++l) all &= dead[l];
+      if (all) break;
+    }
+  }
+  const int band_start = L - 1;
+  for (int l = 0; l < NL; ++l) {
+    if (dead[l]) {
+      errs[l] = e + 1;
+      ends[l] = band_start;
+      continue;
+    }
+    int num_err = nerr[l];
+    int min_err = num_err;
+    int end = band_start;
+    for (int i = 0; i < 2 * e; ++i) {
+      num_err += (vp[l] >> i) & 1;
+      num_err -= (vn[l] >> i) & 1;
+      if (num_err < min_err || (num_err == min_err && i + 1 == e)) {
+        min_err = num_err;
+        end = band_start + 1 + i;
+      }
+    }
+    errs[l] = min_err;
+    ends[l] = end;
+  }
+}
+
 int BandedAlign(int e, const char* pattern, const char* text, int L,
                 int* end_position) {
   uint32_t peq[5] = {0, 0, 0, 0, 0};
@@ -1530,13 +1612,41 @@ void VerifyCandidates(const MappingParams& mp, const RefView& ref,
       }
       group.push_back(&c);
       if ((int)group.size() < num_lanes) continue;
+      // whole-group multi-lane Myers (when nothing precomputed overrides)
+      int gerrs[8], gends[8];
+      bool lanes_ok = ext == nullptr
+                      && (num_lanes == 4 || num_lanes == 8);
+      if (lanes_ok)
+        for (const Candidate* gc : group)
+          if (gc->ext != kNoExt) {
+            lanes_ok = false;
+            break;
+          }
+      if (lanes_ok) {
+        const char* pats[8];
+        for (int gi = 0; gi < num_lanes; ++gi) {
+          const Candidate* gc = group[gi];
+          uint32_t grid = (uint32_t)(gc->position >> 32);
+          uint32_t gpos = (uint32_t)gc->position;
+          if (neg) gpos = (uint32_t)(gpos - read_length + 1);
+          pats[gi] = ref.Seq(grid) + gpos - e;
+        }
+        if (num_lanes == 8)
+          BandedAlignLanes<8>(e, pats, text, read_length, gerrs, gends);
+        else
+          BandedAlignLanes<4>(e, pats, text, read_length, gerrs, gends);
+      }
+      int gi = 0;
       for (const Candidate* gc : group) {
         uint32_t grid = (uint32_t)(gc->position >> 32);
         uint32_t gpos = (uint32_t)gc->position;
         if (neg) gpos = (uint32_t)(gpos - read_length + 1);
         int end_pos = read_length - 1;
         int ne;
-        if (ext) {
+        if (lanes_ok) {
+          ne = gerrs[gi];
+          end_pos = gends[gi];
+        } else if (ext) {
           ne = ext->errors[ext->cursor];
           end_pos = ext->ends[ext->cursor];
           ++ext->cursor;
@@ -1547,6 +1657,7 @@ void VerifyCandidates(const MappingParams& mp, const RefView& ref,
           ne = BandedAlign(e, ref.Seq(grid) + gpos - e, text, read_length,
                            &end_pos);
         }
+        ++gi;
         if (ne <= e) {
           UpdateCounters(vs, ne);
           uint64_t draft =
@@ -2164,6 +2275,10 @@ struct CnContext {
   // reranked after paired reduction, before verification
   std::vector<int32_t> rid_rank;
 
+  // recycled phase-1 chunk states (their scratch vectors keep capacity;
+  // fresh allocations page-fault at ~200 s/GB on the target VM)
+  std::vector<Phase1Chunk*> chunk_pool;
+
   // per-pair read lengths after adapter trimming (PAF/SAM records carry
   // the trimmed sequence); filled by the last paired mapping call
   std::vector<uint16_t> pair_tl1, pair_tl2;
@@ -2204,7 +2319,10 @@ CnContext* cn_create(const uint64_t* hash_keys, const uint64_t* offsets,
   return ctx;
 }
 
-void cn_destroy(CnContext* ctx) { delete ctx; }
+void cn_destroy(CnContext* ctx) {
+  for (Phase1Chunk* ch : ctx->chunk_pool) delete ch;
+  delete ctx;
+}
 
 // Threaded mapping (the analog of the reference's OpenMP taskloop,
 // chromap.h:851-1143): phase 1 (seed+verify) fans out over pairs, phase 2
@@ -2214,6 +2332,23 @@ void cn_destroy(CnContext* ctx) { delete ctx; }
 void cn_set_num_threads(CnContext* ctx, int t) {
   ctx->num_threads = t < 1 ? 1 : t;
 }
+
+// optional phase profiling (CHROMAP_TPU_NATIVE_PROFILE=1): accumulated
+// nanoseconds per pipeline phase, printed by MapPairsCore per call
+struct PhaseProf {
+  bool on = false;
+  uint64_t mz = 0, cand = 0, supp = 0, verify = 0, select = 0;
+  PhaseProf() {
+    const char* env = getenv("CHROMAP_TPU_NATIVE_PROFILE");
+    on = env && env[0] == '1';
+  }
+  static uint64_t Now() {
+    struct timespec ts;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return (uint64_t)ts.tv_sec * 1000000000ull + ts.tv_nsec;
+  }
+};
+static PhaseProf g_prof;
 
 // Seed + verify one pair into `sc` (the parallel-safe first half of the
 // mapping loop; writes only sc, ctx->history[pi]/hist_valid[pi], and -- in
@@ -2277,14 +2412,17 @@ static void SeedAndVerifyPair(
       LoadDevSeed(*dev, dmeta2, dcur2, s2, &s2.num_minimizers);
       if (s1.num_minimizers == 0 || s2.num_minimizers == 0) return;
     } else {
+      uint64_t t0 = g_prof.on ? PhaseProf::Now() : 0;
       GenerateMinimizers(sc.codes1.data(), l1, idx.k, idx.w,
                          s1.minimizers);
       GenerateMinimizers(sc.codes2.data(), l2, idx.k, idx.w,
                          s2.minimizers);
       s1.num_minimizers = (uint32_t)s1.minimizers.size();
       s2.num_minimizers = (uint32_t)s2.minimizers.size();
+      if (g_prof.on) g_prof.mz += PhaseProf::Now() - t0;
       if (s1.minimizers.empty() || s2.minimizers.empty()) return;
 
+      uint64_t t1 = g_prof.on ? PhaseProf::Now() : 0;
       int q1 = ctx->cache.Query(s1.minimizers, l1, s1.positive_candidates,
                                 s1.negative_candidates,
                                 s1.repetitive_seed_length);
@@ -2294,6 +2432,7 @@ static void SeedAndVerifyPair(
                                 s2.repetitive_seed_length);
       if (q2 == -1) GenerateCandidates(idx, mp, s2);
       if (q1 >= 0 || q2 >= 0) sc.cache_hit = 1;
+      if (g_prof.on) g_prof.cand += PhaseProf::Now() - t1;
     }
 
     if (pi < cache_update_threshold && !collect_mode) {
@@ -2309,6 +2448,7 @@ static void SeedAndVerifyPair(
       hist_valid[pi] = 1;
     }
 
+    uint64_t t2 = g_prof.on ? PhaseProf::Now() : 0;
     // split mode skips mate rescue and paired reduction
     // (chromap.h:1020-1052 gates both on !split)
     int supplement_result =
@@ -2335,6 +2475,7 @@ static void SeedAndVerifyPair(
       n1 = s1.NumCandidates();
       n2 = s2.NumCandidates();
     }
+    if (g_prof.on) g_prof.supp += PhaseProf::Now() - t2;
     if (n1 == 0 || n2 == 0) return;
     sc.n_cand = (int64_t)(n1 + n2);
 
@@ -2367,6 +2508,7 @@ static void SeedAndVerifyPair(
       return;
     }
 
+    uint64_t t3 = g_prof.on ? PhaseProf::Now() : 0;
     if (mp.split_mode) {
       VerifyCandidatesSplit(mp, ref, sc.read1.data(), sc.neg1.data(), l1,
                             s1, sc.vs1);
@@ -2394,6 +2536,7 @@ static void SeedAndVerifyPair(
       std::sort(sc.vs2.negative_mappings.begin(),
                 sc.vs2.negative_mappings.end(), by_pos);
     }
+    if (g_prof.on) g_prof.verify += PhaseProf::Now() - t3;
     sc.l1 = l1;
     sc.l2 = l2;
     sc.supplement_result = supplement_result;
@@ -2523,6 +2666,7 @@ static int64_t MapPairsCore(
     ctx->pair_tl1[pi] = (uint16_t)sc.l1;
     ctx->pair_tl2[pi] = (uint16_t)sc.l2;
     st_cand += sc.n_cand;
+    uint64_t tsel = g_prof.on ? PhaseProf::Now() : 0;
 
     PairedState ps;
     ps.min_sum_errors = 2 * e + 1;
@@ -2738,9 +2882,18 @@ static int64_t MapPairsCore(
         ++best_mapping_index;
       }
     }
+    if (g_prof.on) g_prof.select += PhaseProf::Now() - tsel;
   }
 
   // cache updates in pair order, end1 then end2
+  if (g_prof.on) {
+    fprintf(stderr,
+            "[native-profile] mz=%.3fs cand=%.3fs supp=%.3fs verify=%.3fs "
+            "select=%.3fs\n",
+            g_prof.mz / 1e9, g_prof.cand / 1e9, g_prof.supp / 1e9,
+            g_prof.verify / 1e9, g_prof.select / 1e9);
+    g_prof = PhaseProf();
+  }
   {
     auto* hist = pre ? pre->history.data() : ctx->history.data();
     const uint8_t* hv = pre ? pre->hist_valid.data() : hist_valid.data();
@@ -2790,12 +2943,20 @@ Phase1Chunk* cn_phase1_run(CnContext* ctx, const char* r1_bytes,
                            const int64_t* r1_offsets, const char* r2_bytes,
                            const int64_t* r2_offsets, int64_t num_pairs,
                            int64_t cache_update_threshold) {
-  Phase1Chunk* ch = new Phase1Chunk;
+  Phase1Chunk* ch;
+  if (!ctx->chunk_pool.empty()) {
+    ch = ctx->chunk_pool.back();
+    ctx->chunk_pool.pop_back();
+  } else {
+    ch = new Phase1Chunk;
+  }
   ch->n = num_pairs;
   ch->threshold = cache_update_threshold;
-  ch->work.resize((size_t)num_pairs);
+  if ((int64_t)ch->work.size() < num_pairs)
+    ch->work.resize((size_t)num_pairs);
   ch->hist_valid.assign((size_t)num_pairs, 0);
-  if (cache_update_threshold > 0)
+  if (cache_update_threshold > 0
+      && (int64_t)ch->history.size() < num_pairs)
     ch->history.resize((size_t)num_pairs);
   int T = ctx->num_threads;
   auto run_range = [&](int64_t lo, int64_t hi) {
@@ -2830,7 +2991,7 @@ int64_t cn_phase1_finish(
                            out_dir, out_uniq, out_posalen, out_negalen,
                            stats, 0, nullptr, nullptr, nullptr, nullptr,
                            ch);
-  delete ch;
+  ctx->chunk_pool.push_back(ch);
   return r;
 }
 

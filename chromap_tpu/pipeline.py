@@ -804,8 +804,7 @@ class MappingPipeline:
                 log(f"Mapped {n1} read pairs.")
             stream.close()
         if hyb is not None:
-            while hyb["queue"]:
-                self._hybrid_finish_one(engine, hyb, account)
+            self._hybrid_flush(engine, hyb, account, use_device=True)
             hyb["executor"].shutdown(wait=True)
         log(f"Mapped all reads in {_time.time() - t_map:.2f}s.")
         self._output_stats()
@@ -829,89 +828,121 @@ class MappingPipeline:
     class _PrefetchStream:
         """Reads the next FASTQ batch on a worker thread while the current
         one maps (chromap.h:871-877's load/map overlap); safe because the
-        native reader ping-pongs its batch buffers."""
+        native reader ping-pongs its batch buffers. On a single-core host
+        the thread only adds contention, so it reads inline instead."""
 
         def __init__(self, readers, batch_n: int):
-            from concurrent.futures import ThreadPoolExecutor
+            import os as _os
             self.readers = readers
             self.batch_n = batch_n
-            self.ex = ThreadPoolExecutor(max_workers=1)
-            self.fut = self.ex.submit(self._read)
+            self.ex = None
+            self.fut = None
+            if (_os.cpu_count() or 1) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+                self.ex = ThreadPoolExecutor(max_workers=1)
+                self.fut = self.ex.submit(self._read)
 
         def _read(self):
             return [r.read_batch(self.batch_n) for r in self.readers]
 
         def next(self):
+            if self.ex is None:
+                return self._read()
             res = self.fut.result()
             if res[0][0] > 0:
                 self.fut = self.ex.submit(self._read)
             return res
 
         def close(self):
-            self.ex.shutdown(wait=True)
+            if self.ex is not None:
+                self.ex.shutdown(wait=True)
             for r in self.readers:
                 r.close()
 
     def _hybrid_state(self) -> dict:
         """Scheduler state for the TPU/CPU hybrid mapping loop.
 
-        The device seeds every P-th chunk (P = device_hybrid_period) in
-        flight while the CPU runs native phase-1 (seed + verify) on the
-        intervening chunks; a single worker thread absorbs the d2h
-        transfer waits. Selections run strictly in chunk order on the main
-        thread, so the single mt19937 stream -- and the output -- is
-        byte-identical to the host-only run.
+        Chunks buffer in arrival order into pooled raw copies; when a
+        cycle of P chunks (P = device_hybrid_period) is full, the LAST
+        chunk dispatches to the device and the CPU maps the first P-1
+        through the fused native path while the chip computes -- the
+        device chunk's selection comes last in its cycle, so chunk order
+        (and the single mt19937 stream, and the output) is preserved
+        exactly. A worker thread absorbs the d2h transfer waits.
         """
         from concurrent.futures import ThreadPoolExecutor
 
-        from collections import deque
-        return {"queue": deque(), "ci": 0,
-                "executor": ThreadPoolExecutor(max_workers=1),
-                "saved": [None, None], "devn": 0}
+        return {"buffered": [], "pool": [],
+                "executor": ThreadPoolExecutor(max_workers=1)}
 
     def _hybrid_step(self, engine, hyb, b1, o1, b2, o2, n1: int,
                      base_read_id: int, threshold: int, account) -> None:
-        cfg = self.cfg
-        P = max(1, getattr(cfg, "device_hybrid_period", 4))
-        if hyb["ci"] % P == 0:
-            pend = self._hybrid_submit_device(engine, hyb, b1, o1, b2, o2,
-                                              n1, base_read_id, threshold)
-            hyb["queue"].append(pend)
-            # drain everything before this chunk: the previous device chunk
-            # computed while the CPU phase-1'd its successors, and the new
-            # one computes while these selections run
-            while len(hyb["queue"]) > 1:
-                self._hybrid_finish_one(engine, hyb, account)
-        else:
-            h = engine.phase1_run(b1, o1, b2, o2, n1, threshold)
-            hyb["queue"].append(("p1", h, n1, base_read_id))
-        hyb["ci"] += 1
-
-    def _hybrid_submit_device(self, engine, hyb, b1, o1, b2, o2, n1: int,
-                              base_read_id: int, threshold: int):
-        """Pack + dispatch one chunk to the device; the resolve (transfer
-        wait + unpack) runs on the worker thread. Chunks the device cannot
-        take exactly fall back to CPU phase-1 (order preserved)."""
         import ctypes as _ct
 
         cfg = self.cfg
+        P = max(1, getattr(cfg, "device_hybrid_period", 4))
 
-        def _i64_view(p, n):
-            return np.ctypeslib.as_array(
-                _ct.cast(p.value if hasattr(p, "value") else p,
-                         _ct.POINTER(_ct.c_int64)), shape=(n,))
+        # copy the reader's (reused) buffers into a pooled slot
+        offs1 = np.ctypeslib.as_array(
+            _ct.cast(o1.value if hasattr(o1, "value") else o1,
+                     _ct.POINTER(_ct.c_int64)), shape=(n1 + 1,))
+        offs2 = np.ctypeslib.as_array(
+            _ct.cast(o2.value if hasattr(o2, "value") else o2,
+                     _ct.POINTER(_ct.c_int64)), shape=(n1 + 1,))
+        raw1 = np.ctypeslib.as_array(
+            _ct.cast(b1, _ct.POINTER(_ct.c_uint8)), shape=(int(offs1[n1]),))
+        raw2 = np.ctypeslib.as_array(
+            _ct.cast(b2, _ct.POINTER(_ct.c_uint8)), shape=(int(offs2[n1]),))
+        slot = hyb["pool"].pop() if hyb["pool"] else \
+            [np.empty(0, np.uint8), np.empty(0, np.int64),
+             np.empty(0, np.uint8), np.empty(0, np.int64)]
+        for i, src in enumerate((raw1, offs1, raw2, offs2)):
+            if slot[i].size < src.size:
+                slot[i] = np.empty(src.size, src.dtype)
+            np.copyto(slot[i][:src.size], src)
+        hyb["buffered"].append((slot, n1, base_read_id, threshold))
+        if len(hyb["buffered"]) >= P:
+            self._hybrid_flush(engine, hyb, account, use_device=True)
 
-        offs1 = _i64_view(o1, n1 + 1)
-        offs2 = _i64_view(o2, n1 + 1)
+    def _hybrid_flush(self, engine, hyb, account,
+                      use_device: bool) -> None:
+        """Map the buffered cycle: last chunk on the device (when possible)
+        while the CPU maps the rest through the fused path, in order."""
+        import ctypes as _ct
+
+        chunks = hyb["buffered"]
+        hyb["buffered"] = []
+        pend = None
+        if use_device and len(chunks) >= 2:
+            slot, n1, base, thr = chunks[-1]
+            pend = self._hybrid_submit_device(engine, hyb, slot, n1, base,
+                                              thr)
+            if pend is not None:
+                chunks = chunks[:-1]
+        for (slot, n1, base, thr) in chunks:
+            r1p = _ct.cast(slot[0].ctypes.data, _ct.c_char_p)
+            r2p = _ct.cast(slot[2].ctypes.data, _ct.c_char_p)
+            o1p = slot[1].ctypes.data_as(_ct.c_void_p)
+            o2p = slot[3].ctypes.data_as(_ct.c_void_p)
+            account(engine.map_pairs_raw(r1p, o1p, r2p, o2p, n1, base,
+                                         thr))
+            hyb["pool"].append(slot)
+        if pend is not None:
+            self._hybrid_finish_dev(engine, hyb, pend, account)
+
+    def _hybrid_submit_device(self, engine, hyb, slot, n1: int,
+                              base_read_id: int, threshold: int):
+        """Pack + dispatch one buffered chunk to the device; the resolve
+        (transfer wait + unpack) runs on the worker thread. Returns None
+        when the chunk is ineligible (the CPU maps it instead)."""
+        import ctypes as _ct
+
+        cfg = self.cfg
+        offs1 = slot[1]
         L = int(offs1[1] - offs1[0]) if n1 else 0
-
-        def cpu_fallback():
-            return ("p1", engine.phase1_run(b1, o1, b2, o2, n1, threshold),
-                    n1, base_read_id)
-
         if (n1 == 0 or not (30 <= L <= 230) or cfg.trim_adapters
                 or cfg.custom_rid_order_file_path):
-            return cpu_fallback()
+            return None
 
         if self._device_seeder is None:
             from .ops.device_seed import DeviceSeeder
@@ -926,13 +957,13 @@ class MappingPipeline:
             else:
                 log("Using TPU device seeding + verification.")
         if self._device_seeder is False:
-            return cpu_fallback()
+            return None
 
-        # pack straight from the reader's raw buffers in C++ into a
-        # reusable upload buffer (fresh numpy temporaries page-fault at
-        # ~200 s/GB on the target VM); -1 = non-uniform lengths. Tail
-        # chunks pad to the fixed chunk size with all-N rows (zero
-        # minimizers) so every dispatch reuses one compiled program shape.
+        # pack straight from the buffered raw bytes in C++ into a reusable
+        # upload buffer (fresh numpy temporaries page-fault at ~200 s/GB
+        # on the target VM); -1 = non-uniform lengths. Tail chunks pad to
+        # the fixed chunk size with all-N rows (zero minimizers) so every
+        # dispatch reuses one compiled program shape.
         chunk = max(n1, min(cfg.device_batch_size, cfg.read_batch_size))
         W = (L + 15) // 16 + (L + 31) // 32
         need = 2 * chunk * W
@@ -940,53 +971,27 @@ class MappingPipeline:
         if buf is None or buf.size < need:
             buf = np.zeros(need, dtype=np.uint32)
             self._dev_pack_buf = buf
-        rc = engine.lib.cn_pack_reads(b1, o1, b2, o2, n1, L,
+        r1p = _ct.cast(slot[0].ctypes.data, _ct.c_char_p)
+        r2p = _ct.cast(slot[2].ctypes.data, _ct.c_char_p)
+        o1p = slot[1].ctypes.data_as(_ct.c_void_p)
+        o2p = slot[3].ctypes.data_as(_ct.c_void_p)
+        rc = engine.lib.cn_pack_reads(r1p, o1p, r2p, o2p, n1, L,
                                       buf.ctypes.data_as(_ct.c_void_p))
         if rc != 0:
-            return cpu_fallback()
+            return None
         buf2d = buf[:need].reshape(2 * chunk, W)
         if n1 < chunk:
             buf2d[2 * n1:] = 0xFFFFFFFF
 
         handle = self._device_seeder.submit_packed(buf2d, 2 * chunk, L)
         fut = hyb["executor"].submit(self._device_seeder.resolve, handle)
-        # the reader reuses its buffers on the next read_batch: keep the
-        # raw bytes in ping-pong slots (at most one device chunk in flight)
-        raw1 = np.ctypeslib.as_array(
-            _ct.cast(b1, _ct.POINTER(_ct.c_uint8)), shape=(int(offs1[n1]),))
-        raw2 = np.ctypeslib.as_array(
-            _ct.cast(b2, _ct.POINTER(_ct.c_uint8)), shape=(int(offs2[n1]),))
-        slot_id = hyb["devn"] % 2
-        hyb["devn"] += 1
-        slot = hyb["saved"][slot_id]
-        sizes = (raw1.size, raw2.size, n1 + 1)
-        if slot is None or slot[0].size < sizes[0] \
-                or slot[2].size < sizes[1]:
-            slot = (np.empty(max(sizes[0], 1), np.uint8),
-                    np.empty(n1 + 1, np.int64),
-                    np.empty(max(sizes[1], 1), np.uint8),
-                    np.empty(n1 + 1, np.int64))
-            hyb["saved"][slot_id] = slot
-        if slot[1].size < n1 + 1:
-            slot = (slot[0], np.empty(n1 + 1, np.int64),
-                    slot[2], np.empty(n1 + 1, np.int64))
-            hyb["saved"][slot_id] = slot
-        np.copyto(slot[0][:raw1.size], raw1)
-        np.copyto(slot[1][:n1 + 1], offs1)
-        np.copyto(slot[2][:raw2.size], raw2)
-        np.copyto(slot[3][:n1 + 1], offs2)
-        return ("dev", fut, slot, n1, base_read_id, threshold)
+        return (fut, slot, n1, base_read_id, threshold)
 
-    def _hybrid_finish_one(self, engine, hyb, account) -> None:
-        """Finish the oldest queued chunk (selection in chunk order)."""
+    def _hybrid_finish_dev(self, engine, hyb, pend, account) -> None:
+        """Finish the in-flight device chunk (last of its cycle)."""
         import ctypes as _ct
 
-        item = hyb["queue"].popleft()
-        if item[0] == "p1":
-            _, handle, n1, base = item
-            account(engine.phase1_finish(handle, n1, base))
-            return
-        _, fut, slot, n1, base, threshold = item
+        fut, slot, n1, base, threshold = pend
         meta, cand_pos, cand_meta, overflow = fut.result()
         r1p = _ct.cast(slot[0].ctypes.data, _ct.c_char_p)
         r2p = _ct.cast(slot[2].ctypes.data, _ct.c_char_p)
@@ -999,6 +1004,7 @@ class MappingPipeline:
             account(engine.map_pairs_dev_seeded(r1p, o1p, r2p, o2p, n1,
                                                 base, meta, cand_pos,
                                                 cand_meta))
+        hyb["pool"].append(slot)
 
     def _map_batch_native(self, engine, batch1, batch2, threshold,
                           emit) -> None:
