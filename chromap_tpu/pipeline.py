@@ -320,15 +320,14 @@ class MappingPipeline:
             threshold = self.cache_single.get_update_threshold(
                 len(batch), self.num_reads, False, 0.01)
             if native_engine is not None and (
-                    batch_bc is None
-                    or (cfg.output_format in ("bed", "tagalign")
-                        and self.summary is None)):
-                if batch_bc is not None:
+                    batch_bc is None or self.summary is None):
+                if cfg.output_format in ("paf", "sam"):
+                    self._map_batch_native_se_records(native_engine, batch,
+                                                      threshold, emit,
+                                                      batch_bc)
+                elif batch_bc is not None:
                     self._map_batch_native_se_barcoded(
                         native_engine, batch, batch_bc, threshold, emit)
-                elif cfg.output_format in ("paf", "sam"):
-                    self._map_batch_native_se_records(native_engine, batch,
-                                                      threshold, emit)
                 else:
                     self._map_batch_native_se(native_engine, batch,
                                               threshold, emit)
@@ -837,10 +836,19 @@ class MappingPipeline:
             self.batch_n = batch_n
             self.ex = None
             self.fut = None
-            if (_os.cpu_count() or 1) > 1:
+            ncpu = _os.cpu_count() or 1
+            if ncpu > 1:
                 from concurrent.futures import ThreadPoolExecutor
-                self.ex = ThreadPoolExecutor(max_workers=1)
-                self.fut = self.ex.submit(self._read)
+                # one worker per file when cores allow: r1/r2 parse
+                # concurrently, the analog of the reference's parallel
+                # input-parsing tasks (chromap.cc:53-83)
+                self.ex = ThreadPoolExecutor(
+                    max_workers=min(len(readers), max(1, ncpu - 1)))
+                self.fut = self._submit()
+
+        def _submit(self):
+            return [self.ex.submit(r.read_batch, self.batch_n)
+                    for r in self.readers]
 
         def _read(self):
             return [r.read_batch(self.batch_n) for r in self.readers]
@@ -848,9 +856,9 @@ class MappingPipeline:
         def next(self):
             if self.ex is None:
                 return self._read()
-            res = self.fut.result()
+            res = [f.result() for f in self.fut]
             if res[0][0] > 0:
-                self.fut = self.ex.submit(self._read)
+                self.fut = self._submit()
             return res
 
         def close(self):
@@ -1568,9 +1576,10 @@ class MappingPipeline:
         self.cache_hits += int(stats[4])
 
     def _map_batch_native_se_records(self, engine, batch, threshold,
-                                     emit) -> None:
+                                     emit, batch_bc=None) -> None:
         """Single-end PAF/SAM through the C++ mapper (select.py
-        _make_se_record field-for-field)."""
+        _make_se_record field-for-field); barcoded runs prefilter on the
+        whitelist and carry the barcode key (SAM CB:Z tag)."""
         import ctypes as _ct
 
         from .mapping.cigar import sequence_length_from_cigar
@@ -1582,7 +1591,24 @@ class MappingPipeline:
             engine.set_sam_params()
             engine._sam_params_set = True
 
-        base_read_id = batch[0].read_id if batch else 0
+        if batch_bc is not None:
+            sel, barcodes = [], []
+            for bi, rec in enumerate(batch):
+                whitelisted, barcode_key = self._process_barcode(
+                    batch_bc[bi])
+                if not (whitelisted
+                        or cfg.output_mappings_not_in_whitelist):
+                    continue
+                sel.append(bi)
+                barcodes.append(barcode_key)
+            batch = [batch[bi] for bi in sel]
+            if not batch:
+                return
+        else:
+            barcodes = None
+
+        base_read_id = 0 if batch_bc is not None else (
+            batch[0].read_id if batch else 0)
         reads = [bytes(r.seq) for r in batch]
         n = len(reads)
         r_bytes = b"".join(reads)
@@ -1596,13 +1622,14 @@ class MappingPipeline:
         prev_read_id = None
         occurrence = 0
         for i in range(len(rid_a)):
-            read_id = int(out["read_id"][i])
+            j = int(out["read_id"][i]) - base_read_id
+            rec = batch[j]
+            read_id = int(rec.read_id)
             occurrence = occurrence + 1 if read_id == prev_read_id else 0
             prev_read_id = read_id
-            j = read_id - base_read_id
-            rec = batch[j]
             neg = int(out["dir"][i]) == 0
             mapq = int(out["mapq"][i])
+            barcode = int(barcodes[j]) if barcodes is not None else 0
             if not sam:
                 emit(int(rid_a[i]), PafRecord(
                     read_id=read_id, read_name=rec.name,
@@ -1625,7 +1652,8 @@ class MappingPipeline:
             if occurrence >= 1:
                 flag |= 0x100
             emit(int(rid_a[i]), SamRecord(
-                read_id=read_id, read_name=rec.name, barcode=0, num_dups=1,
+                read_id=read_id, read_name=rec.name, barcode=barcode,
+                num_dups=1,
                 pos=int(out["start"][i]), rid=int(rid_a[i]), mpos=0,
                 mrid=-1, tlen=0, flag=flag,
                 direction=0 if neg else 1,

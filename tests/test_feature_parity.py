@@ -146,3 +146,52 @@ def test_forced_lowmem_spill(sc_data, golden_dir, tmp_path):
     result = subprocess.run(args, capture_output=True, text=True, env=env)
     assert result.returncode == 0, result.stderr
     assert out.read_bytes() == (golden_dir / "sim_default.bed").read_bytes()
+
+
+def test_feature_barcode_matrix(sc_data, golden_dir, tmp_path):
+    """scATAC feature-barcode matrix (--matrix-output-prefix): peaks,
+    MatrixMarket counts and barcode list against frozen goldens. The
+    reference ships this subsystem disabled (chromap.h:1356-1374), so the
+    goldens freeze this repo's own documented format."""
+    prefix = tmp_path / "mtx"
+    out = tmp_path / "mtx.bed"
+    args = [sys.executable, "-m", "chromap_tpu.cli",
+            "-x", f"{sc_data}/index", "-r", f"{sc_data}/ref.fa",
+            "-1", f"{sc_data}/r1.fq", "-2", f"{sc_data}/r2.fq",
+            "-b", f"{sc_data}/bc.fq",
+            "--barcode-whitelist", f"{sc_data}/whitelist.txt",
+            "--remove-pcr-duplicates",
+            "--matrix-output-prefix", str(prefix), "-o", str(out)]
+    result = subprocess.run(args, capture_output=True, text=True)
+    assert result.returncode == 0, result.stderr
+    for suffix, golden in (("_matrix.mtx", "sim_matrix.mtx"),
+                           ("_peaks.bed", "sim_matrix_peaks.bed"),
+                           ("_barcode.tsv", "sim_matrix_barcode.tsv")):
+        got = (tmp_path / f"mtx{suffix}").read_bytes()
+        assert got == (golden_dir / golden).read_bytes(), suffix
+
+
+SE_BC_CASES = [
+    ("sim_se_bc.sam", ["--SAM"], ["auto", "per_read"]),
+    ("sim_se_bc.paf", ["--PAF"], ["auto"]),
+]
+
+
+@pytest.mark.parametrize("golden,extra,engines", SE_BC_CASES,
+                         ids=[c[0] for c in SE_BC_CASES])
+def test_se_barcoded_records_parity(golden, extra, engines, sc_data,
+                                    golden_dir, tmp_path):
+    """Barcoded single-end SAM/PAF through the native engine (whitelist
+    prefilter + CB-carrying records) vs reference-binary goldens."""
+    for engine in engines:
+        out = tmp_path / f"{engine}_{golden}"
+        args = [sys.executable, "-m", "chromap_tpu.cli",
+                "--engine", engine,
+                "-x", f"{sc_data}/index", "-r", f"{sc_data}/ref.fa",
+                "-1", f"{sc_data}/r1.fq", "-b", f"{sc_data}/bc.fq",
+                "--barcode-whitelist", f"{sc_data}/whitelist.txt",
+                "-o", str(out)] + extra
+        result = subprocess.run(args, capture_output=True, text=True)
+        assert result.returncode == 0, result.stderr
+        assert out.read_bytes() == (golden_dir / golden).read_bytes(), \
+            f"{golden} differs under engine={engine}"
