@@ -3147,6 +3147,7 @@ static int64_t MapSingleCore(
   ctx->history.clear();
   if (cache_update_threshold > 0) ctx->history.resize((size_t)num_reads);
   std::vector<uint8_t> hist_valid(num_reads, 0);
+  ctx->pair_flags.assign((size_t)num_reads, 0);
 
   // device-seed bookkeeping: per-read candidate cursors; fallback-flagged
   // reads re-run the exact path (single-end never mate-rescues, so the
@@ -3210,8 +3211,12 @@ static int64_t MapSingleCore(
       int q1 = ctx->cache.Query(s1.minimizers, l1, s1.positive_candidates,
                                 s1.negative_candidates,
                                 s1.repetitive_seed_length);
-      if (q1 == -1) GenerateCandidates(idx, mp, s1);
-      else ++em.st_hits;
+      if (q1 == -1) {
+        GenerateCandidates(idx, mp, s1);
+      } else {
+        ++em.st_hits;
+        ctx->pair_flags[pi] = 1;
+      }
       if (pi < cache_update_threshold) {
         auto& he = ctx->history[pi];
         he.first.mzs = s1.minimizers;

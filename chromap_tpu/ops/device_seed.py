@@ -60,10 +60,14 @@ if _cache_dir:
 import jax.numpy as jnp
 from jax import lax
 
-U64 = jnp.uint64
-U32 = jnp.uint32
-UMAX64 = jnp.uint64(0xFFFFFFFFFFFFFFFF)
-UMAX32 = jnp.uint32(0xFFFFFFFF)
+# numpy scalar constants: they lower as inline host constants, where jax
+# scalars would be device arrays whose materialization at trace time costs
+# a device round-trip each (about a minute of first-call latency on the
+# tunneled TPU)
+U64 = np.uint64
+U32 = np.uint32
+UMAX64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+UMAX32 = np.uint32(0xFFFFFFFF)
 
 # read-meta flag bits (must match engine.cpp DevSeedView)
 FLAG_FALLBACK = 1  # exact host path required for this read's pair
@@ -153,7 +157,7 @@ def _kmer_stage(codes, k: int):
     mask = U64((1 << (2 * k)) - 1)
     valid = codes < 4
     idx = jnp.arange(L, dtype=jnp.int32)[None, :]
-    last_invalid = lax.cummax(jnp.where(valid, jnp.int32(-1), idx), axis=1)
+    last_invalid = lax.cummax(jnp.where(valid, np.int32(-1), idx), axis=1)
     run = idx - last_invalid
 
     b = jnp.where(valid, codes, 0).astype(U64)
@@ -176,7 +180,7 @@ def _emission_stage(hashes, run, lengths, k: int, w: int):
     derivation). Returns (emit bool, tie bool), both (B, L)."""
     B, L = hashes.shape
     idx = jnp.arange(L, dtype=jnp.int32)[None, :]
-    INF = jnp.int32(L + w + 1)
+    INF = np.int32(L + w + 1)
     finite = hashes != UMAX64
     seg_end = (lengths - 1).astype(jnp.int32)[:, None]
 
@@ -258,7 +262,7 @@ def _cluster_scan(sort_hi, sort_lo, mm_count, num_required, e: int):
         is_best = (cur_hi == st["best_hi"]) & (cur_lo == st["best_lo"])
         is_prev = (cur_hi == st["prev_hi"]) & (cur_lo == st["prev_lo"])
         eq_cnt = jnp.where(is_best | is_prev, st["eq_cnt"] + 1,
-                           jnp.int32(1))
+                           np.int32(1))
         promote = (~is_best) & is_prev & (eq_cnt > st["best_eq"])
         best_eq = jnp.where(is_best, st["best_eq"] + 1,
                             jnp.where(promote, eq_cnt, st["best_eq"]))
@@ -288,12 +292,12 @@ def _unpack_codes(packed, nmask, B: int, L: int):
     strided slices, not gathers."""
     cols = np.arange(L)
     words = jnp.repeat(packed, 16, axis=1)[:, :L]
-    shifts = jnp.asarray((2 * (cols % 16)).astype(np.uint32))[None, :]
+    shifts = (2 * (cols % 16)).astype(np.uint32)[None, :]
     code2 = (words >> shifts) & U32(3)
     nwords = jnp.repeat(nmask, 32, axis=1)[:, :L]
-    nshift = jnp.asarray((cols % 32).astype(np.uint32))[None, :]
+    nshift = (cols % 32).astype(np.uint32)[None, :]
     nbit = (nwords >> nshift) & U32(1)
-    return jnp.where(nbit == 1, jnp.uint8(4), code2.astype(jnp.uint8))
+    return jnp.where(nbit == 1, np.uint8(4), code2.astype(jnp.uint8))
 
 
 def _flat_compact(mask2d, cap: int):
@@ -333,7 +337,7 @@ def _gather_ref_windows(ref_words, ref_nwords, pstart, span: int,
 
     cols = np.arange(span)
     words = jnp.repeat(aligned, 16, axis=1)[:, :span]
-    shifts = jnp.asarray((2 * (cols % 16)).astype(np.uint32))[None, :]
+    shifts = (2 * (cols % 16)).astype(np.uint32)[None, :]
     code2 = ((words >> shifts) & U32(3)).astype(jnp.int32)
 
     nnw = span // 32 + 2
@@ -347,9 +351,9 @@ def _gather_ref_windows(ref_words, ref_nwords, pstart, span: int,
                     gn[:, 1:] << ((U32(32) - nrem) % U32(32))[:, None])
     naligned = nlo | nhi
     nw_rep = jnp.repeat(naligned, 32, axis=1)[:, :span]
-    nshifts = jnp.asarray((cols % 32).astype(np.uint32))[None, :]
+    nshifts = (cols % 32).astype(np.uint32)[None, :]
     nbit = (nw_rep >> nshifts) & U32(1)
-    return jnp.where(nbit == 1, jnp.int32(4), code2)
+    return jnp.where(nbit == 1, np.int32(4), code2)
 
 
 def _build_step(k: int, w: int, e: int, f0: int, f1: int, min_seeds: int,
@@ -420,9 +424,9 @@ def _build_step(k: int, w: int, e: int, f0: int, f1: int, min_seeds: int,
                                   == (mz_packmeta >> U32(9)))
         prev_pos = (prev_meta >> U32(1)) & U32(0xFF)
         gap = mz_pos - prev_pos
-        inc = jnp.where(~same_row, jnp.uint32(k),
-                        jnp.where(gap < jnp.uint32(k + w - 1), gap,
-                                  jnp.uint32(k)))
+        inc = jnp.where(~same_row, np.uint32(k),
+                        jnp.where(gap < np.uint32(k + w - 1), gap,
+                                  np.uint32(k)))
         rep_agg = jnp.zeros((B,), jnp.uint32).at[mz_row].add(
             jnp.where(rep_mask, inc | U32(1 << 16), 0), mode="drop")
         rep_len = rep_agg & U32(0xFFFF)
@@ -694,6 +698,18 @@ class DeviceSeeder:
         self._step = _jitted_step(self.k, self.w, self.e, self.f0, self.f1,
                                   self.min_num_seeds, self.num_refs,
                                   self.use_pallas)
+        # the first device-to-host transfer of a process can stall for
+        # minutes on relayed TPU links (connection establishment); warm the
+        # channel in the background so the wait overlaps mapping work
+        import threading
+
+        def _warm_d2h():
+            try:
+                np.asarray(self.ref_lens + 0)
+            except Exception:
+                pass
+
+        threading.Thread(target=_warm_d2h, daemon=True).start()
 
     # ------------------------------------------------------------------
     def submit(self, codes: np.ndarray, lengths: np.ndarray):

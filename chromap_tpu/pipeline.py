@@ -319,8 +319,7 @@ class MappingPipeline:
             from .summary import TOTAL
             threshold = self.cache_single.get_update_threshold(
                 len(batch), self.num_reads, False, 0.01)
-            if native_engine is not None and (
-                    batch_bc is None or self.summary is None):
+            if native_engine is not None:
                 if cfg.output_format in ("paf", "sam"):
                     self._map_batch_native_se_records(native_engine, batch,
                                                       threshold, emit,
@@ -1537,21 +1536,29 @@ class MappingPipeline:
 
     def _map_batch_native_se_barcoded(self, engine, batch, batch_bc,
                                       threshold, emit) -> None:
-        """Barcoded single-end batch through the C++ mapper (no summary:
-        per-read cache-hit attribution stays on the Python path)."""
+        """Barcoded single-end batch through the C++ mapper; per-barcode
+        summary TOTAL counts update here (the single-end per-read path
+        tracks no per-barcode cache hits, and neither does this one)."""
         import ctypes as _ct
 
         from .mapping.records import SEBedRecord
 
         cfg = self.cfg
         reads, barcodes, orig_ids = [], [], []
+        nonwhitelist_count = 0
         for bi, rec in enumerate(batch):
             whitelisted, barcode_key = self._process_barcode(batch_bc[bi])
             if not (whitelisted or cfg.output_mappings_not_in_whitelist):
+                nonwhitelist_count += 1
                 continue
             reads.append(bytes(rec.seq))
             barcodes.append(barcode_key)
             orig_ids.append(rec.read_id)
+        if self.summary is not None:
+            from .summary import TOTAL
+            for key in barcodes:
+                self.summary.update_count(key, TOTAL, 1)
+            self.summary.update_nonwhitelist(TOTAL, nonwhitelist_count)
         if not reads:
             return
         n = len(reads)
@@ -1593,14 +1600,21 @@ class MappingPipeline:
 
         if batch_bc is not None:
             sel, barcodes = [], []
+            nonwhitelist_count = 0
             for bi, rec in enumerate(batch):
                 whitelisted, barcode_key = self._process_barcode(
                     batch_bc[bi])
                 if not (whitelisted
                         or cfg.output_mappings_not_in_whitelist):
+                    nonwhitelist_count += 1
                     continue
                 sel.append(bi)
                 barcodes.append(barcode_key)
+            if self.summary is not None:
+                from .summary import TOTAL
+                for key in barcodes:
+                    self.summary.update_count(key, TOTAL, 1)
+                self.summary.update_nonwhitelist(TOTAL, nonwhitelist_count)
             batch = [batch[bi] for bi in sel]
             if not batch:
                 return
@@ -1617,6 +1631,11 @@ class MappingPipeline:
         out, stats = engine.map_single_raw(
             r_bytes, r_off.ctypes.data_as(_ct.c_void_p), n, base_read_id,
             threshold)
+        if self.summary is not None and batch_bc is None \
+                and cfg.is_bulk_data:
+            from .summary import CACHEHIT, TOTAL
+            self.summary.update_count(0, TOTAL, n)
+            self.summary.update_count(0, CACHEHIT, int(stats[4]))
         aux = engine.get_sam_aux() if sam else None
         rid_a = out["rid"]
         prev_read_id = None

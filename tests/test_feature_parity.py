@@ -195,3 +195,26 @@ def test_se_barcoded_records_parity(golden, extra, engines, sc_data,
         assert result.returncode == 0, result.stderr
         assert out.read_bytes() == (golden_dir / golden).read_bytes(), \
             f"{golden} differs under engine={engine}"
+
+
+def test_se_barcoded_summary_engine_invariance(sc_data, tmp_path):
+    """Barcoded single-end run with --summary: the native engine and the
+    exact per-read engine agree on the fragments byte-for-byte and on the
+    per-barcode summary CSV as a set (barcode order is engine-defined)."""
+    outs = {}
+    for engine in ("auto", "per_read"):
+        out = tmp_path / f"{engine}.bed"
+        csv = tmp_path / f"{engine}.csv"
+        args = [sys.executable, "-m", "chromap_tpu.cli",
+                "--engine", engine,
+                "-x", f"{sc_data}/index", "-r", f"{sc_data}/ref.fa",
+                "-1", f"{sc_data}/r1.fq", "-b", f"{sc_data}/bc.fq",
+                "--barcode-whitelist", f"{sc_data}/whitelist.txt",
+                "--remove-pcr-duplicates", "--summary", str(csv),
+                "-o", str(out)]
+        result = subprocess.run(args, capture_output=True, text=True)
+        assert result.returncode == 0, result.stderr
+        outs[engine] = (out.read_bytes(),
+                        sorted(csv.read_text().splitlines()))
+    assert outs["auto"][0] == outs["per_read"][0]
+    assert outs["auto"][1] == outs["per_read"][1]
