@@ -77,9 +77,9 @@ def main():
         # single-thread reference (output is thread-count-invariant here)
         num_threads=os.cpu_count() or 1,
     )
-    # best of 3 to damp the (noisy, 1-vCPU) host's timing variance
+    # best of 5 to damp the (noisy, 1-vCPU) host's timing variance
     dt = None
-    for _ in range(3):
+    for _ in range(5):
         with contextlib.redirect_stderr(io.StringIO()):
             pipeline = MappingPipeline(cfg)
             t0 = time.time()
