@@ -14,6 +14,7 @@ array (no special casing needed — offsets/counts are uniform).
 from __future__ import annotations
 
 import os
+import zipfile
 from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
@@ -61,10 +62,21 @@ class MinimizerIndex:
 
     @classmethod
     def load(cls, path: str) -> "MinimizerIndex":
-        with np.load(path) as data:
-            return cls(kmer_size=int(data["k"]), window_size=int(data["w"]),
-                       hash_keys=data["hash_keys"], offsets=data["offsets"],
-                       counts=data["counts"], occurrences=data["occurrences"])
+        try:
+            with np.load(path) as data:
+                return cls(kmer_size=int(data["k"]),
+                           window_size=int(data["w"]),
+                           hash_keys=data["hash_keys"],
+                           offsets=data["offsets"],
+                           counts=data["counts"],
+                           occurrences=data["occurrences"])
+        except FileNotFoundError:
+            raise SystemExit(f"ERROR: index file {path} not found!")
+        except (ValueError, KeyError, OSError, zipfile.BadZipFile):
+            raise SystemExit(
+                f"ERROR: {path} is not a chromap-tpu index (indexes are "
+                f"not interchangeable with reference-chromap binaries; "
+                f"rebuild with `chromap-tpu -i -r ref.fa -o {path}`)")
 
     def statistics_string(self, num_sequences: int, num_bases: int) -> str:
         n = self.num_distinct
