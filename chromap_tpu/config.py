@@ -81,11 +81,12 @@ class MappingConfig:
     # TPU execution knobs (no analog in the reference)
     use_device: bool = False          # route hot kernels through JAX/Pallas
     device_batch_size: int = 8192     # read pairs per device dispatch
-    # hybrid scheduling: the device seeds every P-th chunk while the CPU
-    # phase-1s the rest; P=1 sends every chunk to the device. The default
-    # keeps the CPU saturated when one device chunk costs ~4-5 CPU chunks
-    # (the measured ratio on a tunneled v5e vs one host core)
-    device_hybrid_period: int = 8
+    # hybrid scheduling: the device maps the last chunk of every group of
+    # G while the CPU fuse-maps the other G-1 (selections stay in chunk
+    # order). The default balances one device chunk (~0.19 s wall on a
+    # tunneled v5e, submitted one group early so the chip runs
+    # back-to-back) against G-1 CPU chunks (~0.08 s each on one core).
+    device_hybrid_period: int = 3
     read_batch_size: int = 500000
     low_mem_max_records: int = 0  # 0 = derive from the reference's budgets
     # multi-host sharded operation: each shard maps reads with

@@ -201,6 +201,19 @@ class MappingPipeline:
                                             self.ref_lengths,
                                             self.pairs_custom_rid_rank)
 
+        # native engine constructed at init (probe-table build is setup
+        # cost, like the reference's index load -- not mapping time)
+        self._native_engine = None
+        self._native_engine_err = None
+        if (cfg.native_engine_eligible(paired=True)
+                or cfg.native_engine_eligible(paired=False)):
+            try:
+                from .native import NativeEngine
+                self._native_engine = NativeEngine(cfg, self.index,
+                                                   self.ref_seqs)
+            except Exception as exc:
+                self._native_engine_err = exc
+
         # stats (chromap.h:202-206)
         self.num_reads = 0
         self.num_candidates = 0
@@ -280,14 +293,13 @@ class MappingPipeline:
 
         native_engine = None
         if cfg.native_engine_eligible(paired=False):
-            try:
-                from .native import NativeEngine
-                native_engine = NativeEngine(cfg, self.index, self.ref_seqs)
+            native_engine = self._native_engine
+            if native_engine is not None:
                 log("Using native host engine.")
-            except Exception as exc:
-                log(f"Native engine unavailable ({exc}); "
+            else:
+                log(f"Native engine unavailable "
+                    f"({self._native_engine_err}); "
                     "falling back to Python engine.")
-                native_engine = None
 
         # full-native fast path: native FASTQ IO + mapping + postprocess
         if (native_engine is not None and not cfg.read_format
@@ -420,19 +432,18 @@ class MappingPipeline:
 
         native_engine = None
         if cfg.native_engine_eligible(paired=True):
-            try:
-                from .native import NativeEngine
-                native_engine = NativeEngine(cfg, self.index, self.ref_seqs)
+            native_engine = self._native_engine
+            if native_engine is not None:
                 if self.custom_rid_rank is not None:
                     # paired-end only: the reference's single-end rerank
                     # call site runs before candidates exist (chromap.h:
                     # 418-419) and is a no-op
                     native_engine.set_rid_rank(self.custom_rid_rank)
                 log("Using native host engine.")
-            except Exception as exc:
-                log(f"Native engine unavailable ({exc}); "
+            else:
+                log(f"Native engine unavailable "
+                    f"({self._native_engine_err}); "
                     "falling back to batch engine.")
-                native_engine = None
 
         # full-native fast path: native FASTQ IO + mapping + postprocess
         if (native_engine is not None and not cfg.read_format
@@ -802,7 +813,7 @@ class MappingPipeline:
                 log(f"Mapped {n1} read pairs.")
             stream.close()
         if hyb is not None:
-            self._hybrid_flush(engine, hyb, account, use_device=True)
+            self._hybrid_flush(engine, hyb, account, final=True)
             hyb["executor"].shutdown(wait=True)
         log(f"Mapped all reads in {_time.time() - t_map:.2f}s.")
         self._output_stats()
@@ -866,20 +877,47 @@ class MappingPipeline:
             for r in self.readers:
                 r.close()
 
+    def _get_seeder(self):
+        """The (process-cached) device seeder, or None when the device is
+        unavailable. Index/reference arrays stay resident in HBM across
+        pipelines over the same index."""
+        if self._device_seeder is None:
+            cfg = self.cfg
+            from .ops.device_seed import get_device_seeder
+            try:
+                key = []
+                import os as _os
+                for path in (cfg.index_file_path, cfg.reference_file_path):
+                    key.append(path)
+                    key.append(_os.path.getmtime(path))
+                self._device_seeder = get_device_seeder(
+                    self.index, self.ref_seqs, cfg.error_threshold,
+                    cfg.min_num_seeds_required_for_mapping,
+                    cfg.max_seed_frequencies, cache_key=tuple(key))
+            except Exception as exc:
+                log(f"Device seeding unavailable ({exc}); CPU only.")
+                self._device_seeder = False
+            else:
+                log("Using TPU device seeding + verification.")
+        return self._device_seeder or None
+
     def _hybrid_state(self) -> dict:
         """Scheduler state for the TPU/CPU hybrid mapping loop.
 
-        Chunks buffer in arrival order into pooled raw copies; when a
-        cycle of P chunks (P = device_hybrid_period) is full, the LAST
-        chunk dispatches to the device and the CPU maps the first P-1
-        through the fused native path while the chip computes -- the
-        device chunk's selection comes last in its cycle, so chunk order
+        Chunks buffer in arrival order into pooled raw copies in groups
+        of G (= device_hybrid_period). The LAST chunk of each group
+        dispatches to the device and the CPU maps the first G-1 through
+        the fused native path while the chip computes. Selection order
         (and the single mt19937 stream, and the output) is preserved
-        exactly. A worker thread absorbs the d2h transfer waits.
+        exactly because group k's device chunk finishes BEFORE group
+        k+1's CPU chunks map -- but it is submitted one group early, so
+        the device works back-to-back across groups while the CPU never
+        stops: submit d_{k+1}, finish d_k, fuse-map group k+1's CPU
+        chunks, repeat. A worker thread absorbs the d2h transfer waits.
         """
         from concurrent.futures import ThreadPoolExecutor
 
-        return {"buffered": [], "pool": [],
+        return {"buffered": [], "pool": [], "pending": None,
                 "executor": ThreadPoolExecutor(max_workers=1)}
 
     def _hybrid_step(self, engine, hyb, b1, o1, b2, o2, n1: int,
@@ -909,23 +947,26 @@ class MappingPipeline:
             np.copyto(slot[i][:src.size], src)
         hyb["buffered"].append((slot, n1, base_read_id, threshold))
         if len(hyb["buffered"]) >= P:
-            self._hybrid_flush(engine, hyb, account, use_device=True)
+            self._hybrid_flush(engine, hyb, account, final=False)
 
-    def _hybrid_flush(self, engine, hyb, account,
-                      use_device: bool) -> None:
-        """Map the buffered cycle: last chunk on the device (when possible)
-        while the CPU maps the rest through the fused path, in order."""
+    def _hybrid_flush(self, engine, hyb, account, final: bool) -> None:
+        """Map the buffered group: submit its last chunk to the device,
+        finish the PREVIOUS group's device chunk (selection order), then
+        fuse-map this group's CPU chunks while the chip computes."""
         import ctypes as _ct
 
         chunks = hyb["buffered"]
         hyb["buffered"] = []
         pend = None
-        if use_device and len(chunks) >= 2:
+        if len(chunks) >= 2:
             slot, n1, base, thr = chunks[-1]
             pend = self._hybrid_submit_device(engine, hyb, slot, n1, base,
                                               thr)
             if pend is not None:
                 chunks = chunks[:-1]
+        if hyb["pending"] is not None:
+            self._hybrid_finish_dev(engine, hyb, hyb["pending"], account)
+            hyb["pending"] = None
         for (slot, n1, base, thr) in chunks:
             r1p = _ct.cast(slot[0].ctypes.data, _ct.c_char_p)
             r2p = _ct.cast(slot[2].ctypes.data, _ct.c_char_p)
@@ -934,8 +975,10 @@ class MappingPipeline:
             account(engine.map_pairs_raw(r1p, o1p, r2p, o2p, n1, base,
                                          thr))
             hyb["pool"].append(slot)
-        if pend is not None:
+        if final and pend is not None:
             self._hybrid_finish_dev(engine, hyb, pend, account)
+            pend = None
+        hyb["pending"] = pend
 
     def _hybrid_submit_device(self, engine, hyb, slot, n1: int,
                               base_read_id: int, threshold: int):
@@ -951,19 +994,7 @@ class MappingPipeline:
                 or cfg.custom_rid_order_file_path):
             return None
 
-        if self._device_seeder is None:
-            from .ops.device_seed import DeviceSeeder
-            try:
-                self._device_seeder = DeviceSeeder(
-                    self.index, self.ref_seqs, cfg.error_threshold,
-                    cfg.min_num_seeds_required_for_mapping,
-                    cfg.max_seed_frequencies)
-            except Exception as exc:
-                log(f"Device seeding unavailable ({exc}); CPU only.")
-                self._device_seeder = False
-            else:
-                log("Using TPU device seeding + verification.")
-        if self._device_seeder is False:
+        if self._get_seeder() is None:
             return None
 
         # pack straight from the buffered raw bytes in C++ into a reusable
@@ -1452,19 +1483,7 @@ class MappingPipeline:
         L = int(offs1[1] - offs1[0]) if n1 else 0
         if n1 == 0 or not (30 <= L <= 230):
             return None
-        if self._device_seeder is None:
-            from .ops.device_seed import DeviceSeeder
-            try:
-                self._device_seeder = DeviceSeeder(
-                    self.index, self.ref_seqs, cfg.error_threshold,
-                    cfg.min_num_seeds_required_for_mapping,
-                    cfg.max_seed_frequencies)
-            except Exception as exc:
-                log(f"Device seeding unavailable ({exc}); CPU only.")
-                self._device_seeder = False
-            else:
-                log("Using TPU device seeding + verification.")
-        if self._device_seeder is False:
+        if self._get_seeder() is None:
             return None
 
         chunk = max(n1, min(2 * cfg.device_batch_size, cfg.read_batch_size))
