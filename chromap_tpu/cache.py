@@ -56,9 +56,23 @@ class MMCache:
         self.slots: Dict[int, _CacheSlot] = {}
         self.head_mm = np.zeros(HEAD_MM_ARRAY_SIZE, dtype=np.uint64)
         self.saturate_count = 100
+        self.debug = False  # --debug-cache (mmcache.hpp:300-330)
 
     def set_kmer_length(self, k: int) -> None:
         self.kmer_length = k
+
+    def print_stats(self) -> None:
+        """Per-slot stats dump (--debug-cache end-of-run, mmcache.hpp:
+        371-386): weight, fingerprint sum, candidate count, activated,
+        max fingerprint bin, then every bin; untouched slots are zeros."""
+        empty = _CacheSlot()
+        for i in range(self.cache_size):
+            s = self.slots.get(i, empty)
+            ncand = (len(s.positive_candidates or [])
+                     + len(s.negative_candidates or []))
+            bins = " ".join(str(int(x)) for x in s.finger_print_cnt)
+            print(f"{s.weight} {s.finger_print_cnt_sum} {ncand} "
+                  f"{s.activated} {int(s.finger_print_cnt.max())} {bins}")
 
     # ------------------------------------------------------------------
     def _match(self, slot: _CacheSlot, hashes: np.ndarray, hits: np.ndarray
@@ -194,6 +208,22 @@ class MMCache:
             Candidate((c.position - shift) & U64, c.count)
             for c in neg_candidates]
         slot.repetitive_seed_length = repetitive_seed_length
+        if self.debug:
+            # candidate-stored trace (--debug-cache, mmcache.hpp:300-330)
+            print(f"[DEBUG][CACHE][1] hidx = {hidx}")
+            print(f"[DEBUG][CACHE][2] pos.size() = "
+                  f"{len(slot.positive_candidates)} , neg.size() = "
+                  f"{len(slot.negative_candidates)} , msize = {msize}")
+            print("[DEBUG][CACHE][3] "
+                  + " ".join(str(int(x)) for x in hashes) + " ")
+            for c in slot.positive_candidates:
+                print(f"[DEBUG][CACHE][+] hidx = {hidx} , cand_ref_seq = "
+                      f"{c.position >> 32} , cand_ref_pos = "
+                      f"{c.position & 0xFFFFFFFF} , support = {c.count}")
+            for c in slot.negative_candidates:
+                print(f"[DEBUG][CACHE][-] hidx = {hidx} , cand_ref_seq = "
+                      f"{c.position >> 32} , cand_ref_pos = "
+                      f"{c.position & 0xFFFFFFFF} , support = {c.count}")
 
         hl = int(hashes[msize - 1])
         self.head_mm[(h0 >> 6) & HEAD_MM_ARRAY_MASK] |= np.uint64(

@@ -97,6 +97,8 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU execution
     p.add_argument("--device", action="store_true",
                    help="route hot kernels through JAX/Pallas on TPU")
+    p.add_argument("--device-batch-size", type=int, default=None,
+                   help="read pairs per device dispatch (default 8192)")
     p.add_argument("--engine", type=str, default="auto",
                    choices=["auto", "native", "batch", "per_read"],
                    help="mapping engine selection")
@@ -344,6 +346,8 @@ def parse_args_and_run(argv: Optional[List[str]] = None) -> int:
     if args.output_mappings_not_in_whitelist:
         cfg.output_mappings_not_in_whitelist = True
     cfg.use_device = args.device
+    if args.device_batch_size:
+        cfg.device_batch_size = args.device_batch_size
     cfg.engine = args.engine
     import os as _os
     if _os.environ.get("CHROMAP_TPU_LOWMEM_MAX_RECORDS"):

@@ -141,6 +141,14 @@ def load_library():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p,
     ]
+    lib.cn_map_pairs_dev_full.restype = ctypes.c_int64
+    lib.cn_map_pairs_dev_full.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_char_p, ctypes.c_void_p,
+        ctypes.c_char_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ] + [ctypes.c_void_p] * 20
     lib.cn_map_pairs_full.restype = ctypes.c_int64
     lib.cn_map_pairs_full.argtypes = [
         ctypes.c_void_p,
@@ -150,6 +158,8 @@ def load_library():
     ] + [ctypes.c_void_p] * 19 + [ctypes.c_void_p]
     lib.cn_set_sam_params.argtypes = [ctypes.c_void_p] + [ctypes.c_int] * 6
     lib.cn_set_split_mode.argtypes = [ctypes.c_void_p]
+    lib.cn_set_debug_cache.argtypes = [ctypes.c_void_p]
+    lib.cn_cache_print_stats.argtypes = [ctypes.c_void_p]
     lib.cn_get_pair_flags.restype = ctypes.c_int64
     lib.cn_get_pair_flags.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
@@ -355,6 +365,15 @@ class NativeEngine:
         np.cumsum([len(r) for r in reads1], out=r1_off[1:])
         r2_off = np.zeros(n + 1, dtype=np.int64)
         np.cumsum([len(r) for r in reads2], out=r2_off[1:])
+        return self.map_pairs_full_raw(r1_bytes, _ptr(r1_off), r2_bytes,
+                                       _ptr(r2_off), n, base_read_id,
+                                       cache_update_threshold,
+                                       sam_aux=sam_aux)
+
+    def map_pairs_full_raw(self, r1_bytes, r1_off_ptr, r2_bytes,
+                           r2_off_ptr, n: int, base_read_id: int,
+                           cache_update_threshold: int,
+                           sam_aux: bool = False):
         cap = max(1, n * max(1, self.cfg.max_num_best_mappings))
         out = {
             "rid": np.empty(cap, dtype=np.int32),
@@ -379,7 +398,7 @@ class NativeEngine:
         }
         stats = np.zeros(5, dtype=np.int64)
         count = self.lib.cn_map_pairs_full(
-            self.ctx, r1_bytes, _ptr(r1_off), r2_bytes, _ptr(r2_off),
+            self.ctx, r1_bytes, r1_off_ptr, r2_bytes, r2_off_ptr,
             n, base_read_id, cache_update_threshold,
             _ptr(out["rid"]), _ptr(out["read_id"]), _ptr(out["start"]),
             _ptr(out["flen"]), _ptr(out["mapq"]), _ptr(out["dir"]),
@@ -494,6 +513,14 @@ class NativeEngine:
     def set_split_mode(self):
         self.lib.cn_set_split_mode(self.ctx)
 
+    def set_debug_cache(self):
+        """--debug-cache verbose tracing (mmcache.hpp:300-330 analog)."""
+        self.lib.cn_set_debug_cache(self.ctx)
+
+    def cache_print_stats(self):
+        """Per-slot cache stats dump (mmcache.hpp:371-386 format)."""
+        self.lib.cn_cache_print_stats(self.ctx)
+
     def set_sam_params(self):
         cfg = self.cfg
         go = list(getattr(cfg, "gap_open_penalties", [6, 6]))
@@ -534,6 +561,54 @@ class NativeEngine:
             _ptr(out["flen"]), _ptr(out["mapq"]), _ptr(out["dir"]),
             _ptr(out["uniq"]), _ptr(out["posalen"]), _ptr(out["negalen"]),
             _ptr(stats))
+        for key in out:
+            out[key] = out[key][:count]
+        return out, stats
+
+    def map_pairs_dev_seeded_full(self, r1_bytes, r1_off_ptr, r2_bytes,
+                                  r2_off_ptr, n: int, base_read_id: int,
+                                  read_meta: np.ndarray,
+                                  cand_pos: np.ndarray,
+                                  cand_meta: np.ndarray):
+        """Device-seeded finish with the extended per-end outputs
+        (PAF/pairs/SAM flows on the device path)."""
+        read_meta = np.ascontiguousarray(read_meta, dtype=np.uint64)
+        cand_pos = np.ascontiguousarray(cand_pos, dtype=np.uint64)
+        cand_meta = np.ascontiguousarray(cand_meta, dtype=np.uint32)
+        cap = max(1, n * max(1, self.cfg.max_num_best_mappings))
+        out = {
+            "rid": np.empty(cap, dtype=np.int32),
+            "read_id": np.empty(cap, dtype=np.uint32),
+            "start": np.empty(cap, dtype=np.uint32),
+            "flen": np.empty(cap, dtype=np.uint16),
+            "mapq": np.empty(cap, dtype=np.uint8),
+            "dir": np.empty(cap, dtype=np.uint8),
+            "uniq": np.empty(cap, dtype=np.uint8),
+            "posalen": np.empty(cap, dtype=np.uint16),
+            "negalen": np.empty(cap, dtype=np.uint16),
+            "rs1": np.empty(cap, dtype=np.uint32),
+            "re1": np.empty(cap, dtype=np.uint32),
+            "rs2": np.empty(cap, dtype=np.uint32),
+            "re2": np.empty(cap, dtype=np.uint32),
+            "err1": np.empty(cap, dtype=np.uint8),
+            "err2": np.empty(cap, dtype=np.uint8),
+            "mapq1": np.empty(cap, dtype=np.uint8),
+            "mapq2": np.empty(cap, dtype=np.uint8),
+            "rid2": np.empty(cap, dtype=np.int32),
+            "dir2": np.empty(cap, dtype=np.uint8),
+        }
+        stats = np.zeros(5, dtype=np.int64)
+        count = self.lib.cn_map_pairs_dev_full(
+            self.ctx, r1_bytes, r1_off_ptr, r2_bytes, r2_off_ptr,
+            n, base_read_id, _ptr(read_meta), _ptr(cand_pos),
+            _ptr(cand_meta),
+            _ptr(out["rid"]), _ptr(out["read_id"]), _ptr(out["start"]),
+            _ptr(out["flen"]), _ptr(out["mapq"]), _ptr(out["dir"]),
+            _ptr(out["uniq"]), _ptr(out["posalen"]), _ptr(out["negalen"]),
+            _ptr(out["rs1"]), _ptr(out["re1"]), _ptr(out["rs2"]),
+            _ptr(out["re2"]), _ptr(out["err1"]), _ptr(out["err2"]),
+            _ptr(out["mapq1"]), _ptr(out["mapq2"]), _ptr(out["rid2"]),
+            _ptr(out["dir2"]), _ptr(stats))
         for key in out:
             out[key] = out[key][:count]
         return out, stats

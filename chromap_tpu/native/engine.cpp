@@ -745,11 +745,13 @@ struct CacheSlot {
   int weight = 0;
   uint16_t finger_print_cnt[kFingerPrintSize] = {0};
   int finger_print_cnt_sum = 0;
+  int activated = 0;
 };
 
 struct MMCache {
   int64_t cache_size;
   int kmer_length;
+  bool debug = false;  // --debug-cache (mmcache.hpp:300-330 verbose mode)
   // sparse: only touched slots materialize (the reference eagerly allocates
   // all slots, which is where its multi-second startup goes)
   std::unordered_map<int64_t, CacheSlot> slots;
@@ -857,6 +859,7 @@ struct MMCache {
       ++s.weight;
     else
       --s.weight;
+    s.activated = 1;
     if (s.weight >= 0) return;
     s.weight = 1;
     int shift = (int)(mzs[0].hit >> 1);
@@ -889,9 +892,51 @@ struct MMCache {
     for (auto& c : s.positive_candidates) c.position += (uint64_t)shift;
     for (auto& c : s.negative_candidates) c.position -= (uint64_t)shift;
     s.repetitive_seed_length = rep_len;
+    if (debug) {
+      // candidate-stored trace, mmcache.hpp:300-330 format
+      printf("[DEBUG][CACHE][1] hidx = %lld\n", (long long)hidx);
+      printf("[DEBUG][CACHE][2] pos.size() = %zu , neg.size() = %zu , "
+             "msize = %d\n", s.positive_candidates.size(),
+             s.negative_candidates.size(), msize);
+      printf("[DEBUG][CACHE][3] ");
+      for (const auto& mz : mzs) printf("%llu ", (unsigned long long)mz.hash);
+      printf("\n");
+      for (const auto& c : s.positive_candidates)
+        printf("[DEBUG][CACHE][+] hidx = %lld , cand_ref_seq = %u , "
+               "cand_ref_pos = %u , support = %u\n", (long long)hidx,
+               (uint32_t)(c.position >> 32), (uint32_t)c.position,
+               (unsigned)c.count);
+      for (const auto& c : s.negative_candidates)
+        printf("[DEBUG][CACHE][-] hidx = %lld , cand_ref_seq = %u , "
+               "cand_ref_pos = %u , support = %u\n", (long long)hidx,
+               (uint32_t)(c.position >> 32), (uint32_t)c.position,
+               (unsigned)c.count);
+    }
     uint64_t hl = mzs[msize - 1].hash;
     head_mm[(h0 >> 6) & kHeadMmMask] |= (1ull << (h0 & 0x3f));
     head_mm[(hl >> 6) & kHeadMmMask] |= (1ull << (hl & 0x3f));
+  }
+
+  // Per-slot stats dump (mmcache.hpp:371-386): weight, fingerprint-count
+  // sum, candidate count, activated, max fingerprint count, then every
+  // fingerprint bin. Untouched (never-materialized) slots print as zeros.
+  void PrintStats() const {
+    static const CacheSlot kEmpty;
+    for (int64_t i = 0; i < cache_size; ++i) {
+      auto it = slots.find(i);
+      const CacheSlot& s = it == slots.end() ? kEmpty : it->second;
+      printf("%d %d %d %d ", s.weight, s.finger_print_cnt_sum,
+             (int)(s.positive_candidates.size() +
+                   s.negative_candidates.size()),
+             s.activated);
+      int tmp = 0;
+      for (int j = 0; j < kFingerPrintSize; ++j)
+        if ((int)s.finger_print_cnt[j] > tmp) tmp = s.finger_print_cnt[j];
+      printf("%d", tmp);
+      for (int j = 0; j < kFingerPrintSize; ++j)
+        printf(" %u", (unsigned)s.finger_print_cnt[j]);
+      printf("\n");
+    }
   }
 };
 
@@ -2391,6 +2436,11 @@ static void SeedAndVerifyPair(
     if (mp.trim_adapters)
       TrimAdapter(sc.read1, sc.read2, sc.neg1, sc.neg2,
                   mp.min_read_length);
+    if (dev_pair && ((int)sc.read1.size() != l1 ||
+                     (int)sc.read2.size() != l2))
+      // adapter trimming changed this pair: the device seeded the raw
+      // reads, so re-seed the trimmed pair on the exact host path
+      dev_pair = false;
     l1 = (int)sc.read1.size();
     l2 = (int)sc.read2.size();
     sc.l1 = l1;
@@ -2618,7 +2668,9 @@ static int64_t MapPairsCore(
       // mate rescue would run (candidate_processor.cc:75-231): exact path
       bool rescue = ((f1 & kDevFlagAugment) && n2c > 0) ||
                     ((f2 & kDevFlagAugment) && n1c > 0);
-      devflag[pi] = (!fb && !rescue && !mp.trim_adapters) ? 1 : 0;
+      // trim-adapter runs demote individual pairs whose reads the
+      // trimmer changed (SeedAndVerifyPair re-seeds those exactly)
+      devflag[pi] = (!fb && !rescue) ? 1 : 0;
     }
   }
 
@@ -3033,6 +3085,12 @@ void cn_set_rid_rank(CnContext* ctx, const int32_t* rank, int32_t n) {
 // Enable Hi-C split (drop-off) alignment.
 void cn_set_split_mode(CnContext* ctx) { ctx->mp.split_mode = true; }
 
+// --debug-cache: verbose candidate-cache tracing (mmcache.hpp:300-330).
+void cn_set_debug_cache(CnContext* ctx) { ctx->cache.debug = true; }
+
+// End-of-run per-slot cache stats (mmcache.hpp:371-386; chromap.h:1402).
+void cn_cache_print_stats(CnContext* ctx) { ctx->cache.PrintStats(); }
+
 // SAM-mode alignment outputs for the last cn_map_pairs_full call: CIGARs,
 // NM and MD per end-record (two per emitted row, end1 then end2).
 int64_t cn_get_sam_aux(CnContext* ctx, const uint32_t** cigar_buf,
@@ -3090,6 +3148,31 @@ int64_t cn_map_pairs_dev(
                       out_rid, out_read_id, out_start, out_flen, out_mapq,
                       out_dir, out_uniq, out_posalen, out_negalen, stats, 0,
                       nullptr, nullptr, &dev);
+}
+
+// Device-seeded extended mapping: cn_map_pairs_dev plus the per-end
+// outputs of cn_map_pairs_full (PAF/pairs/SAM flows on the device path).
+int64_t cn_map_pairs_dev_full(
+    CnContext* ctx, const char* r1_bytes, const int64_t* r1_offsets,
+    const char* r2_bytes, const int64_t* r2_offsets, int64_t num_pairs,
+    int64_t base_read_id, const uint64_t* read_meta,
+    const uint64_t* cand_pos, const uint32_t* cand_meta, int32_t* out_rid,
+    uint32_t* out_read_id, uint32_t* out_start, uint16_t* out_flen,
+    uint8_t* out_mapq, uint8_t* out_dir, uint8_t* out_uniq,
+    uint16_t* out_posalen, uint16_t* out_negalen, uint32_t* out_rs1,
+    uint32_t* out_re1, uint32_t* out_rs2, uint32_t* out_re2,
+    uint8_t* out_err1, uint8_t* out_err2, uint8_t* out_mapq1,
+    uint8_t* out_mapq2, int32_t* out_rid2, uint8_t* out_dir2,
+    int64_t* stats) {
+  DevSeedView dev = {read_meta, cand_pos, cand_meta};
+  PEExtOut xout = {out_rs1, out_re1, out_rs2, out_re2,
+                   out_err1, out_err2, out_mapq1, out_mapq2,
+                   out_rid2, out_dir2};
+  return MapPairsCore(ctx, r1_bytes, r1_offsets, r2_bytes, r2_offsets,
+                      num_pairs, base_read_id, /*cache_update_threshold=*/0,
+                      out_rid, out_read_id, out_start, out_flen, out_mapq,
+                      out_dir, out_uniq, out_posalen, out_negalen, stats, 0,
+                      nullptr, nullptr, &dev, &xout);
 }
 
 // Phase 1 for device verification: collect all verification work items.

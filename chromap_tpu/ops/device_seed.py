@@ -666,8 +666,8 @@ class DeviceSeeder:
         self.f1 = int(max_seed_frequencies[1])
         self.min_num_seeds = int(min_num_seeds)
         if use_pallas is None:
-            # the jnp Myers fuses into one XLA loop kernel and sustains
-            # >1 T band-cells/s on v5e; it also composes with the x64
+            # the jnp Myers fuses into one XLA loop kernel (measured
+            # 12.8 G band-cells/s on v5e); it also composes with the x64
             # tracing this module needs
             use_pallas = False
         self.use_pallas = use_pallas

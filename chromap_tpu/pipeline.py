@@ -125,6 +125,13 @@ class MappingPipeline:
 
         t0 = time.time()
         self.reference = load_all_sequences(cfg.reference_file_path)
+        if cfg.debug_cache:
+            # reference listing in load order (--debug-cache,
+            # chromap.h:646-652)
+            for i, rec in enumerate(self.reference):
+                name = rec.name.decode() if isinstance(rec.name, bytes) \
+                    else rec.name
+                print(f"[DEBUG][INDEX] seq_i = {i} , seq_i_name = {name}")
         self.custom_rid_rank: Optional[List[int]] = None
         if cfg.custom_rid_order_file_path:
             self.custom_rid_rank = self._load_rid_ranks(
@@ -194,6 +201,9 @@ class MappingPipeline:
         self.cache_paired.set_kmer_length(self.index.kmer_size)
         self.cache_single = MMCache(2000003)
         self.cache_single.set_kmer_length(self.index.kmer_size)
+        if cfg.debug_cache:
+            self.cache_paired.debug = True
+            self.cache_single.debug = True
         self.cache_hits = 0
         self.draft_generator = DraftMappingGenerator(
             cfg.error_threshold, cfg.split_alignment, cfg.output_format)
@@ -211,6 +221,8 @@ class MappingPipeline:
                 from .native import NativeEngine
                 self._native_engine = NativeEngine(cfg, self.index,
                                                    self.ref_seqs)
+                if cfg.debug_cache:
+                    self._native_engine.set_debug_cache()
             except Exception as exc:
                 self._native_engine_err = exc
 
@@ -331,6 +343,7 @@ class MappingPipeline:
             from .summary import TOTAL
             threshold = self.cache_single.get_update_threshold(
                 len(batch), self.num_reads, False, 0.01)
+            self._debug_threshold(threshold)
             if native_engine is not None:
                 if cfg.output_format in ("paf", "sam"):
                     self._map_batch_native_se_records(native_engine, batch,
@@ -379,6 +392,7 @@ class MappingPipeline:
         self._output_stats()
         self._postprocess_and_write(writer)
         self._output_summary()
+        self._debug_cache_stats(native_engine, paired=False)
         writer.close()
 
     def _map_one_single_end(self, rec: SequenceRecord, k: int, w: int,
@@ -456,13 +470,14 @@ class MappingPipeline:
             # sorted shards and k-way merges them at output
             self._map_paired_end_full_native(native_engine)
             return
-        if cfg.use_device:
-            # e.g. --preset atac sets low_memory_mode; make the routing
-            # visible instead of silently ignoring the flag
-            log("WARNING: --device applies to bulk BED/TagAlign runs "
-                "without low-memory mode, read-format, shards, summary, "
-                "allocation or matrix output; this run maps on the host "
-                "engine.")
+        if cfg.use_device and (native_engine is None or cfg.split_alignment
+                               or cfg.custom_rid_order_file_path):
+            # split (drop-off) alignment and custom chromosome order are
+            # not device-seeded yet; make the routing visible instead of
+            # silently ignoring the flag
+            log("WARNING: --device does not cover split alignment, custom "
+                "chromosome order, or non-native engines; this run maps "
+                "on the host engine.")
 
         batch_mapper = None
         if native_engine is None and cfg.batch_engine_eligible(paired=True):
@@ -489,6 +504,7 @@ class MappingPipeline:
             self.num_reads += 2 * len(batch1)
             threshold = self.cache_paired.get_update_threshold(
                 len(batch1), self.num_reads, True, cfg.cache_update_param)
+            self._debug_threshold(threshold)
             if (native_engine is not None and batch_bc is not None
                     and cfg.output_format in ("bed", "tagalign")):
                 self._map_batch_native_barcoded(native_engine, batch1,
@@ -583,6 +599,7 @@ class MappingPipeline:
                 f"{self.num_corrected_barcode}.")
         self._postprocess_and_write(writer)
         self._output_summary()
+        self._debug_cache_stats(native_engine, paired=True)
         writer.close()
 
     @staticmethod
@@ -729,6 +746,22 @@ class MappingPipeline:
 
     # --------------------------- shared post steps ---------------------------
 
+    def _debug_threshold(self, threshold: int) -> None:
+        if self.cfg.debug_cache:
+            # per-batch threshold trace (--debug-cache, chromap.h:888)
+            print(f"[DEBUG][UPDATE] update_threshold = {threshold}")
+
+    def _debug_cache_stats(self, native_engine, paired: bool = True) -> None:
+        """End-of-run per-slot cache dump (--debug-cache, chromap.h:1402)."""
+        if not self.cfg.debug_cache:
+            return
+        if native_engine is not None:
+            native_engine.cache_print_stats()
+        elif paired:
+            self.cache_paired.print_stats()
+        else:
+            self.cache_single.print_stats()
+
     def _output_stats(self) -> None:
         log(f"Number of reads: {self.num_reads}.")
         log(f"Number of mapped reads: {self.num_mapped_reads}.")
@@ -803,6 +836,7 @@ class MappingPipeline:
                 self.num_reads += 2 * n1
                 threshold = self.cache_paired.get_update_threshold(
                     n1, self.num_reads, True, cfg.cache_update_param)
+                self._debug_threshold(threshold)
                 if hyb is not None:
                     self._hybrid_step(engine, hyb, b1, o1, b2, o2, n1,
                                       base_read_id, threshold, account)
@@ -833,6 +867,7 @@ class MappingPipeline:
         log(f"# uni-mappings: {uni}, # multi-mappings: {multi}, "
             f"total: {uni + multi}.")
         log(f"Number of output mappings (passed filters): {written}")
+        self._debug_cache_stats(engine, paired=True)
 
     class _PrefetchStream:
         """Reads the next FASTQ batch on a worker thread while the current
@@ -990,7 +1025,9 @@ class MappingPipeline:
         cfg = self.cfg
         offs1 = slot[1]
         L = int(offs1[1] - offs1[0]) if n1 else 0
-        if (n1 == 0 or not (30 <= L <= 230) or cfg.trim_adapters
+        # (trimmed pairs are demoted per-pair inside the native finish;
+        # custom rid order reranks candidates post-seeding there too)
+        if (n1 == 0 or not (30 <= L <= 230)
                 or cfg.custom_rid_order_file_path):
             return None
 
@@ -1044,6 +1081,200 @@ class MappingPipeline:
                                                 cand_meta))
         hyb["pool"].append(slot)
 
+    class _HybridInfo:
+        """Per-batch side channels stitched across hybrid chunks (the
+        engine's getters only cover its last call)."""
+
+        def __init__(self):
+            self.flags = None
+            self.tl1 = None
+            self.tl2 = None
+            self.aux = None
+
+    @staticmethod
+    def _merge_sam_aux(auxes):
+        """Concatenate per-chunk (cigar_buf, cigar_off, md_buf, md_off,
+        nm) streams, rebasing the offset arrays."""
+        cig = [a[0] for a in auxes]
+        nm = [a[4] for a in auxes]
+        cig_off = [np.zeros(1, dtype=np.int64)]
+        md_off = [np.zeros(1, dtype=np.int64)]
+        cbase = 0
+        mbase = 0
+        md = b""
+        for a in auxes:
+            cig_off.append(a[1][1:] + cbase)
+            cbase += int(a[1][-1])
+            md_off.append(a[3][1:] + mbase)
+            mbase += int(a[3][-1])
+            md += a[2]
+        return (np.concatenate(cig) if cig else np.empty(0, np.uint32),
+                np.concatenate(cig_off), md, np.concatenate(md_off),
+                np.concatenate(nm) if nm else np.empty(0, np.uint16))
+
+    def _map_pairs_hybrid(self, engine, reads1, reads2, base_read_id: int,
+                          threshold: int, full: bool = False,
+                          sam: bool = False, want_info: bool = False):
+        """map_pairs / map_pairs_full with device-eligible chunks routed
+        through the TPU seeder (records flows: barcoded, low-mem,
+        summary, PAF/SAM/pairs). The group scheduler keeps selections in
+        batch order, so the output equals the host-only call's.
+
+        Returns (out, stats) -- plus a _HybridInfo when want_info (per-
+        pair cache-hit flags, trimmed lengths, merged SAM aux)."""
+        import ctypes as _ct
+
+        cfg = self.cfg
+        n = len(reads1)
+        C = min(cfg.device_batch_size, cfg.read_batch_size)
+        use_dev = (cfg.use_device and not cfg.split_alignment and n > C
+                   and self._get_seeder() is not None)
+        if not use_dev:
+            if full:
+                out, stats, aux = engine.map_pairs_full(
+                    reads1, reads2, base_read_id, threshold, sam_aux=sam)
+            else:
+                out, stats = engine.map_pairs(reads1, reads2, base_read_id,
+                                              threshold)
+                aux = None
+            if not want_info:
+                return out, stats
+            info = self._HybridInfo()
+            info.aux = aux
+            info.flags = engine.get_pair_flags()
+            if cfg.trim_adapters:
+                info.tl1, info.tl2 = engine.get_pair_trimmed_lengths()
+            return out, stats, info
+
+        r1_bytes = b"".join(reads1)
+        r2_bytes = b"".join(reads2)
+        o1 = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum([len(r) for r in reads1], out=o1[1:])
+        o2 = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum([len(r) for r in reads2], out=o2[1:])
+        bounds = [(s, min(s + C, n)) for s in range(0, n, C)]
+        nb = len(bounds)
+        outs = [None] * nb
+        auxes = [None] * nb if (full and sam) else None
+        flags = np.zeros(n, dtype=np.uint8) if want_info else None
+        tl1 = (np.zeros(n, dtype=np.uint16)
+               if want_info and cfg.trim_adapters else None)
+        tl2 = (np.zeros(n, dtype=np.uint16)
+               if want_info and cfg.trim_adapters else None)
+        stats_sum = np.zeros(5, dtype=np.int64)
+
+        def off_ptr(o, s):
+            return _ct.c_void_p(o.ctypes.data + 8 * s)
+
+        def side_channels(ci):
+            s, e = bounds[ci]
+            if flags is not None:
+                f = engine.get_pair_flags()
+                flags[s:e] = f[:e - s]
+            if tl1 is not None:
+                t1, t2 = engine.get_pair_trimmed_lengths()
+                tl1[s:e] = t1[:e - s]
+                tl2[s:e] = t2[:e - s]
+
+        def run_cpu(ci):
+            s, e = bounds[ci]
+            thr = max(0, min(threshold - s, e - s))
+            if full:
+                out, st, aux = engine.map_pairs_full_raw(
+                    r1_bytes, off_ptr(o1, s), r2_bytes, off_ptr(o2, s),
+                    e - s, base_read_id + s, thr, sam_aux=sam)
+                if auxes is not None:
+                    auxes[ci] = aux
+            else:
+                out, st = engine.map_pairs_raw(
+                    r1_bytes, off_ptr(o1, s), r2_bytes, off_ptr(o2, s),
+                    e - s, base_read_id + s, thr)
+            outs[ci] = out
+            stats_sum[:] += st
+            side_channels(ci)
+
+        def submit_dev(ci):
+            s, e = bounds[ci]
+            nn = e - s
+            L = len(reads1[s])
+            if not (30 <= L <= 230):
+                return None
+            W = (L + 15) // 16 + (L + 31) // 32
+            need = 2 * C * W
+            buf = getattr(self, "_dev_pack_buf", None)
+            if buf is None or buf.size < need:
+                buf = np.zeros(need, dtype=np.uint32)
+                self._dev_pack_buf = buf
+            rc = engine.lib.cn_pack_reads(
+                r1_bytes, off_ptr(o1, s), r2_bytes, off_ptr(o2, s), nn, L,
+                buf.ctypes.data_as(_ct.c_void_p))
+            if rc != 0:
+                return None
+            buf2d = buf[:need].reshape(2 * C, W)
+            if nn < C:
+                buf2d[2 * nn:] = 0xFFFFFFFF
+            handle = self._device_seeder.submit_packed(buf2d, 2 * C, L)
+            fut = self._dev_executor().submit(self._device_seeder.resolve,
+                                              handle)
+            return (fut, ci)
+
+        def finish_dev(pend):
+            fut, ci = pend
+            meta, cp, cm, overflow = fut.result()
+            if overflow:
+                run_cpu(ci)
+                return
+            s, e = bounds[ci]
+            nn = e - s
+            if full:
+                out, st = engine.map_pairs_dev_seeded_full(
+                    r1_bytes, off_ptr(o1, s), r2_bytes, off_ptr(o2, s),
+                    nn, base_read_id + s, meta, cp, cm)
+                if auxes is not None:
+                    auxes[ci] = engine.get_sam_aux()
+            else:
+                out, st = engine.map_pairs_dev_seeded(
+                    r1_bytes, off_ptr(o1, s), r2_bytes, off_ptr(o2, s),
+                    nn, base_read_id + s, meta, cp, cm)
+            outs[ci] = out
+            stats_sum[:] += st
+            side_channels(ci)
+
+        G = max(2, cfg.device_hybrid_period)
+        pend = None
+        gi = 0
+        while gi < nb:
+            group = list(range(gi, min(gi + G, nb)))
+            newpend = submit_dev(group[-1]) if len(group) >= 2 else None
+            if pend is not None:
+                finish_dev(pend)
+            for ci in group[:-1] if newpend is not None else group:
+                run_cpu(ci)
+            pend = newpend
+            gi += len(group)
+        if pend is not None:
+            finish_dev(pend)
+
+        out = {key: np.concatenate([o[key] for o in outs])
+               for key in outs[0]}
+        if not want_info:
+            return out, stats_sum
+        info = self._HybridInfo()
+        info.flags = flags
+        info.tl1 = tl1
+        info.tl2 = tl2
+        if auxes is not None:
+            info.aux = self._merge_sam_aux(auxes)
+        return out, stats_sum, info
+
+    def _dev_executor(self):
+        ex = getattr(self, "_dev_executor_obj", None)
+        if ex is None:
+            from concurrent.futures import ThreadPoolExecutor
+            ex = ThreadPoolExecutor(max_workers=1)
+            self._dev_executor_obj = ex
+        return ex
+
     def _map_batch_native(self, engine, batch1, batch2, threshold,
                           emit) -> None:
         """Map one batch through the C++ host engine."""
@@ -1054,7 +1285,8 @@ class MappingPipeline:
         reads2 = [bytes(r.seq) for r in batch2]
         # sharded batches have strided read ids: map indices explicitly
         orig_ids = np.asarray([r.read_id for r in batch1], dtype=np.uint32)
-        out, stats = engine.map_pairs(reads1, reads2, 0, threshold)
+        out, stats = self._map_pairs_hybrid(engine, reads1, reads2, 0,
+                                            threshold)
         rid_a = out["rid"]
         for i in range(len(rid_a)):
             rec = PEBedRecord(
@@ -1126,14 +1358,14 @@ class MappingPipeline:
         return reads1, reads2, barcodes, orig_ids
 
     def _native_barcode_cachehits(self, engine, out, num_pairs,
-                                  barcodes) -> None:
+                                  barcodes, flags=None) -> None:
         """Per-barcode CACHEHIT summary counts from the native engine's
         per-pair flags (summary_metadata.h:17-25 semantics: a mapped pair
         whose either end hit the candidate cache)."""
         if self.summary is None:
             return
         from .summary import CACHEHIT
-        hits = engine.get_pair_flags()
+        hits = engine.get_pair_flags() if flags is None else flags
         mapped = np.zeros(num_pairs, dtype=bool)
         mapped[out["read_id"]] = True
         for j in np.flatnonzero(mapped & (hits[:num_pairs] > 0)):
@@ -1151,8 +1383,11 @@ class MappingPipeline:
             batch1, batch2, batch_bc)
         if not reads1:
             return
-        out, stats = engine.map_pairs(reads1, reads2, 0, threshold)
-        self._native_barcode_cachehits(engine, out, len(reads1), barcodes)
+        out, stats, info = self._map_pairs_hybrid(engine, reads1, reads2,
+                                                  0, threshold,
+                                                  want_info=True)
+        self._native_barcode_cachehits(engine, out, len(reads1), barcodes,
+                                       flags=info.flags)
         rid_a = out["rid"]
         oid = np.asarray([batch1[bi].read_id for bi in sel],
                          dtype=np.uint32)
@@ -1197,14 +1432,13 @@ class MappingPipeline:
             base_read_id = batch1[0].read_id if batch1 else 0
         if not reads1:
             return
-        out, stats = engine.map_pairs(reads1, reads2, base_read_id,
-                                      threshold)
+        out, stats, info = self._map_pairs_hybrid(engine, reads1, reads2,
+                                                  base_read_id, threshold,
+                                                  want_info=True)
         if batch_bc is not None:
             self._native_barcode_cachehits(engine, out, len(reads1),
-                                           barcodes)
-        tl1 = tl2 = None
-        if cfg.trim_adapters:
-            tl1, tl2 = engine.get_pair_trimmed_lengths()
+                                           barcodes, flags=info.flags)
+        tl1, tl2 = info.tl1, info.tl2
         rid_a = out["rid"]
         for i in range(len(rid_a)):
             j = int(out["read_id"][i]) - base_read_id
@@ -1257,15 +1491,15 @@ class MappingPipeline:
             base_read_id = batch1[0].read_id if batch1 else 0
         if not reads1:
             return
-        out, stats, aux = engine.map_pairs_full(reads1, reads2, base_read_id,
-                                                threshold, sam_aux=True)
+        out, stats, info = self._map_pairs_hybrid(engine, reads1, reads2,
+                                                  base_read_id, threshold,
+                                                  full=True, sam=True,
+                                                  want_info=True)
         if batch_bc is not None:
             self._native_barcode_cachehits(engine, out, len(reads1),
-                                           barcodes)
-        tl1 = tl2 = None
-        if cfg.trim_adapters:
-            tl1, tl2 = engine.get_pair_trimmed_lengths()
-        cig_buf, cig_off, md_buf, md_off, nm_arr = aux
+                                           barcodes, flags=info.flags)
+        tl1, tl2 = info.tl1, info.tl2
+        cig_buf, cig_off, md_buf, md_off, nm_arr = info.aux
         rid_a = out["rid"]
         prev_read_id = None
         occurrence = 0
@@ -1357,11 +1591,13 @@ class MappingPipeline:
             base_read_id = batch1[0].read_id if batch1 else 0
         if not reads1:
             return
-        out, stats, _ = engine.map_pairs_full(reads1, reads2, base_read_id,
-                                              threshold)
+        out, stats, info = self._map_pairs_hybrid(engine, reads1, reads2,
+                                                  base_read_id, threshold,
+                                                  full=True,
+                                                  want_info=True)
         if batch_bc is not None:
             self._native_barcode_cachehits(engine, out, len(reads1),
-                                           barcodes)
+                                           barcodes, flags=info.flags)
         rank = self.pairs_custom_rid_rank
         rid_a = out["rid"]
         for i in range(len(rid_a)):
@@ -1434,6 +1670,7 @@ class MappingPipeline:
                 self.num_reads += n1
                 threshold = self.cache_single.get_update_threshold(
                     n1, self.num_reads, False, 0.01)
+                self._debug_threshold(threshold)
                 newp = None
                 if cfg.use_device and ci % P == 0:
                     newp = self._se_device_submit(engine, b1, o1, n1,
@@ -1467,6 +1704,7 @@ class MappingPipeline:
         log(f"# uni-mappings: {uni}, # multi-mappings: {multi}, "
             f"total: {uni + multi}.")
         log(f"Number of output mappings (passed filters): {written}")
+        self._debug_cache_stats(engine, paired=False)
 
     def _se_device_submit(self, engine, b1, o1, n1: int,
                           base_read_id: int):

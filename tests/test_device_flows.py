@@ -1,0 +1,85 @@
+"""Device-path parity for the flows beyond bulk BED: presets (low-memory
+mode, adapter trimming), barcoded scATAC fragments + summary, PAF/SAM
+records. Each case runs the CLI with --device on the CPU backend (the
+conftest pins JAX_PLATFORMS=cpu) with a small device batch so the 5000-pair
+simulated dataset spans many hybrid chunks, and must byte-match the golden
+produced by the reference chromap binary -- i.e. the device run equals the
+host run equals the reference.
+
+Reference engine behavior mirrored: one fast engine serves every format x
+barcoded combo (chromap_driver.cc:702-761).
+"""
+
+import subprocess
+import sys
+
+import pytest
+
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+
+from simulate import write_simulated_dataset
+
+
+@pytest.fixture(scope="module")
+def sim_data(tmp_path_factory):
+    d = tmp_path_factory.mktemp("simdev")
+    write_simulated_dataset(str(d))
+    from simulate import write_simulated_barcodes
+    write_simulated_barcodes(str(d))
+    args = [sys.executable, "-m", "chromap_tpu.cli", "-i",
+            "-r", f"{d}/ref.fa", "-o", f"{d}/index"]
+    subprocess.run(args, check=True, capture_output=True)
+    return d
+
+
+DEVICE_ARGS = ["--device", "--device-batch-size", "512"]
+
+CASES = [
+    # atac preset: low-memory mode + trim-adapters + dedup + Tn5 (the
+    # round-2 gap: every preset warned and mapped on the host)
+    ("sim_atac.bed", ["--preset", "atac"]),
+    # chip preset: low-memory mode + dedup
+    ("sim_chip.bed", ["-l", "2000", "--remove-pcr-duplicates",
+                      "--low-mem"]),
+    # trimmed PAF: per-pair trim demotion + trimmed-length stitching
+    ("sim_trim.paf", ["--trim-adapters", "--PAF"]),
+    # SAM: extended finish + per-chunk CIGAR/NM/MD stream merge
+    ("sim_pe.sam", ["--SAM"]),
+]
+
+
+@pytest.mark.parametrize("golden,extra", CASES, ids=[c[0] for c in CASES])
+def test_device_flow_parity(golden, extra, sim_data, golden_dir, tmp_path):
+    out = tmp_path / f"dev_{golden}"
+    args = [sys.executable, "-m", "chromap_tpu.cli",
+            "-x", f"{sim_data}/index", "-r", f"{sim_data}/ref.fa",
+            "-1", f"{sim_data}/r1.fq", "-2", f"{sim_data}/r2.fq",
+            "-o", str(out)] + extra + DEVICE_ARGS
+    result = subprocess.run(args, capture_output=True, text=True)
+    assert result.returncode == 0, result.stderr
+    assert "WARNING: --device does not cover" not in result.stderr
+    assert out.read_bytes() == (golden_dir / golden).read_bytes(), \
+        f"{golden} differs under --device"
+
+
+def test_device_barcoded_parity(sim_data, golden_dir, tmp_path):
+    """scATAC fragments through the device path: barcode correction +
+    whitelist + cell-level dedup + Tn5 + per-barcode summary, byte-equal
+    to the reference golden (summary compared as a set: khash iteration
+    order)."""
+    d = sim_data
+    out = tmp_path / "bc_dev.bed"
+    summary = tmp_path / "bc_dev.csv"
+    args = [sys.executable, "-m", "chromap_tpu.cli",
+            "-x", f"{d}/index", "-r", f"{d}/ref.fa",
+            "-1", f"{d}/r1.fq", "-2", f"{d}/r2.fq", "-b", f"{d}/bc.fq",
+            "--barcode-whitelist", f"{d}/whitelist.txt",
+            "--remove-pcr-duplicates", "--Tn5-shift", "-l", "2000",
+            "--summary", str(summary), "-o", str(out)] + DEVICE_ARGS
+    result = subprocess.run(args, capture_output=True, text=True)
+    assert result.returncode == 0, result.stderr
+    assert out.read_bytes() == (golden_dir / "sim_barcode.bed").read_bytes()
+    ours = sorted(summary.read_text().splitlines())
+    golden = sorted(
+        (golden_dir / "sim_barcode_summary.csv").read_text().splitlines())
+    assert ours == golden
