@@ -108,10 +108,11 @@ class MappingConfig:
         if self.output_format not in ("bed", "tagalign", "paf", "sam",
                                        "pairs"):
             return False
-        if self.error_threshold >= 16:
-            # the native banded kernels hold the band in a 32-bit word
-            # (2e+1 <= 31 bits), exactly like the reference (alignment.cc:
-            # 144-150); e >= 16 takes the exact per-read path
+        if self.error_threshold >= 32:
+            # the native scalar kernels extend to a 64-bit band word
+            # (2e+1 <= 63 bits; the reference's SIMD-only design stops at
+            # e < 16, alignment.cc:144-150); e >= 32 takes the exact
+            # per-read path
             return False
         return True
 

@@ -100,7 +100,7 @@ class DraftMappingGenerator:
 
         for strand_negative, cands in ((False, seed_state.positive_candidates),
                                        (True, seed_state.negative_candidates)):
-            if len(cands) < self.num_vpu_lanes:
+            if self.num_vpu_lanes == 0 or len(cands) < self.num_vpu_lanes:
                 self._verify_scalar(strand_negative, read, negative_read,
                                     seed_state, reference_seqs, ref_lengths, vs)
             else:

@@ -16,6 +16,7 @@ from typing import Tuple
 from ..utils import _CHAR_TO_CODE
 
 U32 = 0xFFFFFFFF
+U64 = 0xFFFFFFFFFFFFFFFF
 
 
 def _code(c: int) -> int:
@@ -30,6 +31,7 @@ def banded_align(error_threshold: int, pattern: bytes, text: bytes,
     relative to the pattern start. Returns e+1 errors when dropped.
     """
     e = error_threshold
+    mask = U32 if e < 16 else U64
     peq = [0, 0, 0, 0, 0]
     for i in range(2 * e):
         peq[_code(pattern[i])] |= 1 << i
@@ -39,12 +41,12 @@ def banded_align(error_threshold: int, pattern: bytes, text: bytes,
     for i in range(read_length):
         peq[_code(pattern[i + 2 * e])] |= highest
         x = peq[_code(text[i])] | vn
-        d0 = (((vp + (x & vp)) & U32) ^ vp) | x
+        d0 = (((vp + (x & vp)) & mask) ^ vp) | x
         hn = vp & d0
-        hp = (vn | ~(vp | d0)) & U32
+        hp = (vn | ~(vp | d0)) & mask
         x = d0 >> 1
         vn = x & hp
-        vp = (hn | ~(x | hp)) & U32
+        vp = (hn | ~(x | hp)) & mask
         num_errors += 1 - (d0 & 1)
         if num_errors > 3 * e:
             return e + 1, read_length - 1
@@ -70,6 +72,7 @@ def banded_align_dropoff(error_threshold: int, pattern: bytes, text: bytes,
     mapping_end_position is negated when the alignment failed early.
     """
     e = error_threshold
+    mask = U32 if e < 16 else U64
     peq = [0, 0, 0, 0, 0]
     for i in range(2 * e):
         peq[_code(pattern[i])] |= 1 << i
@@ -83,13 +86,13 @@ def banded_align_dropoff(error_threshold: int, pattern: bytes, text: bytes,
     while i < read_length:
         peq[_code(pattern[i + 2 * e])] |= highest
         x = peq[_code(text[i])] | vn
-        d0 = (((vp + (x & vp)) & U32) ^ vp) | x
+        d0 = (((vp + (x & vp)) & mask) ^ vp) | x
         hn = vp & d0
-        hp = (vn | ~(vp | d0)) & U32
+        hp = (vn | ~(vp | d0)) & mask
         x = d0 >> 1
         prev_vn, prev_vp = vn, vp
         vn = x & hp
-        vp = (hn | ~(x | hp)) & U32
+        vp = (hn | ~(x | hp)) & mask
         prev_num_errors = num_errors
         num_errors += 1 - (d0 & 1)
         if num_errors > 2 * e:
@@ -126,6 +129,7 @@ def banded_align_dropoff_3end(error_threshold: int, pattern: bytes, text: bytes,
                               read_length: int) -> Tuple[int, int, int]:
     """Drop-off variant scanning from the 3' end (alignment.cc:285-376)."""
     e = error_threshold
+    mask = U32 if e < 16 else U64
     peq = [0, 0, 0, 0, 0]
     for i in range(2 * e):
         peq[_code(pattern[read_length + 2 * e - 1 - i])] |= 1 << i
@@ -139,13 +143,13 @@ def banded_align_dropoff_3end(error_threshold: int, pattern: bytes, text: bytes,
     while i < read_length:
         peq[_code(pattern[read_length - 1 - i])] |= highest
         x = peq[_code(text[read_length - 1 - i])] | vn
-        d0 = (((vp + (x & vp)) & U32) ^ vp) | x
+        d0 = (((vp + (x & vp)) & mask) ^ vp) | x
         hn = vp & d0
-        hp = (vn | ~(vp | d0)) & U32
+        hp = (vn | ~(vp | d0)) & mask
         x = d0 >> 1
         prev_vn, prev_vp = vn, vp
         vn = x & hp
-        vp = (hn | ~(x | hp)) & U32
+        vp = (hn | ~(x | hp)) & mask
         prev_num_errors = num_errors
         num_errors += 1 - (d0 & 1)
         if num_errors > 2 * e:
@@ -186,6 +190,7 @@ def banded_traceback(error_threshold: int, min_num_errors: int, pattern: bytes,
     Hamming fast path uses raw byte equality, as in the reference.
     """
     e = error_threshold
+    mask = U32 if e < 16 else U64
     if min_num_errors == 0:
         return e
     error_count = 0
@@ -203,12 +208,12 @@ def banded_traceback(error_threshold: int, min_num_errors: int, pattern: bytes,
     for i in range(read_length):
         peq[_code(pattern[read_length - 1 - i])] |= highest
         x = peq[_code(text[read_length - 1 - i])] | vn
-        d0 = (((vp + (x & vp)) & U32) ^ vp) | x
+        d0 = (((vp + (x & vp)) & mask) ^ vp) | x
         hn = vp & d0
-        hp = (vn | ~(vp | d0)) & U32
+        hp = (vn | ~(vp | d0)) & mask
         x = d0 >> 1
         vn = x & hp
-        vp = (hn | ~(x | hp)) & U32
+        vp = (hn | ~(x | hp)) & mask
         num_errors += 1 - (d0 & 1)
         for ai in range(5):
             peq[ai] >>= 1

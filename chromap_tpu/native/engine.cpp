@@ -1023,24 +1023,28 @@ static void BandedAlignLanes(int e, const char* const* pats,
   }
 }
 
-int BandedAlign(int e, const char* pattern, const char* text, int L,
-                int* end_position) {
-  uint32_t peq[5] = {0, 0, 0, 0, 0};
+// Band word W: uint32_t holds 2e+1 <= 31 band bits (e < 16, the
+// reference's only case, alignment.cc:144-150); uint64_t extends the
+// scalar kernels to e <= 31 where the reference falls back to nothing.
+template <typename W>
+static int BandedAlignT(int e, const char* pattern, const char* text, int L,
+                        int* end_position) {
+  W peq[5] = {0, 0, 0, 0, 0};
   for (int i = 0; i < 2 * e; ++i)
-    peq[kCharToCode[(uint8_t)pattern[i]]] |= 1u << i;
-  uint32_t highest = 1u << (2 * e);
-  uint32_t vp = 0, vn = 0;
+    peq[kCharToCode[(uint8_t)pattern[i]]] |= (W)1 << i;
+  W highest = (W)1 << (2 * e);
+  W vp = 0, vn = 0;
   int num_err = 0;
   for (int i = 0; i < L; ++i) {
     peq[kCharToCode[(uint8_t)pattern[i + 2 * e]]] |= highest;
-    uint32_t x = peq[kCharToCode[(uint8_t)text[i]]] | vn;
-    uint32_t d0 = ((vp + (x & vp)) ^ vp) | x;
-    uint32_t hn = vp & d0;
-    uint32_t hp = vn | ~(vp | d0);
+    W x = peq[kCharToCode[(uint8_t)text[i]]] | vn;
+    W d0 = ((vp + (x & vp)) ^ vp) | x;
+    W hn = vp & d0;
+    W hp = vn | ~(vp | d0);
     x = d0 >> 1;
     vn = x & hp;
     vp = hn | ~(x | hp);
-    num_err += 1 - (d0 & 1);
+    num_err += 1 - (int)(d0 & 1);
     if (num_err > 3 * e) return e + 1;
     for (int ai = 0; ai < 5; ++ai) peq[ai] >>= 1;
   }
@@ -1048,8 +1052,8 @@ int BandedAlign(int e, const char* pattern, const char* text, int L,
   int min_err = num_err;
   *end_position = band_start;
   for (int i = 0; i < 2 * e; ++i) {
-    num_err += (vp >> i) & 1;
-    num_err -= (vn >> i) & 1;
+    num_err += (int)((vp >> i) & 1);
+    num_err -= (int)((vn >> i) & 1);
     if (num_err < min_err || (num_err == min_err && i + 1 == e)) {
       min_err = num_err;
       *end_position = band_start + 1 + i;
@@ -1058,8 +1062,16 @@ int BandedAlign(int e, const char* pattern, const char* text, int L,
   return min_err;
 }
 
-void BandedTraceback(int e, int min_num_errors, const char* pattern,
-                     const char* text, int L, int* start_position) {
+int BandedAlign(int e, const char* pattern, const char* text, int L,
+                int* end_position) {
+  if (e < 16) return BandedAlignT<uint32_t>(e, pattern, text, L,
+                                            end_position);
+  return BandedAlignT<uint64_t>(e, pattern, text, L, end_position);
+}
+
+template <typename W>
+static void BandedTracebackT(int e, int min_num_errors, const char* pattern,
+                             const char* text, int L, int* start_position) {
   if (min_num_errors == 0) {
     *start_position = e;
     return;
@@ -1071,33 +1083,43 @@ void BandedTraceback(int e, int min_num_errors, const char* pattern,
     *start_position = e;
     return;
   }
-  uint32_t peq[5] = {0, 0, 0, 0, 0};
+  W peq[5] = {0, 0, 0, 0, 0};
   for (int i = 0; i < 2 * e; ++i)
-    peq[kCharToCode[(uint8_t)pattern[L - 1 + 2 * e - i]]] |= 1u << i;
-  uint32_t highest = 1u << (2 * e);
-  uint32_t vp = 0, vn = 0;
+    peq[kCharToCode[(uint8_t)pattern[L - 1 + 2 * e - i]]] |= (W)1 << i;
+  W highest = (W)1 << (2 * e);
+  W vp = 0, vn = 0;
   int num_err = 0;
   for (int i = 0; i < L; ++i) {
     peq[kCharToCode[(uint8_t)pattern[L - 1 - i]]] |= highest;
-    uint32_t x = peq[kCharToCode[(uint8_t)text[L - 1 - i]]] | vn;
-    uint32_t d0 = ((vp + (x & vp)) ^ vp) | x;
-    uint32_t hn = vp & d0;
-    uint32_t hp = vn | ~(vp | d0);
+    W x = peq[kCharToCode[(uint8_t)text[L - 1 - i]]] | vn;
+    W d0 = ((vp + (x & vp)) ^ vp) | x;
+    W hn = vp & d0;
+    W hp = vn | ~(vp | d0);
     x = d0 >> 1;
     vn = x & hp;
     vp = hn | ~(x | hp);
-    num_err += 1 - (d0 & 1);
+    num_err += 1 - (int)(d0 & 1);
     for (int ai = 0; ai < 5; ++ai) peq[ai] >>= 1;
   }
   *start_position = 2 * e;
   for (int i = 0; i < 2 * e; ++i) {
-    num_err += (vp >> i) & 1;
-    num_err -= (vn >> i) & 1;
+    num_err += (int)((vp >> i) & 1);
+    num_err -= (int)((vn >> i) & 1);
     if (num_err == min_num_errors) {
       *start_position = 2 * e - (1 + i);
       if (i + 1 == e) return;
     }
   }
+}
+
+void BandedTraceback(int e, int min_num_errors, const char* pattern,
+                     const char* text, int L, int* start_position) {
+  if (e < 16)
+    BandedTracebackT<uint32_t>(e, min_num_errors, pattern, text, L,
+                               start_position);
+  else
+    BandedTracebackT<uint64_t>(e, min_num_errors, pattern, text, L,
+                               start_position);
 }
 
 // ------------------------- verification per read -------------------------
@@ -1295,24 +1317,25 @@ static int GenerateNMMD(const char* reference, const char* read,
 // longest-match scan (:7-22), matching the host oracle
 // (mapping/verify.py, mapping/select.py) exactly.
 
-static void BandedAlignDropoff(int e, const char* pattern, const char* text,
+template <typename W>
+static void BandedAlignDropoffT(int e, const char* pattern, const char* text,
                                int read_length, int* min_errors_out,
                                int* end_position_out,
                                int* read_mapping_length_out) {
-  uint32_t peq[5] = {0, 0, 0, 0, 0};
+  W peq[5] = {0, 0, 0, 0, 0};
   for (int i = 0; i < 2 * e; ++i)
-    peq[kCharToCode[(uint8_t)pattern[i]]] |= 1u << i;
-  uint32_t highest = 1u << (2 * e);
-  uint32_t vp = 0, vn = 0, prev_vp = 0, prev_vn = 0;
+    peq[kCharToCode[(uint8_t)pattern[i]]] |= (W)1 << i;
+  W highest = (W)1 << (2 * e);
+  W vp = 0, vn = 0, prev_vp = 0, prev_vn = 0;
   int num_errors = 0, prev_num_errors = 0;
   bool fail_beginning = false;
   int i = 0;
   for (; i < read_length; ++i) {
     peq[kCharToCode[(uint8_t)pattern[i + 2 * e]]] |= highest;
-    uint32_t x = peq[kCharToCode[(uint8_t)text[i]]] | vn;
-    uint32_t d0 = ((vp + (x & vp)) ^ vp) | x;
-    uint32_t hn = vp & d0;
-    uint32_t hp = vn | ~(vp | d0);
+    W x = peq[kCharToCode[(uint8_t)text[i]]] | vn;
+    W d0 = ((vp + (x & vp)) ^ vp) | x;
+    W hn = vp & d0;
+    W hp = vn | ~(vp | d0);
     x = d0 >> 1;
     prev_vn = vn;
     prev_vp = vp;
@@ -1354,26 +1377,38 @@ static void BandedAlignDropoff(int e, const char* pattern, const char* text,
   *read_mapping_length_out = read_mapping_length;
 }
 
-static void BandedAlignDropoff3End(int e, const char* pattern,
+static void BandedAlignDropoff(int e, const char* pattern, const char* text,
+                   int read_length, int* min_errors_out,
+                   int* end_position_out, int* read_mapping_length_out) {
+  if (e < 16)
+    BandedAlignDropoffT<uint32_t>(e, pattern, text, read_length, min_errors_out,
+                      end_position_out, read_mapping_length_out);
+  else
+    BandedAlignDropoffT<uint64_t>(e, pattern, text, read_length, min_errors_out,
+                      end_position_out, read_mapping_length_out);
+}
+
+template <typename W>
+static void BandedAlignDropoff3EndT(int e, const char* pattern,
                                    const char* text, int read_length,
                                    int* min_errors_out,
                                    int* end_position_out,
                                    int* read_mapping_length_out) {
-  uint32_t peq[5] = {0, 0, 0, 0, 0};
+  W peq[5] = {0, 0, 0, 0, 0};
   for (int i = 0; i < 2 * e; ++i)
     peq[kCharToCode[(uint8_t)pattern[read_length + 2 * e - 1 - i]]] |=
-        1u << i;
-  uint32_t highest = 1u << (2 * e);
-  uint32_t vp = 0, vn = 0, prev_vp = 0, prev_vn = 0;
+        (W)1 << i;
+  W highest = (W)1 << (2 * e);
+  W vp = 0, vn = 0, prev_vp = 0, prev_vn = 0;
   int num_errors = 0, prev_num_errors = 0;
   bool fail_beginning = false;
   int i = 0;
   for (; i < read_length; ++i) {
     peq[kCharToCode[(uint8_t)pattern[read_length - 1 - i]]] |= highest;
-    uint32_t x = peq[kCharToCode[(uint8_t)text[read_length - 1 - i]]] | vn;
-    uint32_t d0 = ((vp + (x & vp)) ^ vp) | x;
-    uint32_t hn = vp & d0;
-    uint32_t hp = vn | ~(vp | d0);
+    W x = peq[kCharToCode[(uint8_t)text[read_length - 1 - i]]] | vn;
+    W d0 = ((vp + (x & vp)) ^ vp) | x;
+    W hn = vp & d0;
+    W hp = vn | ~(vp | d0);
     x = d0 >> 1;
     prev_vn = vn;
     prev_vp = vp;
@@ -1413,6 +1448,17 @@ static void BandedAlignDropoff3End(int e, const char* pattern,
   *min_errors_out = min_errors;
   *end_position_out = end_position;
   *read_mapping_length_out = read_mapping_length;
+}
+
+static void BandedAlignDropoff3End(int e, const char* pattern, const char* text,
+                   int read_length, int* min_errors_out,
+                   int* end_position_out, int* read_mapping_length_out) {
+  if (e < 16)
+    BandedAlignDropoff3EndT<uint32_t>(e, pattern, text, read_length, min_errors_out,
+                      end_position_out, read_mapping_length_out);
+  else
+    BandedAlignDropoff3EndT<uint64_t>(e, pattern, text, read_length, min_errors_out,
+                      end_position_out, read_mapping_length_out);
 }
 
 static int GetLongestMatchLength(const char* pattern, const char* text,

@@ -918,6 +918,10 @@ class MappingPipeline:
         pipelines over the same index."""
         if self._device_seeder is None:
             cfg = self.cfg
+            if cfg.error_threshold >= 16:
+                # the device program holds the band in int32 lanes
+                self._device_seeder = False
+                return None
             from .ops.device_seed import get_device_seeder
             try:
                 key = []

@@ -45,3 +45,25 @@ def test_output_parity(golden_name, extra_args, data_dir, golden_dir,
     assert actual == expected, (
         f"{golden_name}: output differs from reference golden\n"
         f"stderr:\n{result.stderr}")
+
+
+def test_wide_band_native_parity(data_dir, test_index, tmp_path):
+    """e=20 engages the 64-bit-band native scalar kernels (2e+1 = 41 band
+    bits; the reference's SIMD-only kernels stop at e < 16). The native
+    run must byte-match the exact per-read engine."""
+    r1 = str(data_dir / "read1.fq")
+    r2 = str(data_dir / "read2.fq")
+    outs = {}
+    for engine in ("auto", "per_read"):
+        out = tmp_path / f"e20_{engine}.bed"
+        args = [sys.executable, "-m", "chromap_tpu.cli",
+                "--engine", engine, "-e", "20",
+                "-x", test_index, "-r", str(data_dir / "ref.fa"),
+                "-1", r1, "-2", r2, "-o", str(out)]
+        result = subprocess.run(args, capture_output=True, text=True)
+        assert result.returncode == 0, result.stderr
+        if engine == "auto":
+            assert "Using native host engine." in result.stderr
+        outs[engine] = out.read_bytes()
+    assert outs["auto"] == outs["per_read"]
+    assert outs["auto"], "e=20 run produced no mappings"
