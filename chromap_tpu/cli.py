@@ -99,6 +99,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="route hot kernels through JAX/Pallas on TPU")
     p.add_argument("--device-batch-size", type=int, default=None,
                    help="read pairs per device dispatch (default 8192)")
+    p.add_argument("--mesh-devices", type=int, default=0,
+                   help="device chunks shard over N chips (0 = all "
+                        "visible devices, 1 = single-device)")
     p.add_argument("--engine", type=str, default="auto",
                    choices=["auto", "native", "batch", "per_read"],
                    help="mapping engine selection")
@@ -348,6 +351,7 @@ def parse_args_and_run(argv: Optional[List[str]] = None) -> int:
     cfg.use_device = args.device
     if args.device_batch_size:
         cfg.device_batch_size = args.device_batch_size
+    cfg.mesh_devices = args.mesh_devices
     cfg.engine = args.engine
     import os as _os
     if _os.environ.get("CHROMAP_TPU_LOWMEM_MAX_RECORDS"):

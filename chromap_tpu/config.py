@@ -89,6 +89,10 @@ class MappingConfig:
     device_hybrid_period: int = 3
     read_batch_size: int = 500000
     low_mem_max_records: int = 0  # 0 = derive from the reference's budgets
+    # device mesh: 0 = shard device chunks over ALL visible chips
+    # (automatic multi-chip; the batch axis is the scaling axis and the
+    # index replicates); 1 = force single-device; N = use N chips
+    mesh_devices: int = 0
     # multi-host sharded operation: each shard maps reads with
     # read_index %% num_shards == shard_index and emits sorted spill shards;
     # a final merge invocation unifies them (parallel/sharding.py)

@@ -788,12 +788,139 @@ class DeviceSeeder:
         return self.resolve(self.submit(codes, lengths))
 
 
+class MeshSeeder(DeviceSeeder):
+    """DeviceSeeder running the seeding program under shard_map over a
+    data mesh: the read batch shards over `n_devices` chips, the index
+    and packed reference replicate (HBM-scale), and the download is one
+    per-shard packed stream reassembled host-side in shard order (shards
+    hold contiguous read ranges, so concatenation restores global read
+    order). Interface-compatible with DeviceSeeder, so the hybrid
+    scheduler and the CLI use it transparently whenever more than one
+    device is visible (SURVEY.md §5 distributed plan: batch sharding
+    across chips is the production configuration)."""
+
+    def __init__(self, index, ref_seqs, error_threshold: int,
+                 min_num_seeds: int, max_seed_frequencies,
+                 num_devices: int | None = None, **kw):
+        super().__init__(index, ref_seqs, error_threshold, min_num_seeds,
+                         max_seed_frequencies, **kw)
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        devices = jax.devices()
+        if num_devices:
+            devices = devices[:num_devices]
+        self.mesh = Mesh(np.array(devices), axis_names=("data",))
+        self.n_dev = len(devices)
+        repl = NamedSharding(self.mesh, P())
+        # re-place the index/reference arrays replicated across the mesh
+        for name in ("hash_keys", "offcnt", "occurrences", "ref_words",
+                     "ref_nwords", "ref_lens", "ref_offsets"):
+            setattr(self, name, jax.device_put(getattr(self, name), repl))
+        self._row_sharding = NamedSharding(self.mesh, P("data", None))
+        self._sharded_steps = {}
+
+    def _sharded_step(self, B: int, L: int):
+        key = (B, L)
+        fn = self._sharded_steps.get(key)
+        if fn is not None:
+            return fn
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        n = self.n_dev
+        Bs = B // n
+        Mtot, Htot = MZ_PER_READ * Bs, HITS_PER_READ * Bs
+        captot = CANDS_PER_READ * Bs
+        step = _build_step(self.k, self.w, self.e, self.f0, self.f1,
+                           self.min_num_seeds, self.num_refs,
+                           self.use_pallas)
+
+        def shard_step(rw, lens, hash_keys, offcnt, occurrences,
+                       ref_words, ref_nwords, ref_lens, ref_offsets):
+            return step(rw, lens, hash_keys, offcnt, occurrences,
+                        ref_words, ref_nwords, ref_lens, ref_offsets,
+                        L=L, B=Bs, Mtot=Mtot, Htot=Htot, captot=captot)
+
+        rep = P()
+        fn = jax.jit(shard_map(
+            shard_step, mesh=self.mesh,
+            in_specs=(P("data", None), P("data"),
+                      rep, rep, rep, rep, rep, rep, rep),
+            out_specs=(P("data"), P("data")),
+            check_vma=False))
+        self._sharded_steps[key] = fn
+        return fn
+
+    def submit_packed(self, rw: np.ndarray, B: int, L: int,
+                      lengths: np.ndarray | None = None):
+        n = self.n_dev
+        if B % n != 0:
+            # row count must split evenly over the mesh; the hybrid pads
+            # chunks to a fixed size, so this only rejects odd configs
+            return super().submit_packed(rw, B, L, lengths=lengths)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if lengths is None:
+            key = (B, L)
+            lend = self._lengths_cache.get(key)
+            if lend is None:
+                lend = jax.device_put(
+                    np.full((B,), L, dtype=np.int32),
+                    NamedSharding(self.mesh, P("data")))
+                self._lengths_cache[key] = lend
+        else:
+            lend = jax.device_put(np.asarray(lengths, dtype=np.int32),
+                                  NamedSharding(self.mesh, P("data")))
+        rw_dev = jax.device_put(np.ascontiguousarray(rw),
+                                self._row_sharding)
+        dl, full = self._sharded_step(B, L)(
+            rw_dev, lend, self.hash_keys, self.offcnt, self.occurrences,
+            self.ref_words, self.ref_nwords, self.ref_lens,
+            self.ref_offsets)
+        try:
+            dl.copy_to_host_async()
+        except Exception:
+            pass
+        captot_s = CANDS_PER_READ * (B // n)
+        return ("mesh", dl, full, B, captot_s, L)
+
+    def resolve(self, handle):
+        if not (isinstance(handle, tuple) and handle and
+                handle[0] == "mesh"):
+            return super().resolve(handle)
+        _, dl, full, B, captot_s, L = handle
+        n = self.n_dev
+        Bs = B // n
+        dlcap_s = (captot_s * DL_CANDS_PER_READ) // CANDS_PER_READ
+        rows = np.asarray(dl).reshape(n, -1)
+        if rows[:, 1].any():
+            return None, None, None, True
+        totals = rows[:, 0].astype(np.int64)
+        meta32 = rows[:, 2:2 + Bs].reshape(-1)
+        full_np = None
+        cand_parts = []
+        for d in range(n):
+            t = int(totals[d])
+            if t <= dlcap_s:
+                cand_parts.append(
+                    rows[d, 2 + Bs:2 + Bs + 2 * t].view(np.uint64))
+            else:
+                if full_np is None:
+                    full_np = np.asarray(full).reshape(n, -1)
+                cand_parts.append(full_np[d, :2 * t].view(np.uint64))
+        cand64 = np.concatenate(cand_parts) if cand_parts else \
+            np.empty(0, np.uint64)
+        meta_np, pos_np, cmeta_np = unpack_download(meta32, cand64, L)
+        return meta_np, pos_np, cmeta_np, False
+
+
 _seeder_cache: dict = {}
 
 
 def get_device_seeder(index, ref_seqs, error_threshold: int,
                       min_num_seeds: int, max_seed_frequencies,
-                      cache_key=None) -> "DeviceSeeder":
+                      cache_key=None, mesh_devices: int = 0
+                      ) -> "DeviceSeeder":
     """Process-wide DeviceSeeder cache.
 
     Uploading the index/reference to HBM costs ~0.25 s plus one h2d
@@ -801,16 +928,29 @@ def get_device_seeder(index, ref_seqs, error_threshold: int,
     (the common case: repeated runs, multiple read files) share one
     device-resident copy. `cache_key` identifies the index/reference
     content (e.g. (index_path, mtime, ref_path, mtime)); None disables
-    caching."""
-    if cache_key is None:
+    caching.
+
+    mesh_devices: 0 = automatic (shard the read batch over ALL visible
+    devices when more than one -- the multi-chip production
+    configuration); 1 = force single-device; N>1 = use N devices."""
+    if mesh_devices == 0:
+        mesh_devices = len(jax.devices())
+
+    def build():
+        if mesh_devices > 1:
+            return MeshSeeder(index, ref_seqs, error_threshold,
+                              min_num_seeds, max_seed_frequencies,
+                              num_devices=mesh_devices)
         return DeviceSeeder(index, ref_seqs, error_threshold,
                             min_num_seeds, max_seed_frequencies)
+
+    if cache_key is None:
+        return build()
     key = (cache_key, int(error_threshold), int(min_num_seeds),
-           tuple(int(f) for f in max_seed_frequencies))
+           tuple(int(f) for f in max_seed_frequencies), mesh_devices)
     seeder = _seeder_cache.get(key)
     if seeder is None:
-        seeder = DeviceSeeder(index, ref_seqs, error_threshold,
-                              min_num_seeds, max_seed_frequencies)
+        seeder = build()
         _seeder_cache.clear()  # one resident index at a time (HBM budget)
         _seeder_cache[key] = seeder
     return seeder

@@ -932,12 +932,17 @@ class MappingPipeline:
                 self._device_seeder = get_device_seeder(
                     self.index, self.ref_seqs, cfg.error_threshold,
                     cfg.min_num_seeds_required_for_mapping,
-                    cfg.max_seed_frequencies, cache_key=tuple(key))
+                    cfg.max_seed_frequencies, cache_key=tuple(key),
+                    mesh_devices=cfg.mesh_devices)
             except Exception as exc:
                 log(f"Device seeding unavailable ({exc}); CPU only.")
                 self._device_seeder = False
             else:
-                log("Using TPU device seeding + verification.")
+                n_dev = getattr(self._device_seeder, "n_dev", 1)
+                mesh_note = (f" ({n_dev}-device data mesh)"
+                             if n_dev > 1 else "")
+                log("Using TPU device seeding + verification"
+                    f"{mesh_note}.")
         return self._device_seeder or None
 
     def _hybrid_state(self) -> dict:

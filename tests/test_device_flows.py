@@ -83,3 +83,26 @@ def test_device_barcoded_parity(sim_data, golden_dir, tmp_path):
     golden = sorted(
         (golden_dir / "sim_barcode_summary.csv").read_text().splitlines())
     assert ours == golden
+
+
+def test_mesh_cli_parity(sim_data, golden_dir, tmp_path):
+    """Multi-chip CLI execution: device chunks shard over the 8-virtual-
+    device CPU data mesh (reads sharded, index replicated) and the output
+    byte-matches both the single-device device run and the reference
+    golden."""
+    d = sim_data
+    outs = {}
+    for n in (8, 1):
+        out = tmp_path / f"mesh{n}.bed"
+        args = [sys.executable, "-m", "chromap_tpu.cli",
+                "-x", f"{d}/index", "-r", f"{d}/ref.fa",
+                "-1", f"{d}/r1.fq", "-2", f"{d}/r2.fq",
+                "-o", str(out), "--low-mem",
+                "--mesh-devices", str(n)] + DEVICE_ARGS
+        result = subprocess.run(args, capture_output=True, text=True)
+        assert result.returncode == 0, result.stderr
+        if n == 8:
+            assert "8-device data mesh" in result.stderr, result.stderr
+        outs[n] = out.read_bytes()
+    assert outs[8] == outs[1]
+    assert outs[8] == (golden_dir / "sim_default.bed").read_bytes()
