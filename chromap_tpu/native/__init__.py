@@ -139,7 +139,7 @@ def load_library():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
     ]
     lib.cn_map_pairs_dev_full.restype = ctypes.c_int64
     lib.cn_map_pairs_dev_full.argtypes = [
@@ -148,7 +148,7 @@ def load_library():
         ctypes.c_char_p, ctypes.c_void_p,
         ctypes.c_int64, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-    ] + [ctypes.c_void_p] * 20
+    ] + [ctypes.c_void_p] * 21
     lib.cn_map_pairs_full.restype = ctypes.c_int64
     lib.cn_map_pairs_full.argtypes = [
         ctypes.c_void_p,
@@ -536,7 +536,12 @@ class NativeEngine:
                              cand_meta: np.ndarray) -> Tuple[dict, np.ndarray]:
         """Finish mapping from device-computed seeding + verification
         (ops/device_seed.py): reduce, selection, MAPQ, records run natively;
-        flagged pairs re-run the exact host path."""
+        flagged pairs re-run the exact host path. In split mode cand_meta
+        is (cand_meta, cand_split) carrying the packed drop-off results."""
+        cand_split = None
+        if isinstance(cand_meta, tuple):
+            cand_meta, cand_split = cand_meta
+            cand_split = np.ascontiguousarray(cand_split, dtype=np.uint64)
         read_meta = np.ascontiguousarray(read_meta, dtype=np.uint64)
         cand_pos = np.ascontiguousarray(cand_pos, dtype=np.uint64)
         cand_meta = np.ascontiguousarray(cand_meta, dtype=np.uint32)
@@ -560,7 +565,8 @@ class NativeEngine:
             _ptr(out["rid"]), _ptr(out["read_id"]), _ptr(out["start"]),
             _ptr(out["flen"]), _ptr(out["mapq"]), _ptr(out["dir"]),
             _ptr(out["uniq"]), _ptr(out["posalen"]), _ptr(out["negalen"]),
-            _ptr(stats))
+            _ptr(stats),
+            _ptr(cand_split) if cand_split is not None else None)
         for key in out:
             out[key] = out[key][:count]
         return out, stats
@@ -571,7 +577,12 @@ class NativeEngine:
                                   cand_pos: np.ndarray,
                                   cand_meta: np.ndarray):
         """Device-seeded finish with the extended per-end outputs
-        (PAF/pairs/SAM flows on the device path)."""
+        (PAF/pairs/SAM flows on the device path); split mode passes
+        cand_meta as (cand_meta, cand_split)."""
+        cand_split = None
+        if isinstance(cand_meta, tuple):
+            cand_meta, cand_split = cand_meta
+            cand_split = np.ascontiguousarray(cand_split, dtype=np.uint64)
         read_meta = np.ascontiguousarray(read_meta, dtype=np.uint64)
         cand_pos = np.ascontiguousarray(cand_pos, dtype=np.uint64)
         cand_meta = np.ascontiguousarray(cand_meta, dtype=np.uint32)
@@ -608,7 +619,8 @@ class NativeEngine:
             _ptr(out["rs1"]), _ptr(out["re1"]), _ptr(out["rs2"]),
             _ptr(out["re2"]), _ptr(out["err1"]), _ptr(out["err2"]),
             _ptr(out["mapq1"]), _ptr(out["mapq2"]), _ptr(out["rid2"]),
-            _ptr(out["dir2"]), _ptr(stats))
+            _ptr(out["dir2"]), _ptr(stats),
+            _ptr(cand_split) if cand_split is not None else None)
         for key in out:
             out[key] = out[key][:count]
         return out, stats

@@ -70,8 +70,10 @@ struct Candidate {
   uint64_t position;  // rid<<32 | start
   uint8_t count;
   // device-precomputed verification (err<<8 | end_pos), kNoExt when the
-  // banded alignment must run natively
+  // banded alignment must run natively; split mode packs the 50-bit
+  // drop-off results across ext (low 32) and ext2 (high 18)
   uint32_t ext = kNoExt;
+  uint32_t ext2 = 0;
 };
 
 inline bool CandidateLess(const Candidate& a, const Candidate& b) {
@@ -1584,6 +1586,9 @@ struct DevSeedView {
   const uint64_t* read_meta;
   const uint64_t* cand_pos;
   const uint32_t* cand_meta;
+  // split mode: per-candidate packed drop-off results
+  // (2 x (err:7 | sign:1 | |end|:9 | rml:8), primary then gap-retry)
+  const uint64_t* cand_split = nullptr;
 };
 
 constexpr uint64_t kDevFlagFallback = 1;
@@ -1612,17 +1617,24 @@ static void LoadDevSeed(const DevSeedView& dev, uint64_t meta,
   int n_neg = (int)((meta >> 40) & 0xFF);
   st.positive_candidates.resize(n_pos);
   st.negative_candidates.resize(n_neg);
+  const bool sp = dev.cand_split != nullptr;
   for (int i = 0; i < n_pos; ++i) {
     uint32_t m = dev.cand_meta[cursor + i];
     uint32_t ext = (((m >> 8) & 0xFF) << 8) | ((m >> 16) & 0xFF);
+    uint64_t sx = sp ? dev.cand_split[cursor + i] : 0;
     st.positive_candidates[i] = {dev.cand_pos[cursor + i],
-                                 (uint8_t)(m & 0xFF), ext};
+                                 (uint8_t)(m & 0xFF),
+                                 sp ? (uint32_t)sx : ext,
+                                 sp ? (uint32_t)(sx >> 32) : 0u};
   }
   for (int i = 0; i < n_neg; ++i) {
     uint32_t m = dev.cand_meta[cursor + n_pos + i];
     uint32_t ext = (((m >> 8) & 0xFF) << 8) | ((m >> 16) & 0xFF);
+    uint64_t sx = sp ? dev.cand_split[cursor + n_pos + i] : 0;
     st.negative_candidates[i] = {dev.cand_pos[cursor + n_pos + i],
-                                 (uint8_t)(m & 0xFF), ext};
+                                 (uint8_t)(m & 0xFF),
+                                 sp ? (uint32_t)sx : ext,
+                                 sp ? (uint32_t)(sx >> 32) : 0u};
   }
 }
 
@@ -1799,7 +1811,7 @@ void VerifyCandidates(const MappingParams& mp, const RefView& ref,
 static void VerifyCandidatesSplitOneStrand(
     const MappingParams& mp, const RefView& ref, bool strand_negative,
     const char* read, const char* neg_read, int read_length, SeedState& st,
-    VerifyState& vs) {
+    VerifyState& vs, bool dev_ext = false) {
   int e = mp.error_threshold;
   const std::vector<Candidate>& cands =
       strand_negative ? st.negative_candidates : st.positive_candidates;
@@ -1832,7 +1844,35 @@ static void VerifyCandidatesSplitOneStrand(
     int longest_match = 0;
     int num_errors;
 
-    if (!strand_negative) {
+    if (dev_ext) {
+      // device-computed drop-off results (primary + gap retry packed in
+      // ext/ext2); the selection logic below is byte-identical to the
+      // kernel-calling branches
+      uint64_t v = ((uint64_t)c.ext2 << 32) | c.ext;
+      auto unpackv = [](uint64_t x, int* err, int* end, int* rml) {
+        *err = (int)(x & 0x7F);
+        int mag = (int)((x >> 8) & 0x1FF);
+        *end = ((x >> 7) & 1) ? -mag : mag;
+        *rml = (int)((x >> 17) & 0xFF);
+      };
+      unpackv(v & 0x1FFFFFF, &num_errors, &mapping_end_position,
+              &read_mapping_length);
+      if (mapping_end_position < 0 && allow_gap_beginning > 0) {
+        int b_err = num_errors, b_end = -mapping_end_position,
+            b_len = read_mapping_length;
+        unpackv((v >> 25) & 0x1FFFFFF, &num_errors, &mapping_end_position,
+                &read_mapping_length);
+        if (num_errors > e || mapping_end_position < 0) {
+          num_errors = b_err;
+          mapping_end_position = b_end;
+          read_mapping_length = b_len;
+        } else {
+          gap_beginning = allow_gap_beginning;
+          mapping_end_position += gap_beginning;
+          read_mapping_length += gap_beginning;
+        }
+      }
+    } else if (!strand_negative) {
       BandedAlignDropoff(e, pattern, text, read_length, &num_errors,
                          &mapping_end_position, &read_mapping_length);
       if (mapping_end_position < 0 && allow_gap_beginning > 0) {
@@ -1933,16 +1973,16 @@ static void VerifyCandidatesSplitOneStrand(
 static void VerifyCandidatesSplit(const MappingParams& mp, const RefView& ref,
                                   const char* read, const char* neg_read,
                                   int read_length, SeedState& st,
-                                  VerifyState& vs) {
+                                  VerifyState& vs, bool dev_ext = false) {
   vs.Reset(mp.error_threshold);
   std::sort(st.positive_candidates.begin(), st.positive_candidates.end(),
             CandidateLess);
   std::sort(st.negative_candidates.begin(), st.negative_candidates.end(),
             CandidateLess);
   VerifyCandidatesSplitOneStrand(mp, ref, false, read, neg_read, read_length,
-                                 st, vs);
+                                 st, vs, dev_ext);
   VerifyCandidatesSplitOneStrand(mp, ref, true, read, neg_read, read_length,
-                                 st, vs);
+                                 st, vs, dev_ext);
 }
 
 // Collect verification work items (pattern offsets into the concatenated
@@ -2606,10 +2646,11 @@ static void SeedAndVerifyPair(
 
     uint64_t t3 = g_prof.on ? PhaseProf::Now() : 0;
     if (mp.split_mode) {
+      const bool dev_ext = dev_pair && dev && dev->cand_split != nullptr;
       VerifyCandidatesSplit(mp, ref, sc.read1.data(), sc.neg1.data(), l1,
-                            s1, sc.vs1);
+                            s1, sc.vs1, dev_ext);
       VerifyCandidatesSplit(mp, ref, sc.read2.data(), sc.neg2.data(), l2,
-                            s2, sc.vs2);
+                            s2, sc.vs2, dev_ext);
       if (sc.vs1.NumDraft() == 0 || sc.vs2.NumDraft() == 0) return;
       // split drafts keep candidate order: split_sites are parallel and
       // the all-pairs enumeration does not require sorted positions
@@ -2711,9 +2752,11 @@ static int64_t MapPairsCore(
       cursor += n1c + n2c;
       uint64_t f1 = (m1 >> 24) & 0xFF, f2 = (m2 >> 24) & 0xFF;
       bool fb = ((f1 | f2) & kDevFlagFallback) != 0;
-      // mate rescue would run (candidate_processor.cc:75-231): exact path
-      bool rescue = ((f1 & kDevFlagAugment) && n2c > 0) ||
-                    ((f2 & kDevFlagAugment) && n1c > 0);
+      // mate rescue would run (candidate_processor.cc:75-231): exact
+      // path (split mode never rescues, chromap.h:1020-1052)
+      bool rescue = !mp.split_mode &&
+                    (((f1 & kDevFlagAugment) && n2c > 0) ||
+                     ((f2 & kDevFlagAugment) && n1c > 0));
       // trim-adapter runs demote individual pairs whose reads the
       // trimmer changed (SeedAndVerifyPair re-seeds those exactly)
       devflag[pi] = (!fb && !rescue) ? 1 : 0;
@@ -3187,8 +3230,9 @@ int64_t cn_map_pairs_dev(
     const uint64_t* cand_pos, const uint32_t* cand_meta, int32_t* out_rid,
     uint32_t* out_read_id, uint32_t* out_start, uint16_t* out_flen,
     uint8_t* out_mapq, uint8_t* out_dir, uint8_t* out_uniq,
-    uint16_t* out_posalen, uint16_t* out_negalen, int64_t* stats) {
-  DevSeedView dev = {read_meta, cand_pos, cand_meta};
+    uint16_t* out_posalen, uint16_t* out_negalen, int64_t* stats,
+    const uint64_t* cand_split) {
+  DevSeedView dev = {read_meta, cand_pos, cand_meta, cand_split};
   return MapPairsCore(ctx, r1_bytes, r1_offsets, r2_bytes, r2_offsets,
                       num_pairs, base_read_id, /*cache_update_threshold=*/0,
                       out_rid, out_read_id, out_start, out_flen, out_mapq,
@@ -3209,8 +3253,8 @@ int64_t cn_map_pairs_dev_full(
     uint32_t* out_re1, uint32_t* out_rs2, uint32_t* out_re2,
     uint8_t* out_err1, uint8_t* out_err2, uint8_t* out_mapq1,
     uint8_t* out_mapq2, int32_t* out_rid2, uint8_t* out_dir2,
-    int64_t* stats) {
-  DevSeedView dev = {read_meta, cand_pos, cand_meta};
+    int64_t* stats, const uint64_t* cand_split) {
+  DevSeedView dev = {read_meta, cand_pos, cand_meta, cand_split};
   PEExtOut xout = {out_rs1, out_re1, out_rs2, out_re2,
                    out_err1, out_err2, out_mapq1, out_mapq2,
                    out_rid2, out_dir2};

@@ -404,7 +404,7 @@ def _gather_ref_windows(ref_words, ref_nwords, pstart, span: int,
 
 
 def _build_step(k: int, w: int, e: int, f0: int, f1: int, min_seeds: int,
-                num_refs: int, use_pallas: bool):
+                num_refs: int, use_pallas: bool, split: bool = False):
     """Returns the jittable batch step; index/reference arrays are
     arguments so compiled executables are reusable (and cacheable on disk)
     across processes."""
@@ -575,17 +575,53 @@ def _build_step(k: int, w: int, e: int, f0: int, f1: int, min_seeds: int,
         patterns = _gather_ref_windows(ref_words, ref_nwords, pstart,
                                        L + 2 * e, captot)
 
-        rc_codes = jnp.where(codes[:, ::-1] < 4, codes[:, ::-1] ^ 3, 4)
-        text_sel = jnp.where((cneg == 1)[:, None],
-                             rc_codes[sc_row, :],
-                             codes[sc_row, :]).astype(jnp.int32)
+        if split:
+            # split (drop-off) verification (draft_mapping_generator.cc:
+            # 410-555): per candidate, the drop-off kernel from the
+            # matching read end plus the unconditional 5'-gap retry.
+            # Dropoff3End(p, t) == Dropoff(reverse(p), reverse(t)), and
+            # reverse(neg_read) == complement(read), so negative
+            # candidates ride the same forward kernel over reversed
+            # windows and complemented (unreversed) read codes; both
+            # retries are the kernel over operands sliced by the gap.
+            from .pallas_myers import myers_dropoff_jnp
+            comp_codes = jnp.where(codes < 4, codes ^ 3, 4)
+            negm = (cneg == 1)[:, None]
+            patterns0 = jnp.where(negm, patterns[:, ::-1], patterns)
+            texts0 = jnp.where(negm, comp_codes[sc_row, :],
+                               codes[sc_row, :]).astype(jnp.int32)
+            g = 20 - e  # allow_gap_beginning
+            err0, end0, rml0 = myers_dropoff_jnp(patterns0.T, texts0.T,
+                                                 e, L)
+            err1, end1, rml1 = myers_dropoff_jnp(patterns0[:, g:].T,
+                                                 texts0[:, g:].T, e, L - g)
 
-        from .pallas_myers import myers_jnp
-        err, endp = myers_jnp(patterns.T, text_sel.T, e, L)
-        # pack: err clamps at e+1 (only <= e is ever consumed), endp is
-        # band-relative (end - (L-1) in [0, 2e])
-        err_p = jnp.clip(err, 0, e + 1).astype(jnp.uint64)
-        endp_p = jnp.clip(endp - (L - 1), 0, 2 * e).astype(jnp.uint64)
+            def packv(errv, endv, rmlv):
+                s = (endv < 0).astype(jnp.uint64)
+                return (jnp.clip(errv, 0, 127).astype(jnp.uint64)
+                        | (s << U64(7))
+                        | (jnp.minimum(jnp.abs(endv), 511).astype(jnp.uint64)
+                           << U64(8))
+                        | (jnp.clip(rmlv, 0, 255).astype(jnp.uint64)
+                           << U64(17)))
+
+            cand2 = packv(err0, end0, rml0) | (packv(err1, end1, rml1)
+                                               << U64(25))
+            cand2 = jnp.where(sel_real, cand2, U64(0))
+            err_p = jnp.zeros((captot,), jnp.uint64)
+            endp_p = jnp.zeros((captot,), jnp.uint64)
+        else:
+            rc_codes = jnp.where(codes[:, ::-1] < 4, codes[:, ::-1] ^ 3, 4)
+            text_sel = jnp.where((cneg == 1)[:, None],
+                                 rc_codes[sc_row, :],
+                                 codes[sc_row, :]).astype(jnp.int32)
+
+            from .pallas_myers import myers_jnp
+            err, endp = myers_jnp(patterns.T, text_sel.T, e, L)
+            # pack: err clamps at e+1 (only <= e is ever consumed), endp
+            # is band-relative (end - (L-1) in [0, 2e])
+            err_p = jnp.clip(err, 0, e + 1).astype(jnp.uint64)
+            endp_p = jnp.clip(endp - (L - 1), 0, 2 * e).astype(jnp.uint64)
 
         # ---- packed outputs ---------------------------------------------
         flags = (fallback.astype(jnp.uint32) * FLAG_FALLBACK
@@ -612,6 +648,13 @@ def _build_step(k: int, w: int, e: int, f0: int, f1: int, min_seeds: int,
         dlcap = (captot * DL_CANDS_PER_READ) // CANDS_PER_READ
         header = jnp.stack([total_cands.astype(jnp.uint32),
                             batch_over.astype(jnp.uint32)])
+        if split:
+            # split candidates carry a second u64 (the packed drop-off
+            # results); interleave so each candidate is 4 consecutive u32s
+            pair = jnp.stack([cand, cand2], axis=1)
+            cand32 = lax.bitcast_convert_type(pair, jnp.uint32).reshape(-1)
+            return (jnp.concatenate([header, read_meta,
+                                     cand32[:4 * dlcap]]), cand32)
         cand32 = lax.bitcast_convert_type(cand, jnp.uint32).reshape(-1)
         return (jnp.concatenate([header, read_meta, cand32[:2 * dlcap]]),
                 cand32)
@@ -620,9 +663,11 @@ def _build_step(k: int, w: int, e: int, f0: int, f1: int, min_seeds: int,
 
 
 @functools.lru_cache(maxsize=8)
-def _jitted_step(k, w, e, f0, f1, min_seeds, num_refs, use_pallas):
+def _jitted_step(k, w, e, f0, f1, min_seeds, num_refs, use_pallas,
+                 split=False):
     return jax.jit(
-        _build_step(k, w, e, f0, f1, min_seeds, num_refs, use_pallas),
+        _build_step(k, w, e, f0, f1, min_seeds, num_refs, use_pallas,
+                    split=split),
         static_argnames=("L", "B", "Mtot", "Htot", "captot"))
 
 
@@ -701,10 +746,12 @@ class DeviceSeeder:
 
     def __init__(self, index, ref_seqs, error_threshold: int,
                  min_num_seeds: int, max_seed_frequencies,
-                 use_pallas: bool | None = None, **_compat):
+                 use_pallas: bool | None = None, split: bool = False,
+                 **_compat):
         self.k = int(index.kmer_size)
         self.w = int(index.window_size)
         self.e = int(error_threshold)
+        self.split = bool(split)
         self.f0 = int(max_seed_frequencies[0])
         self.f1 = int(max_seed_frequencies[1])
         self.min_num_seeds = int(min_num_seeds)
@@ -749,7 +796,7 @@ class DeviceSeeder:
         self._lengths_cache = {}
         self._step = _jitted_step(self.k, self.w, self.e, self.f0, self.f1,
                                   self.min_num_seeds, self.num_refs,
-                                  self.use_pallas)
+                                  self.use_pallas, split=self.split)
         # the first device-to-host transfer of a process can stall for
         # minutes on relayed TPU links (connection establishment); warm the
         # channel in the background so the wait overlaps mapping work
@@ -818,10 +865,19 @@ class DeviceSeeder:
             return None, None, None, True
         meta32 = dl_np[2:2 + B]
         dlcap = (captot * DL_CANDS_PER_READ) // CANDS_PER_READ
+        upc = 4 if self.split else 2  # u32s per candidate
         if total <= dlcap:
-            cand64 = dl_np[2 + B:2 + B + 2 * total].view(np.uint64)
+            cand64 = dl_np[2 + B:2 + B + upc * total].view(np.uint64)
         else:
-            cand64 = np.asarray(full[:2 * total]).view(np.uint64)
+            cand64 = np.asarray(full[:upc * total]).view(np.uint64)
+        if self.split:
+            # interleaved (cand, split-ext) u64 pairs; cand_meta becomes
+            # (cmeta, split_ext) for the split-aware finish stage
+            meta_np, pos_np, cmeta_np = unpack_download(
+                meta32, cand64[0::2], L)
+            return meta_np, pos_np, (cmeta_np,
+                                     np.ascontiguousarray(cand64[1::2])), \
+                False
         meta_np, pos_np, cmeta_np = unpack_download(meta32, cand64, L)
         return meta_np, pos_np, cmeta_np, False
 
@@ -876,7 +932,7 @@ class MeshSeeder(DeviceSeeder):
         captot = CANDS_PER_READ * Bs
         step = _build_step(self.k, self.w, self.e, self.f0, self.f1,
                            self.min_num_seeds, self.num_refs,
-                           self.use_pallas)
+                           self.use_pallas, split=self.split)
 
         def shard_step(rw, lens, hash_keys, offcnt, occurrences,
                        ref_words, ref_nwords, ref_lens, ref_offsets):
@@ -935,6 +991,7 @@ class MeshSeeder(DeviceSeeder):
         n = self.n_dev
         Bs = B // n
         dlcap_s = (captot_s * DL_CANDS_PER_READ) // CANDS_PER_READ
+        upc = 4 if self.split else 2  # u32s per candidate
         rows = np.asarray(dl).reshape(n, -1)
         if rows[:, 1].any():
             return None, None, None, True
@@ -946,13 +1003,19 @@ class MeshSeeder(DeviceSeeder):
             t = int(totals[d])
             if t <= dlcap_s:
                 cand_parts.append(
-                    rows[d, 2 + Bs:2 + Bs + 2 * t].view(np.uint64))
+                    rows[d, 2 + Bs:2 + Bs + upc * t].view(np.uint64))
             else:
                 if full_np is None:
                     full_np = np.asarray(full).reshape(n, -1)
-                cand_parts.append(full_np[d, :2 * t].view(np.uint64))
+                cand_parts.append(full_np[d, :upc * t].view(np.uint64))
         cand64 = np.concatenate(cand_parts) if cand_parts else \
             np.empty(0, np.uint64)
+        if self.split:
+            meta_np, pos_np, cmeta_np = unpack_download(
+                meta32, cand64[0::2], L)
+            return meta_np, pos_np, (cmeta_np,
+                                     np.ascontiguousarray(cand64[1::2])), \
+                False
         meta_np, pos_np, cmeta_np = unpack_download(meta32, cand64, L)
         return meta_np, pos_np, cmeta_np, False
 
@@ -962,8 +1025,8 @@ _seeder_cache: dict = {}
 
 def get_device_seeder(index, ref_seqs, error_threshold: int,
                       min_num_seeds: int, max_seed_frequencies,
-                      cache_key=None, mesh_devices: int = 0
-                      ) -> "DeviceSeeder":
+                      cache_key=None, mesh_devices: int = 0,
+                      split: bool = False) -> "DeviceSeeder":
     """Process-wide DeviceSeeder cache.
 
     Uploading the index/reference to HBM costs ~0.25 s plus one h2d
@@ -983,14 +1046,16 @@ def get_device_seeder(index, ref_seqs, error_threshold: int,
         if mesh_devices > 1:
             return MeshSeeder(index, ref_seqs, error_threshold,
                               min_num_seeds, max_seed_frequencies,
-                              num_devices=mesh_devices)
+                              num_devices=mesh_devices, split=split)
         return DeviceSeeder(index, ref_seqs, error_threshold,
-                            min_num_seeds, max_seed_frequencies)
+                            min_num_seeds, max_seed_frequencies,
+                            split=split)
 
     if cache_key is None:
         return build()
     key = (cache_key, int(error_threshold), int(min_num_seeds),
-           tuple(int(f) for f in max_seed_frequencies), mesh_devices)
+           tuple(int(f) for f in max_seed_frequencies), mesh_devices,
+           split)
     seeder = _seeder_cache.get(key)
     if seeder is None:
         seeder = build()

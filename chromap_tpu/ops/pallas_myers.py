@@ -215,6 +215,87 @@ def myers_jnp(patterns_T: jax.Array, texts_T: jax.Array, e: int,
     return min_err, end_pos
 
 
+@functools.partial(jax.jit, static_argnames=("e", "read_length"))
+def myers_dropoff_jnp(patterns_T: jax.Array, texts_T: jax.Array, e: int,
+                      read_length: int
+                      ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Batched drop-off Myers (the split-alignment kernel,
+    alignment.cc:197-283 / engine.cpp BandedAlignDropoffT): scan stops --
+    per lane, by masking -- at the first step whose band-bottom error
+    exceeds 2e, restoring the previous step's state. Returns
+    (min_errors, end_position, read_mapping_length) with end_position
+    NEGATED when the alignment failed early or maps under 30 bases
+    (read_length > 60), exactly like the scalar kernel.
+
+    The 3'-end variant is this kernel over reversed operands: Dropoff3End
+    (pattern, text, L) == Dropoff(reverse(pattern), reverse(text), L),
+    and both gap retries are the same kernel over operands shifted by the
+    gap -- callers slice; no second code path.
+
+    patterns_T: (L+2e, N) int32 codes; texts_T: (L, N)."""
+    L = read_length
+    n = patterns_T.shape[1]
+    highest = jnp.int32(1 << (2 * e))
+    zeros = jnp.zeros((n,), jnp.int32)
+
+    def set_highest(peq, row):
+        return [jnp.where(row == c, peq[c] | highest, peq[c])
+                for c in range(5)]
+
+    peq = [zeros] * 5
+    for i in range(2 * e):
+        peq = set_highest(peq, patterns_T[i])
+        peq = [p >> 1 for p in peq]
+
+    def step(carry, xs):
+        (vp, vn, num_err, active, stop_i, fail,
+         p0, p1, p2, p3, p4) = carry
+        prow, trow, i = xs
+        peq = set_highest([p0, p1, p2, p3, p4], prow)
+        x = jnp.where(trow == 0, peq[0],
+            jnp.where(trow == 1, peq[1],
+            jnp.where(trow == 2, peq[2],
+            jnp.where(trow == 3, peq[3], peq[4]))))
+        x = x | vn
+        d0 = ((vp + (x & vp)) ^ vp) | x
+        hn = vp & d0
+        hp = vn | ~(vp | d0)
+        x2 = (d0 >> 1) & _M31
+        vp_new = hn | ~(x2 | hp)
+        vn_new = x2 & hp
+        num_new = num_err + 1 - (d0 & 1)
+        violate = active & (num_new > 2 * e)
+        keep = active & ~violate
+        # violating lanes freeze at the PREVIOUS step's state
+        vp = jnp.where(keep, vp_new, vp)
+        vn = jnp.where(keep, vn_new, vn)
+        num_err = jnp.where(keep, num_new, num_err)
+        stop_i = jnp.where(violate, i, stop_i)
+        fail = fail | (violate & (i < 4 * e) & (i < L // 2))
+        peq = [(p >> 1) & _M31 for p in peq]
+        return ((vp, vn, num_err, keep, stop_i, fail) + tuple(peq)), None
+
+    init = (zeros, zeros, zeros, jnp.ones((n,), bool),
+            jnp.full((n,), L, jnp.int32), jnp.zeros((n,), bool)) + tuple(peq)
+    (vp, vn, num_err, _, stop_i, fail, *_), _ = jax.lax.scan(
+        step, init,
+        (patterns_T[2 * e:2 * e + L], texts_T[:L],
+         jnp.arange(L, dtype=jnp.int32)))
+
+    band_start = stop_i - 1
+    rml = stop_i
+    min_err = num_err
+    end_pos = band_start
+    for j in range(2 * e):
+        num_err = num_err + ((vp >> j) & 1) - ((vn >> j) & 1)
+        better = (num_err < min_err) | ((num_err == min_err) & (j + 1 == e))
+        end_pos = jnp.where(better, band_start + 1 + j, end_pos)
+        min_err = jnp.minimum(min_err, num_err)
+    neg = fail | ((L > 60) & (end_pos + 1 - e - min_err < 30))
+    end_pos = jnp.where(neg, -end_pos, end_pos)
+    return min_err, end_pos, rml
+
+
 def banded_distance_batch_numpy(patterns: np.ndarray, texts: np.ndarray,
                                 e: int) -> Tuple[np.ndarray, np.ndarray]:
     """Vectorized numpy implementation (uint32 exact) for testing and CPU

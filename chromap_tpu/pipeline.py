@@ -470,14 +470,15 @@ class MappingPipeline:
             # sorted shards and k-way merges them at output
             self._map_paired_end_full_native(native_engine)
             return
-        if cfg.use_device and (native_engine is None or cfg.split_alignment
+        if cfg.use_device and (native_engine is None
                                or cfg.custom_rid_order_file_path):
-            # split (drop-off) alignment and custom chromosome order are
-            # not device-seeded yet; make the routing visible instead of
-            # silently ignoring the flag
-            log("WARNING: --device does not cover split alignment, custom "
-                "chromosome order, or non-native engines; this run maps "
-                "on the host engine.")
+            # custom chromosome order reorders the reference list, so
+            # device candidates (index-space rids) would gather the wrong
+            # sequences; make the routing visible instead of silently
+            # ignoring the flag
+            log("WARNING: --device does not cover custom chromosome "
+                "order or non-native engines; this run maps on the host "
+                "engine.")
 
         batch_mapper = None
         if native_engine is None and cfg.batch_engine_eligible(paired=True):
@@ -933,7 +934,8 @@ class MappingPipeline:
                     self.index, self.ref_seqs, cfg.error_threshold,
                     cfg.min_num_seeds_required_for_mapping,
                     cfg.max_seed_frequencies, cache_key=tuple(key),
-                    mesh_devices=cfg.mesh_devices)
+                    mesh_devices=cfg.mesh_devices,
+                    split=cfg.split_alignment)
             except Exception as exc:
                 log(f"Device seeding unavailable ({exc}); CPU only.")
                 self._device_seeder = False
@@ -1136,7 +1138,7 @@ class MappingPipeline:
         cfg = self.cfg
         n = len(reads1)
         C = min(cfg.device_batch_size, cfg.read_batch_size)
-        use_dev = (cfg.use_device and not cfg.split_alignment and n > C
+        use_dev = (cfg.use_device and n > C
                    and self._get_seeder() is not None)
         if not use_dev:
             if full:

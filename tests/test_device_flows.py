@@ -45,6 +45,9 @@ CASES = [
     ("sim_trim.paf", ["--trim-adapters", "--PAF"]),
     # SAM: extended finish + per-chunk CIGAR/NM/MD stream merge
     ("sim_pe.sam", ["--SAM"]),
+    # Hi-C: split (drop-off) alignment on the device (the drop-off
+    # kernels + 5'-gap retry run per candidate on the chip)
+    ("sim_hic.pairs", ["--preset", "hic"]),
 ]
 
 
