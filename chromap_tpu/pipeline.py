@@ -1278,6 +1278,106 @@ class MappingPipeline:
             info.aux = self._merge_sam_aux(auxes)
         return out, stats_sum, info
 
+    def _map_single_hybrid(self, engine, r_bytes, r_off: np.ndarray,
+                           n: int, base_read_id: int, threshold: int,
+                           sam: bool = False):
+        """map_single_raw with the last chunk of every group device-seeded
+        (same scheduler as _map_pairs_hybrid; single-end selection uses a
+        fresh per-read RNG, so chunk order only matters for output
+        assembly). Returns (out, stats[, aux])."""
+        import ctypes as _ct
+
+        cfg = self.cfg
+        C = min(2 * cfg.device_batch_size, cfg.read_batch_size)
+        use_dev = (cfg.use_device and n > C and not cfg.split_alignment
+                   and self._get_seeder() is not None)
+        off_base = _ct.c_void_p(r_off.ctypes.data)
+        if not use_dev:
+            out, stats = engine.map_single_raw(r_bytes, off_base, n,
+                                               base_read_id, threshold)
+            if not sam:
+                return out, stats
+            return out, stats, engine.get_sam_aux()
+
+        bounds = [(s, min(s + C, n)) for s in range(0, n, C)]
+        nb = len(bounds)
+        outs = [None] * nb
+        auxes = [None] * nb if sam else None
+        stats_sum = np.zeros(5, dtype=np.int64)
+
+        def off_ptr(s):
+            return _ct.c_void_p(r_off.ctypes.data + 8 * s)
+
+        def run_cpu(ci):
+            s, e = bounds[ci]
+            thr = max(0, min(threshold - s, e - s))
+            out, st = engine.map_single_raw(r_bytes, off_ptr(s), e - s,
+                                            base_read_id + s, thr)
+            outs[ci] = out
+            stats_sum[:] += st
+            if auxes is not None:
+                auxes[ci] = engine.get_sam_aux()
+
+        def submit_dev(ci):
+            s, e = bounds[ci]
+            nn = e - s
+            L = int(r_off[s + 1] - r_off[s])
+            if not (30 <= L <= 230):
+                return None
+            W = (L + 15) // 16 + (L + 31) // 32
+            need = C * W
+            buf = getattr(self, "_dev_pack_buf", None)
+            if buf is None or buf.size < need:
+                buf = np.zeros(need, dtype=np.uint32)
+                self._dev_pack_buf = buf
+            rc = engine.lib.cn_pack_reads_se(
+                r_bytes, off_ptr(s), nn, L,
+                buf.ctypes.data_as(_ct.c_void_p))
+            if rc != 0:
+                return None
+            buf2d = buf[:need].reshape(C, W)
+            if nn < C:
+                buf2d[nn:] = 0xFFFFFFFF
+            handle = self._device_seeder.submit_packed(buf2d, C, L)
+            fut = self._dev_executor().submit(self._device_seeder.resolve,
+                                              handle)
+            return (fut, ci)
+
+        def finish_dev(pend):
+            fut, ci = pend
+            meta, cp, cm, overflow = fut.result()
+            if overflow:
+                run_cpu(ci)
+                return
+            s, e = bounds[ci]
+            out, st = engine.map_single_dev_seeded(
+                r_bytes, off_ptr(s), e - s, base_read_id + s, meta, cp, cm)
+            outs[ci] = out
+            stats_sum[:] += st
+            if auxes is not None:
+                auxes[ci] = engine.get_sam_aux()
+
+        G = max(2, cfg.device_hybrid_period)
+        pend = None
+        gi = 0
+        while gi < nb:
+            group = list(range(gi, min(gi + G, nb)))
+            newpend = submit_dev(group[-1]) if len(group) >= 2 else None
+            if pend is not None:
+                finish_dev(pend)
+            for ci in group[:-1] if newpend is not None else group:
+                run_cpu(ci)
+            pend = newpend
+            gi += len(group)
+        if pend is not None:
+            finish_dev(pend)
+
+        out = {key: np.concatenate([o[key] for o in outs])
+               for key in outs[0]}
+        if not sam:
+            return out, stats_sum
+        return out, stats_sum, self._merge_sam_aux(auxes)
+
     def _dev_executor(self):
         ex = getattr(self, "_dev_executor_obj", None)
         if ex is None:
@@ -1782,9 +1882,8 @@ class MappingPipeline:
         r_bytes = b"".join(reads)
         r_off = np.zeros(n + 1, dtype=np.int64)
         np.cumsum([len(r) for r in reads], out=r_off[1:])
-        import ctypes as _ct
-        out, stats = engine.map_single_raw(
-            r_bytes, r_off.ctypes.data_as(_ct.c_void_p), n, 0, threshold)
+        out, stats = self._map_single_hybrid(engine, r_bytes, r_off, n, 0,
+                                             threshold)
         rid_a = out["rid"]
         for i in range(len(rid_a)):
             rec = SEBedRecord(
@@ -1833,8 +1932,8 @@ class MappingPipeline:
         r_bytes = b"".join(reads)
         r_off = np.zeros(n + 1, dtype=np.int64)
         np.cumsum([len(r) for r in reads], out=r_off[1:])
-        out, stats = engine.map_single_raw(
-            r_bytes, r_off.ctypes.data_as(_ct.c_void_p), n, 0, threshold)
+        out, stats = self._map_single_hybrid(engine, r_bytes, r_off, n, 0,
+                                             threshold)
         rid_a = out["rid"]
         for i in range(len(rid_a)):
             j = int(out["read_id"][i])
@@ -1896,15 +1995,19 @@ class MappingPipeline:
         r_bytes = b"".join(reads)
         r_off = np.zeros(n + 1, dtype=np.int64)
         np.cumsum([len(r) for r in reads], out=r_off[1:])
-        out, stats = engine.map_single_raw(
-            r_bytes, r_off.ctypes.data_as(_ct.c_void_p), n, base_read_id,
-            threshold)
+        if sam:
+            out, stats, aux = self._map_single_hybrid(
+                engine, r_bytes, r_off, n, base_read_id, threshold,
+                sam=True)
+        else:
+            out, stats = self._map_single_hybrid(
+                engine, r_bytes, r_off, n, base_read_id, threshold)
+            aux = None
         if self.summary is not None and batch_bc is None \
                 and cfg.is_bulk_data:
             from .summary import CACHEHIT, TOTAL
             self.summary.update_count(0, TOTAL, n)
             self.summary.update_count(0, CACHEHIT, int(stats[4]))
-        aux = engine.get_sam_aux() if sam else None
         rid_a = out["rid"]
         prev_read_id = None
         occurrence = 0

@@ -109,3 +109,28 @@ def test_mesh_cli_parity(sim_data, golden_dir, tmp_path):
         outs[n] = out.read_bytes()
     assert outs[8] == outs[1]
     assert outs[8] == (golden_dir / "sim_default.bed").read_bytes()
+
+
+SE_CASES = [
+    # single-end barcoded fragments (cell dedup) and SAM (per-chunk
+    # CIGAR/NM/MD merge) through the single-end device hybrid
+    ("sim_se_barcode.bed", ["--remove-pcr-duplicates"]),
+    ("sim_se_bc.sam", ["--SAM"]),
+]
+
+
+@pytest.mark.parametrize("golden,extra", SE_CASES,
+                         ids=[c[0] for c in SE_CASES])
+def test_device_se_flow_parity(golden, extra, sim_data, golden_dir,
+                               tmp_path):
+    d = sim_data
+    out = tmp_path / f"sedev_{golden}"
+    args = [sys.executable, "-m", "chromap_tpu.cli",
+            "-x", f"{d}/index", "-r", f"{d}/ref.fa",
+            "-1", f"{d}/r1.fq", "-b", f"{d}/bc.fq",
+            "--barcode-whitelist", f"{d}/whitelist.txt",
+            "-o", str(out)] + extra + DEVICE_ARGS
+    result = subprocess.run(args, capture_output=True, text=True)
+    assert result.returncode == 0, result.stderr
+    assert out.read_bytes() == (golden_dir / golden).read_bytes(), \
+        f"{golden} differs under --device"
