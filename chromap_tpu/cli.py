@@ -349,7 +349,9 @@ def parse_args_and_run(argv: Optional[List[str]] = None) -> int:
     if args.output_mappings_not_in_whitelist:
         cfg.output_mappings_not_in_whitelist = True
     cfg.use_device = args.device
-    if args.device_batch_size:
+    if args.device_batch_size is not None:
+        if args.device_batch_size <= 0:
+            p.error("--device-batch-size must be positive")
         cfg.device_batch_size = args.device_batch_size
     cfg.mesh_devices = args.mesh_devices
     cfg.engine = args.engine

@@ -31,7 +31,11 @@ def banded_align(error_threshold: int, pattern: bytes, text: bytes,
     relative to the pattern start. Returns e+1 errors when dropped.
     """
     e = error_threshold
-    mask = U32 if e < 16 else U64
+    # word width follows the band: u32 for e < 16 (reference semantics),
+    # u64 for e < 32 (matches the native 64-bit-band kernels), and a
+    # wide-enough Python integer beyond (the Myers recurrences are
+    # word-size-agnostic as long as the word holds 2e+1 band bits)
+    mask = U32 if e < 16 else (U64 if e < 32 else (1 << (2 * e + 2)) - 1)
     peq = [0, 0, 0, 0, 0]
     for i in range(2 * e):
         peq[_code(pattern[i])] |= 1 << i
@@ -72,7 +76,11 @@ def banded_align_dropoff(error_threshold: int, pattern: bytes, text: bytes,
     mapping_end_position is negated when the alignment failed early.
     """
     e = error_threshold
-    mask = U32 if e < 16 else U64
+    # word width follows the band: u32 for e < 16 (reference semantics),
+    # u64 for e < 32 (matches the native 64-bit-band kernels), and a
+    # wide-enough Python integer beyond (the Myers recurrences are
+    # word-size-agnostic as long as the word holds 2e+1 band bits)
+    mask = U32 if e < 16 else (U64 if e < 32 else (1 << (2 * e + 2)) - 1)
     peq = [0, 0, 0, 0, 0]
     for i in range(2 * e):
         peq[_code(pattern[i])] |= 1 << i
@@ -129,7 +137,11 @@ def banded_align_dropoff_3end(error_threshold: int, pattern: bytes, text: bytes,
                               read_length: int) -> Tuple[int, int, int]:
     """Drop-off variant scanning from the 3' end (alignment.cc:285-376)."""
     e = error_threshold
-    mask = U32 if e < 16 else U64
+    # word width follows the band: u32 for e < 16 (reference semantics),
+    # u64 for e < 32 (matches the native 64-bit-band kernels), and a
+    # wide-enough Python integer beyond (the Myers recurrences are
+    # word-size-agnostic as long as the word holds 2e+1 band bits)
+    mask = U32 if e < 16 else (U64 if e < 32 else (1 << (2 * e + 2)) - 1)
     peq = [0, 0, 0, 0, 0]
     for i in range(2 * e):
         peq[_code(pattern[read_length + 2 * e - 1 - i])] |= 1 << i
@@ -190,7 +202,11 @@ def banded_traceback(error_threshold: int, min_num_errors: int, pattern: bytes,
     Hamming fast path uses raw byte equality, as in the reference.
     """
     e = error_threshold
-    mask = U32 if e < 16 else U64
+    # word width follows the band: u32 for e < 16 (reference semantics),
+    # u64 for e < 32 (matches the native 64-bit-band kernels), and a
+    # wide-enough Python integer beyond (the Myers recurrences are
+    # word-size-agnostic as long as the word holds 2e+1 band bits)
+    mask = U32 if e < 16 else (U64 if e < 32 else (1 << (2 * e + 2)) - 1)
     if min_num_errors == 0:
         return e
     error_count = 0

@@ -330,7 +330,6 @@ def _cummax1d(x):
         return lax.cummax(x)
     rows = -(-n // width)
     pad = rows * width - n
-    fill = x.dtype.type(np.iinfo(x.dtype).min) if hasattr(x, "dtype") else 0
     x2 = jnp.concatenate(
         [x, jnp.full((pad,), jnp.iinfo(x.dtype).min, x.dtype)]).reshape(
             rows, width)

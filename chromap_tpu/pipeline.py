@@ -1053,10 +1053,7 @@ class MappingPipeline:
         chunk = max(n1, min(cfg.device_batch_size, cfg.read_batch_size))
         W = (L + 15) // 16 + (L + 31) // 32
         need = 2 * chunk * W
-        buf = getattr(self, "_dev_pack_buf", None)
-        if buf is None or buf.size < need:
-            buf = np.zeros(need, dtype=np.uint32)
-            self._dev_pack_buf = buf
+        buf = self._next_pack_buf(need)
         r1p = _ct.cast(slot[0].ctypes.data, _ct.c_char_p)
         r2p = _ct.cast(slot[2].ctypes.data, _ct.c_char_p)
         o1p = slot[1].ctypes.data_as(_ct.c_void_p)
@@ -1112,13 +1109,12 @@ class MappingPipeline:
         md_off = [np.zeros(1, dtype=np.int64)]
         cbase = 0
         mbase = 0
-        md = b""
         for a in auxes:
             cig_off.append(a[1][1:] + cbase)
             cbase += int(a[1][-1])
             md_off.append(a[3][1:] + mbase)
             mbase += int(a[3][-1])
-            md += a[2]
+        md = b"".join(a[2] for a in auxes)
         return (np.concatenate(cig) if cig else np.empty(0, np.uint32),
                 np.concatenate(cig_off), md, np.concatenate(md_off),
                 np.concatenate(nm) if nm else np.empty(0, np.uint16))
@@ -1129,7 +1125,9 @@ class MappingPipeline:
         """map_pairs / map_pairs_full with device-eligible chunks routed
         through the TPU seeder (records flows: barcoded, low-mem,
         summary, PAF/SAM/pairs). The group scheduler keeps selections in
-        batch order, so the output equals the host-only call's.
+        batch order, so the mapping records equal the host-only call's
+        (device chunks skip the host candidate cache, so only cache-hit
+        counters can differ on cache-active data; see ARCHITECTURE.md).
 
         Returns (out, stats) -- plus a _HybridInfo when want_info (per-
         pair cache-hit flags, trimmed lengths, merged SAM aux)."""
@@ -1212,10 +1210,7 @@ class MappingPipeline:
                 return None
             W = (L + 15) // 16 + (L + 31) // 32
             need = 2 * C * W
-            buf = getattr(self, "_dev_pack_buf", None)
-            if buf is None or buf.size < need:
-                buf = np.zeros(need, dtype=np.uint32)
-                self._dev_pack_buf = buf
+            buf = self._next_pack_buf(need)
             rc = engine.lib.cn_pack_reads(
                 r1_bytes, off_ptr(o1, s), r2_bytes, off_ptr(o2, s), nn, L,
                 buf.ctypes.data_as(_ct.c_void_p))
@@ -1326,10 +1321,7 @@ class MappingPipeline:
                 return None
             W = (L + 15) // 16 + (L + 31) // 32
             need = C * W
-            buf = getattr(self, "_dev_pack_buf", None)
-            if buf is None or buf.size < need:
-                buf = np.zeros(need, dtype=np.uint32)
-                self._dev_pack_buf = buf
+            buf = self._next_pack_buf(need)
             rc = engine.lib.cn_pack_reads_se(
                 r_bytes, off_ptr(s), nn, L,
                 buf.ctypes.data_as(_ct.c_void_p))
@@ -1385,6 +1377,24 @@ class MappingPipeline:
             ex = ThreadPoolExecutor(max_workers=1)
             self._dev_executor_obj = ex
         return ex
+
+    def _next_pack_buf(self, need: int) -> np.ndarray:
+        """Rotating pack buffers: the scheduler submits group k+1's device
+        chunk BEFORE finishing group k's, so the buffer fed to the
+        previous jnp.asarray may still be in flight (h2d transfer on TPU;
+        possibly zero-copy aliased on the CPU backend). Two buffers cover
+        the one-in-flight pipeline depth."""
+        bufs = getattr(self, "_dev_pack_bufs", None)
+        if bufs is None:
+            bufs = [None, None]
+            self._dev_pack_bufs = bufs
+            self._dev_pack_idx = 0
+        self._dev_pack_idx ^= 1
+        buf = bufs[self._dev_pack_idx]
+        if buf is None or buf.size < need:
+            buf = np.zeros(need, dtype=np.uint32)
+            bufs[self._dev_pack_idx] = buf
+        return buf
 
     def _map_batch_native(self, engine, batch1, batch2, threshold,
                           emit) -> None:
@@ -1838,10 +1848,7 @@ class MappingPipeline:
         chunk = max(n1, min(2 * cfg.device_batch_size, cfg.read_batch_size))
         W = (L + 15) // 16 + (L + 31) // 32
         need = chunk * W
-        buf = getattr(self, "_dev_pack_buf", None)
-        if buf is None or buf.size < need:
-            buf = np.zeros(need, dtype=np.uint32)
-            self._dev_pack_buf = buf
+        buf = self._next_pack_buf(need)
         rc = engine.lib.cn_pack_reads_se(b1, o1, n1, L,
                                          buf.ctypes.data_as(_ct.c_void_p))
         if rc != 0:

@@ -92,3 +92,35 @@ def test_minimizer_coverage_windows():
     # windows of w consecutive kmers: end positions [p-w+1, p]
     for p in range(k - 1 + w - 1, n):
         assert any(p - w + 1 <= q <= p for q in positions), f"window at {p}"
+
+
+def test_banded_align_very_wide_band():
+    """e >= 32: the Python kernels widen past 64 bits (arbitrary-precision
+    word); verify against brute-force semi-global DP."""
+    import numpy as np
+    from chromap_tpu.mapping.verify import banded_align
+
+    rng = np.random.default_rng(5)
+    e, L = 35, 120
+    CH = b"ACGT"
+    for _ in range(20):
+        pat = rng.integers(0, 4, L + 2 * e)
+        txt = pat[e:e + L].copy()
+        for _ in range(rng.integers(0, 12)):
+            txt[rng.integers(0, L)] = rng.integers(0, 4)
+        p = bytes(CH[c] for c in pat)
+        t = bytes(CH[c] for c in txt)
+        ne, _ = banded_align(e, p, t, L)
+        # brute-force semi-global edit distance (text fully consumed,
+        # pattern suffix free)
+        D = np.zeros((L + 1, len(p) + 1), dtype=int)
+        D[:, 0] = np.arange(L + 1)
+        for i in range(1, L + 1):
+            for j in range(1, len(p) + 1):
+                D[i, j] = min(D[i - 1, j] + 1, D[i, j - 1] + 1,
+                              D[i - 1, j - 1] + (t[i - 1] != p[j - 1]))
+        true_d = int(D[L].min())
+        if true_d <= e:
+            assert ne == true_d
+        else:
+            assert ne > e
