@@ -134,3 +134,44 @@ def test_device_se_flow_parity(golden, extra, sim_data, golden_dir,
     assert result.returncode == 0, result.stderr
     assert out.read_bytes() == (golden_dir / golden).read_bytes(), \
         f"{golden} differs under --device"
+
+
+def test_device_parity_cache_active(sim_data, tmp_path):
+    """Duplicate-heavy input activates the candidate cache (slots need
+    >= 10 same-sketch updates + weight voting). Device chunks skip the
+    cache, so hit COUNTERS may differ from a host run -- but mapping
+    records must not: a cache hit returns exactly the candidates a fresh
+    generation would (entry match requires the identical minimizer
+    chain). This pins that equivalence on cache-active data, where the
+    golden-based tests never exercise it."""
+    d = sim_data
+    # amplify duplicates: repeat a 200-pair subset 30x
+    import itertools
+    def amplify(src, dst):
+        with open(src) as f:
+            lines = f.read().splitlines()
+        recs = [lines[i:i + 4] for i in range(0, min(len(lines), 800), 4)]
+        with open(dst, "w") as f:
+            n = 0
+            for rep in range(30):
+                for r in recs:
+                    f.write(f"@dup{n}\n{r[1]}\n+\n{r[3]}\n")
+                    n += 1
+    amplify(f"{d}/r1.fq", tmp_path / "dup1.fq")
+    amplify(f"{d}/r2.fq", tmp_path / "dup2.fq")
+    outs = {}
+    for tag, extra in (("host", []), ("dev", DEVICE_ARGS)):
+        out = tmp_path / f"cache_{tag}.bed"
+        # small batches so updates from earlier batches hit in later ones
+        # (verified: ~4000 cache hits on this input at batch size 1000)
+        args = [sys.executable, "-m", "chromap_tpu.cli",
+                "--read-batch-size", "1000",
+                "-x", f"{d}/index", "-r", f"{d}/ref.fa",
+                "-1", str(tmp_path / "dup1.fq"),
+                "-2", str(tmp_path / "dup2.fq"),
+                "-o", str(out)] + extra
+        result = subprocess.run(args, capture_output=True, text=True)
+        assert result.returncode == 0, result.stderr
+        outs[tag] = out.read_bytes()
+    assert outs["dev"] == outs["host"]
+    assert outs["host"], "no mappings produced"
