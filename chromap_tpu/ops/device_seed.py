@@ -304,6 +304,20 @@ def _unpack_codes(packed, nmask, B: int, L: int):
     return jnp.where(nbit == 1, np.uint8(4), code2.astype(jnp.uint8))
 
 
+def _unpack_codes_T(packed, nmask, B: int, L: int):
+    """Transposed unpack: (B, W)/(B, WN) u32 words -> (L, B) int32 codes
+    with 4 at N positions (the position-major layout the Pallas dense
+    kernel consumes; row shifts are per-row constants)."""
+    cols = np.arange(L)
+    words = jnp.repeat(packed.T, 16, axis=0)[:L]
+    shifts = (2 * (cols % 16)).astype(np.uint32)[:, None]
+    code2 = ((words >> shifts) & U32(3)).astype(jnp.int32)
+    nwords = jnp.repeat(nmask.T, 32, axis=0)[:L]
+    nshift = (cols % 32).astype(np.uint32)[:, None]
+    nbit = (nwords >> nshift) & U32(1)
+    return jnp.where(nbit == 1, np.int32(4), code2)
+
+
 def _cumsum1d(x):
     """Inclusive cumsum of a long 1-D vector via a (rows, 2048) tile:
     row-wise scans ride the lane axis where XLA's flat long-vector scan
@@ -402,36 +416,88 @@ def _gather_ref_windows(ref_words, ref_nwords, pstart, span: int,
     return jnp.where(nbit == 1, np.int32(4), code2)
 
 
+def _stage_out(*arrs):
+    """Profiling checkpoint: a cheap reduction over a stage's live outputs
+    (keeps XLA from dead-code-eliminating the truncated program). Only
+    tools/device_stage_profile.py builds steps with `stop` set."""
+    vals = [jnp.asarray(a).astype(jnp.uint64).sum() for a in arrs]
+    return jnp.stack(vals), jnp.zeros((1,), jnp.uint32)
+
+
 def _build_step(k: int, w: int, e: int, f0: int, f1: int, min_seeds: int,
-                num_refs: int, use_pallas: bool, split: bool = False):
+                num_refs: int, use_pallas: bool, split: bool = False,
+                stop: str | None = None, dense_pallas: bool = False):
     """Returns the jittable batch step; index/reference arrays are
     arguments so compiled executables are reusable (and cacheable on disk)
-    across processes."""
+    across processes. `stop` truncates after the named stage (profiling
+    only; see _stage_out). `dense_pallas` routes the minimizer front end
+    through the fused VMEM kernel (ops/pallas_dense; TPU backends only)."""
 
     def step(rw, lengths, hash_keys, offcnt, occurrences,
              ref_words, ref_nwords, ref_lens, ref_offsets,
              L: int, B: int, Mtot: int, Htot: int, captot: int):
         # ---- unpack + minimizers (dense (B, L) elementwise) -------------
         # rw: one row per read, W 2-bit-code words then WN N-bitmap words
+        assert B <= (1 << 14), "packed expansion meta carries 14 row bits"
         W = (L + 15) // 16
         packed = rw[:, :W]
         nmask = rw[:, W:]
         codes = _unpack_codes(packed, nmask, B, L)
-        h, strand, symmetric, run = _kmer_stage(codes, k)
-        emit, tie = _emission_stage(h, run, lengths, k, w)
-        mm_count = emit.sum(axis=1).astype(jnp.int32)
-        bad_mz = (tie | symmetric).any(axis=1) | (lengths != L)
+        if stop == "unpack":
+            return _stage_out(codes)
+        use_dense = dense_pallas and (B % 1024 == 0) and 2 * k > 32
+        if use_dense:
+            from .pallas_dense import dense_minimizer_device
+            codes_T = _unpack_codes_T(packed, nmask, B, L)
+            len_row = lengths.astype(jnp.int32).reshape(1, B)
+            d_hlo, d_hhi, emit_T, mm_row, bad_row = dense_minimizer_device(
+                codes_T, len_row, k, w, L)
+            if stop == "kmer":
+                return _stage_out(d_hlo, d_hhi)
+            emit = emit_T.T != 0
+            mm_count = mm_row[0]
+            bad_mz = (bad_row[0] != 0) | (lengths != L)
+        else:
+            h, strand, symmetric, run = _kmer_stage(codes, k)
+            if stop == "kmer":
+                return _stage_out(h, strand, run)
+            emit, tie = _emission_stage(h, run, lengths, k, w)
+            mm_count = emit.sum(axis=1).astype(jnp.int32)
+            bad_mz = (tie | symmetric).any(axis=1) | (lengths != L)
+        if stop == "emission":
+            return _stage_out(emit, mm_count, bad_mz)
 
         # ---- flat minimizer compaction ----------------------------------
         fsrc, total_mz = _flat_compact(emit, Mtot)     # (Mtot,), i32
         mz_valid = jnp.arange(Mtot, dtype=jnp.int32) < total_mz
-        mz_h = jnp.where(mz_valid, h.reshape(-1)[fsrc], UMAX64)
+        if use_dense:
+            # hash planes are position-major (L, B) i32 pairs with the
+            # strand bit at hhi bit 31; two u32 gathers via the transposed
+            # flat index
+            tsrc = (fsrc % L) * U32(B) + (fsrc // L)
+            glo = d_hlo.reshape(-1)[tsrc].astype(jnp.uint32)
+            ghi = d_hhi.reshape(-1)[tsrc].astype(jnp.uint32)
+            mz_h = jnp.where(
+                mz_valid,
+                glo.astype(jnp.uint64)
+                | ((ghi & U32(0x7FFFFFFF)).astype(jnp.uint64) << U64(32)),
+                UMAX64)
+            mz_strand = ghi >> U32(31)
+        else:
+            # strand rides the hash plane's free top bit (hashes are
+            # 2k <= 56 bits) so compaction pays ONE (B*L)-indexed gather,
+            # not two
+            hs_plane = h | (strand.astype(jnp.uint64) << U64(63))
+            ghs = hs_plane.reshape(-1)[fsrc]
+            mz_h = jnp.where(mz_valid, ghs & U64((1 << 63) - 1), UMAX64)
+            mz_strand = (ghs >> U64(63)).astype(jnp.uint32)
         mz_row = (fsrc // L).astype(jnp.int32)
         mz_pos = (fsrc % L).astype(jnp.uint32)
-        mz_strand = strand.reshape(-1)[fsrc]
         # one-gather expansion metadata: row<<9 | pos<<1 | strand
         mz_packmeta = ((fsrc // L) << U32(9)) | (mz_pos << U32(1)) \
-            | mz_strand.astype(jnp.uint32)
+            | mz_strand
+        if stop == "mzcompact":
+            return _stage_out(mz_h, mz_packmeta, total_mz)
 
         # ---- index probe ------------------------------------------------
         loc = jnp.searchsorted(hash_keys, mz_h, side="left", method="sort")
@@ -440,6 +506,8 @@ def _build_step(k: int, w: int, e: int, f0: int, f1: int, min_seeds: int,
         oc = offcnt[loc]
         off = (oc >> U64(12)).astype(jnp.int64)
         cnt = jnp.where(found, (oc & U64(0xFFF)).astype(jnp.int32), 0)
+        if stop == "probe":
+            return _stage_out(off, cnt, found)
 
         # round-1 frequency cap (candidate_processor.cc:24-32); the two
         # per-read aggregates ride one packed scatter-add (cnt sums stay
@@ -453,6 +521,8 @@ def _build_step(k: int, w: int, e: int, f0: int, f1: int, min_seeds: int,
         # frequency escalation -> exact host path
         round2 = (total_rd == 0) & ((agg >> 20) > 0)
         overflow_rd = total_rd > HCAP
+        if stop == "agg":
+            return _stage_out(total_rd, round2, overflow_rd)
 
         # ---- repetitive-seed stats (index.cc:507-523) -------------------
         # segmented scan-free form: for each repetitive minimizer, find the
@@ -478,6 +548,8 @@ def _build_step(k: int, w: int, e: int, f0: int, f1: int, min_seeds: int,
         rep_len = rep_agg & U32(0xFFFF)
         rep_count = (rep_agg >> U32(16)).astype(jnp.int32)
         num_required = jnp.clip(mm_count - rep_count, 1, min_seeds)
+        if stop == "repstats":
+            return _stage_out(rep_len, num_required)
 
         # ---- flat occurrence expansion (index.cc:237-349) ---------------
         hcum = _cumsum1d(cnt_eff)                      # inclusive, (Mtot,)
@@ -489,13 +561,19 @@ def _build_step(k: int, w: int, e: int, f0: int, f1: int, min_seeds: int,
         mi = jnp.minimum(mi, Mtot - 1)
         slots = jnp.arange(Htot, dtype=jnp.int32)
         slot_ok = slots < jnp.minimum(total_hits, Htot)
-        # per-minimizer occurrence base folded into one gathered value:
-        # occ index of hit slot s = (off - hbase)[mi] + s
-        occ_base = off - hbase.astype(jnp.int64)
-        occ_idx = occ_base[mi] + slots.astype(jnp.int64)
+        # per-minimizer occurrence base and expansion metadata folded into
+        # ONE gathered u64 (occ index of hit slot s = (off - hbase)[mi] + s;
+        # base biased by Htot to stay non-negative, < 2^33; meta is 23
+        # bits), halving the Mtot-indexed gather traffic
+        occ_base = off - hbase.astype(jnp.int64) + np.int64(Htot)
+        base_meta = (occ_base.astype(jnp.uint64)
+                     | (mz_packmeta.astype(jnp.uint64) << U64(33)))
+        bm_i = base_meta[mi]
+        occ_idx = ((bm_i & U64((1 << 33) - 1)).astype(jnp.int64)
+                   - np.int64(Htot) + slots.astype(jnp.int64))
         occ_idx = jnp.clip(occ_idx, 0, occurrences.shape[0] - 1)
         occ = occurrences[occ_idx]
-        meta_i = mz_packmeta[mi]
+        meta_i = (bm_i >> U64(33)).astype(jnp.uint32)
         hit_row = (meta_i >> U32(9)).astype(jnp.int32)
         read_pos = (meta_i >> U32(1)) & U32(0xFF)
         m_strand = meta_i & U32(1)
@@ -508,13 +586,32 @@ def _build_step(k: int, w: int, e: int, f0: int, f1: int, min_seeds: int,
         hit_hi = jnp.where(same, rid, rid | U32(1 << 31))
         hit_hi = jnp.where(slot_ok, hit_hi, UMAX32)
         hit_lo = jnp.where(slot_ok, start, UMAX32)
+        if stop == "expand":
+            return _stage_out(hit_hi, hit_lo, hit_row)
 
         # ---- per-read sort + scatter to the dense cluster tile ----------
-        key1 = (jnp.where(slot_ok, hit_row, B).astype(jnp.uint64)
-                << U64(32)) | hit_hi.astype(jnp.uint64)
-        skey, s_lo = lax.sort((key1, hit_lo), num_keys=2)
-        s_hi = (skey & U64(0xFFFFFFFF)).astype(jnp.uint32)
-        s_row = jnp.minimum((skey >> U64(32)).astype(jnp.int32), B - 1)
+        # single-key u64 sort: row(15) | strand(1) | rid(14) | start(32)
+        # packs the whole lexicographic (row, hit_hi, hit_lo) order into
+        # one word (rid < 2^14 is enforced at seeder init); ~2x cheaper
+        # than the former two-key sort
+        key1 = jnp.where(
+            slot_ok,
+            (hit_row.astype(jnp.uint64) << U64(47))
+            | ((hit_hi >> U32(31)).astype(jnp.uint64) << U64(46))
+            | ((hit_hi & U32(0x3FFF)).astype(jnp.uint64) << U64(32))
+            | hit_lo.astype(jnp.uint64),
+            UMAX64)
+        skey = lax.sort(key1)
+        srow_raw = (skey >> U64(47)).astype(jnp.int32)
+        inval = srow_raw >= B
+        s_lo = (skey & U64(0xFFFFFFFF)).astype(jnp.uint32)
+        s_hi = jnp.where(
+            inval, UMAX32,
+            (((skey >> U64(46)) & U64(1)).astype(jnp.uint32) << U32(31))
+            | ((skey >> U64(32)).astype(jnp.uint32) & U32(0x3FFF)))
+        s_row = jnp.minimum(srow_raw, B - 1)
+        if stop == "sort":
+            return _stage_out(s_hi, s_lo, s_row)
         # hits per read are contiguous after the stable flat sort; the
         # in-read rank is the slot index minus the read's first slot
         read_base = jnp.zeros((B,), jnp.int32).at[hit_row].add(
@@ -529,6 +626,8 @@ def _build_step(k: int, w: int, e: int, f0: int, f1: int, min_seeds: int,
             s_hi, mode="drop").reshape(B, HCAP)
         dense_lo = dense_lo.reshape(-1).at[flatd].set(
             s_lo, mode="drop").reshape(B, HCAP)
+        if stop == "scatter":
+            return _stage_out(dense_hi, dense_lo)
 
         # ---- cluster (exact sequential semantics) ------------------------
         cl_emit, cl_hi, cl_lo, cl_cnt = _cluster_scan(
@@ -549,6 +648,8 @@ def _build_step(k: int, w: int, e: int, f0: int, f1: int, min_seeds: int,
         supported = (cl_emit
                      & (cl_cnt.astype(jnp.uint32) >= half[:, None]))
         augment = ~supported.any(axis=1)
+        if stop == "cluster":
+            return _stage_out(cl_hi, cl_lo, n_pos, n_neg, augment)
 
         # ---- flat candidate compaction ----------------------------------
         csrc, total_cands = _flat_compact(
@@ -559,6 +660,8 @@ def _build_step(k: int, w: int, e: int, f0: int, f1: int, min_seeds: int,
         sc_lo = cl_lo.reshape(-1)[csrc]
         sc_cnt = cl_cnt.reshape(-1)[csrc]
         sc_row = (csrc // cl_w).astype(jnp.int32)
+        if stop == "candcompact":
+            return _stage_out(sc_hi, sc_lo, sc_cnt, sc_row)
 
         # ---- verification (alignment.cc:141-192 per candidate) ----------
         crid = sc_hi & U32(0x7FFFFFFF)
@@ -573,6 +676,8 @@ def _build_step(k: int, w: int, e: int, f0: int, f1: int, min_seeds: int,
         pstart = jnp.where(vvalid, ref_offsets[rid_c] + pos64 - e, 0)
         patterns = _gather_ref_windows(ref_words, ref_nwords, pstart,
                                        L + 2 * e, captot)
+        if stop == "gatherref":
+            return _stage_out(patterns)
 
         if split:
             # split (drop-off) verification (draft_mapping_generator.cc:
@@ -663,10 +768,10 @@ def _build_step(k: int, w: int, e: int, f0: int, f1: int, min_seeds: int,
 
 @functools.lru_cache(maxsize=8)
 def _jitted_step(k, w, e, f0, f1, min_seeds, num_refs, use_pallas,
-                 split=False):
+                 split=False, dense_pallas=False):
     return jax.jit(
         _build_step(k, w, e, f0, f1, min_seeds, num_refs, use_pallas,
-                    split=split),
+                    split=split, dense_pallas=dense_pallas),
         static_argnames=("L", "B", "Mtot", "Htot", "captot"))
 
 
@@ -760,6 +865,15 @@ class DeviceSeeder:
             # tracing this module needs
             use_pallas = False
         self.use_pallas = use_pallas
+        # the fused minimizer front end needs Mosaic (TPU backends only);
+        # CPU meshes and tests take the bit-identical jnp stages
+        try:
+            self.dense_pallas = (jax.default_backend() not in
+                                 ("cpu", "METAL"))
+        except Exception:
+            self.dense_pallas = False
+        if os.environ.get("CHROMAP_TPU_DENSE_PALLAS") == "0":
+            self.dense_pallas = False
         self.num_refs = len(ref_seqs)
         # packed-candidate format bounds: rid in 14 bits, occurrence counts
         # saturate at 12 bits (anything >= f1 behaves identically)
@@ -795,7 +909,8 @@ class DeviceSeeder:
         self._lengths_cache = {}
         self._step = _jitted_step(self.k, self.w, self.e, self.f0, self.f1,
                                   self.min_num_seeds, self.num_refs,
-                                  self.use_pallas, split=self.split)
+                                  self.use_pallas, split=self.split,
+                                  dense_pallas=self.dense_pallas)
         # the first device-to-host transfer of a process can stall for
         # minutes on relayed TPU links (connection establishment); warm the
         # channel in the background so the wait overlaps mapping work
@@ -931,7 +1046,8 @@ class MeshSeeder(DeviceSeeder):
         captot = CANDS_PER_READ * Bs
         step = _build_step(self.k, self.w, self.e, self.f0, self.f1,
                            self.min_num_seeds, self.num_refs,
-                           self.use_pallas, split=self.split)
+                           self.use_pallas, split=self.split,
+                           dense_pallas=self.dense_pallas)
 
         def shard_step(rw, lens, hash_keys, offcnt, occurrences,
                        ref_words, ref_nwords, ref_lens, ref_offsets):
