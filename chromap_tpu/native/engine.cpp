@@ -375,8 +375,19 @@ int CollectHits(const IndexView& idx, const std::vector<Minimizer>& mzs,
     uint64_t s0 = ((m.hash * 0x9E3779B97F4A7C15ull) >> 1) & idx.ht_mask;
     __builtin_prefetch(&idx.ht[s0]);
   }
-  for (const auto& m : mzs) {
-    auto oc = idx.Lookup(m.hash);
+  // Two-pass: probe every minimizer first so the occurrence-array cache
+  // misses of hit expansion overlap (random 8-byte touches into a
+  // genome-sized array are latency-bound; the table prefetch above only
+  // covers the probe itself).
+  static thread_local std::vector<std::pair<int64_t, uint32_t>> ocs;
+  ocs.resize(mzs.size());
+  for (size_t i = 0; i < mzs.size(); ++i) {
+    ocs[i] = idx.Lookup(mzs[i].hash);
+    if (ocs[i].second) __builtin_prefetch(&idx.occurrences[ocs[i].first]);
+  }
+  for (size_t mi = 0; mi < mzs.size(); ++mi) {
+    const auto& m = mzs[mi];
+    auto oc = ocs[mi];
     if (oc.second == 0) continue;
     uint32_t read_pos = (uint32_t)(m.hit >> 1);
     if (oc.second == 1) {
