@@ -2361,6 +2361,7 @@ struct PairScratch {
   int supplement_result = 0;
   uint8_t status = 0;  // 0 skip, 1 ok
   uint8_t cache_hit = 0;
+  uint8_t prep = 0;  // 0 skip, 1 host-seeded, 2 device-seeded
   int64_t n_cand = 0;
 };
 
@@ -2396,6 +2397,7 @@ struct CnContext {
   std::vector<char> read1, read2, neg1, neg2;
   PairScratch ps;                    // single-thread pair scratch
   std::vector<PairScratch> mt_work;  // per-pair states (threaded phase 1)
+  std::vector<PairScratch> win_work;  // window pool (plain-path phasing)
   std::vector<std::pair<HistEntry, HistEntry>> history;
 
   // SAM-mode per-record alignment outputs (cigar/NM/MD), end1 then end2
@@ -2492,23 +2494,23 @@ struct PhaseProf {
 };
 static PhaseProf g_prof;
 
-// Seed + verify one pair into `sc` (the parallel-safe first half of the
-// mapping loop; writes only sc, ctx->history[pi]/hist_valid[pi], and -- in
-// collect mode, single-threaded only -- ctx->wb_*). sc.status: 0 skipped,
-// 1 mapped state ready, 2 collected.
-static void SeedAndVerifyPair(
+// Seed one pair into `sc`: read copy, reverse complement, adapter trim,
+// and minimizer extraction (or device-seed load). Phase A of the pair
+// pipeline; sets sc.prep (0 skip, 1 host, 2 device). Split from the
+// candidate/verify phase so the plain single-thread path can run each
+// phase over a window of pairs back-to-back (warm code + data caches,
+// cross-pair miss overlap) without changing any per-pair ordering.
+static void SeedPairPrep(
     CnContext* ctx, int64_t pi, const char* r1_bytes,
     const int64_t* r1_offsets, const char* r2_bytes,
-    const int64_t* r2_offsets, int64_t cache_update_threshold,
-    uint8_t* hist_valid, const DevSeedView* dev, bool dev_pair,
+    const int64_t* r2_offsets, const DevSeedView* dev, bool dev_pair,
     uint64_t dmeta1, uint64_t dmeta2, int64_t dcur1, int64_t dcur2,
-    int collect_mode, ExtVerify* ext, PairScratch& sc,
-    std::pair<HistEntry, HistEntry>* history_arr = nullptr) {
+    PairScratch& sc) {
   const MappingParams& mp = ctx->mp;
   const IndexView& idx = ctx->idx;
-  const RefView& ref = ctx->ref;
   sc.status = 0;
   sc.cache_hit = 0;
+  sc.prep = 0;
   sc.n_cand = 0;
     int l1 = (int)(r1_offsets[pi + 1] - r1_offsets[pi]);
     int l2 = (int)(r2_offsets[pi + 1] - r2_offsets[pi]);
@@ -2558,6 +2560,7 @@ static void SeedAndVerifyPair(
       LoadDevSeed(*dev, dmeta1, dcur1, s1, &s1.num_minimizers);
       LoadDevSeed(*dev, dmeta2, dcur2, s2, &s2.num_minimizers);
       if (s1.num_minimizers == 0 || s2.num_minimizers == 0) return;
+      sc.prep = 2;
     } else {
       uint64_t t0 = g_prof.on ? PhaseProf::Now() : 0;
       GenerateMinimizers(sc.codes1.data(), l1, idx.k, idx.w,
@@ -2568,7 +2571,29 @@ static void SeedAndVerifyPair(
       s2.num_minimizers = (uint32_t)s2.minimizers.size();
       if (g_prof.on) g_prof.mz += PhaseProf::Now() - t0;
       if (s1.minimizers.empty() || s2.minimizers.empty()) return;
+      sc.prep = 1;
+    }
+}
 
+// Candidate generation + supplement/reduce + verification for one
+// prepped pair (phase B; consumes sc.prep). Cache queries, history
+// stores, collect-mode buffers and the ExtVerify cursor all advance in
+// pair order, exactly as before the phase split.
+static void SeedVerifyRest(
+    CnContext* ctx, int64_t pi, int64_t cache_update_threshold,
+    uint8_t* hist_valid, const DevSeedView* dev, int collect_mode,
+    ExtVerify* ext, PairScratch& sc,
+    std::pair<HistEntry, HistEntry>* history_arr = nullptr) {
+  const MappingParams& mp = ctx->mp;
+  const IndexView& idx = ctx->idx;
+  const RefView& ref = ctx->ref;
+  if (!sc.prep) return;
+  const bool dev_pair = sc.prep == 2;
+  SeedState& s1 = sc.s1;
+  SeedState& s2 = sc.s2;
+  const int l1 = sc.l1;
+  const int l2 = sc.l2;
+    if (!dev_pair) {
       uint64_t t1 = g_prof.on ? PhaseProf::Now() : 0;
       int q1 = ctx->cache.Query(s1.minimizers, l1, s1.positive_candidates,
                                 s1.negative_candidates,
@@ -2685,11 +2710,27 @@ static void SeedAndVerifyPair(
                 sc.vs2.negative_mappings.end(), by_pos);
     }
     if (g_prof.on) g_prof.verify += PhaseProf::Now() - t3;
-    sc.l1 = l1;
-    sc.l2 = l2;
     sc.supplement_result = supplement_result;
     sc.status = 1;
 
+}
+
+// Seed + verify one pair into `sc` (the parallel-safe first half of the
+// mapping loop; writes only sc, ctx->history[pi]/hist_valid[pi], and -- in
+// collect mode, single-threaded only -- ctx->wb_*). sc.status: 0 skipped,
+// 1 mapped state ready, 2 collected.
+static void SeedAndVerifyPair(
+    CnContext* ctx, int64_t pi, const char* r1_bytes,
+    const int64_t* r1_offsets, const char* r2_bytes,
+    const int64_t* r2_offsets, int64_t cache_update_threshold,
+    uint8_t* hist_valid, const DevSeedView* dev, bool dev_pair,
+    uint64_t dmeta1, uint64_t dmeta2, int64_t dcur1, int64_t dcur2,
+    int collect_mode, ExtVerify* ext, PairScratch& sc,
+    std::pair<HistEntry, HistEntry>* history_arr = nullptr) {
+  SeedPairPrep(ctx, pi, r1_bytes, r1_offsets, r2_bytes, r2_offsets, dev,
+               dev_pair, dmeta1, dmeta2, dcur1, dcur2, sc);
+  SeedVerifyRest(ctx, pi, cache_update_threshold, hist_valid, dev,
+                 collect_mode, ext, sc, history_arr);
 }
 
 // Returns number of emitted records. stats: [candidates, mappings,
@@ -2802,19 +2843,10 @@ static int64_t MapPairsCore(
     for (auto& th : threads) th.join();
   }
 
-  for (int64_t pi = 0; pi < num_pairs; ++pi) {
-    PairScratch& sc = pre ? pre->work[pi]
-                          : (mt ? ctx->mt_work[pi] : ctx->ps);
-    if (!mt && !pre)
-      SeedAndVerifyPair(ctx, pi, r1_bytes, r1_offsets, r2_bytes, r2_offsets,
-                        cache_update_threshold, hist_valid.data(), dev,
-                        dev && devflag[pi], dev ? dmeta[2 * pi] : 0,
-                        dev ? dmeta[2 * pi + 1] : 0,
-                        dev ? dcurs[2 * pi] : 0,
-                        dev ? dcurs[2 * pi + 1] : 0, collect_mode, ext, sc);
+  auto select_one = [&](int64_t pi, PairScratch& sc) {
     st_hits += sc.cache_hit;
     ctx->pair_flags[pi] = sc.cache_hit;
-    if (sc.status != 1) continue;
+    if (sc.status != 1) return;
     ctx->pair_tl1[pi] = (uint16_t)sc.l1;
     ctx->pair_tl2[pi] = (uint16_t)sc.l2;
     st_cand += sc.n_cand;
@@ -2843,11 +2875,11 @@ static int64_t MapPairsCore(
                      sc.vs2.positive_mappings, ps, ps.f2r1);
     }
 
-    if (ps.num_best_mappings > mp.drop_repetitive_reads) continue;
+    if (ps.num_best_mappings > mp.drop_repetitive_reads) return;
     if (ps.num_best_mappings == 1) st_uniq += 2;
     st_map += 2 * std::min(ps.num_best_mappings, mp.max_num_best_mappings);
     if (ps.num_best_mappings > 0) st_mapped += 2;
-    if (ps.num_best_mappings == 0) continue;
+    if (ps.num_best_mappings == 0) return;
 
     for (int i = 0; i < mp.max_num_best_mappings; ++i) best_indices[i] = i;
     if (ps.num_best_mappings > mp.max_num_best_mappings) {
@@ -3035,6 +3067,32 @@ static int64_t MapPairsCore(
       }
     }
     if (g_prof.on) g_prof.select += PhaseProf::Now() - tsel;
+  };
+
+  if (mt || pre) {
+    for (int64_t pi = 0; pi < num_pairs; ++pi)
+      select_one(pi, pre ? pre->work[pi] : ctx->mt_work[pi]);
+  } else {
+    // plain path: run each phase over a window of pairs back-to-back
+    // (identical per-pair order; see SeedPairPrep)
+    constexpr int64_t kWin = 32;
+    const int64_t wn = std::min<int64_t>(kWin, num_pairs);
+    if ((int64_t)ctx->win_work.size() < wn)
+      ctx->win_work.resize((size_t)wn);
+    for (int64_t base = 0; base < num_pairs; base += kWin) {
+      const int64_t hi = std::min<int64_t>(base + kWin, num_pairs);
+      for (int64_t pi = base; pi < hi; ++pi)
+        SeedPairPrep(ctx, pi, r1_bytes, r1_offsets, r2_bytes, r2_offsets,
+                     dev, dev && devflag[pi], dev ? dmeta[2 * pi] : 0,
+                     dev ? dmeta[2 * pi + 1] : 0,
+                     dev ? dcurs[2 * pi] : 0, dev ? dcurs[2 * pi + 1] : 0,
+                     ctx->win_work[pi - base]);
+      for (int64_t pi = base; pi < hi; ++pi)
+        SeedVerifyRest(ctx, pi, cache_update_threshold, hist_valid.data(),
+                       dev, collect_mode, ext, ctx->win_work[pi - base]);
+      for (int64_t pi = base; pi < hi; ++pi)
+        select_one(pi, ctx->win_work[pi - base]);
+    }
   }
 
   // cache updates in pair order, end1 then end2
