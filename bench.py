@@ -91,9 +91,17 @@ def time_mapping(cache: str, num_pairs: int, use_device: bool,
 
 
 def tpu_present() -> bool:
+    """Probe for a non-CPU backend in a time-bounded subprocess: when the
+    device relay is unreachable, jax.devices() blocks indefinitely inside
+    backend init (no exception to catch), which would hang the bench."""
+    import subprocess
     try:
-        import jax
-        return any(d.platform != "cpu" for d in jax.devices())
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(any(d.platform != 'cpu' "
+             "for d in jax.devices()))"],
+            capture_output=True, text=True, timeout=240)
+        return out.stdout.strip().endswith("True")
     except Exception:
         return False
 

@@ -470,15 +470,9 @@ class MappingPipeline:
             # sorted shards and k-way merges them at output
             self._map_paired_end_full_native(native_engine)
             return
-        if cfg.use_device and (native_engine is None
-                               or cfg.custom_rid_order_file_path):
-            # custom chromosome order reorders the reference list, so
-            # device candidates (index-space rids) would gather the wrong
-            # sequences; make the routing visible instead of silently
-            # ignoring the flag
-            log("WARNING: --device does not cover custom chromosome "
-                "order or non-native engines; this run maps on the host "
-                "engine.")
+        if cfg.use_device and native_engine is None:
+            log("WARNING: --device does not cover non-native engines; "
+                "this run maps on the host engine.")
 
         batch_mapper = None
         if native_engine is None and cfg.batch_engine_eligible(paired=True):
@@ -924,6 +918,14 @@ class MappingPipeline:
                 self._device_seeder = False
                 return None
             from .ops.device_seed import get_device_seeder
+            # the device program works in index space (candidate rids come
+            # from the index), so its reference gathers must use the load
+            # order even when --chr-order reordered self.ref_seqs; the
+            # native finish reranks candidate rids after reduction exactly
+            # like the host path (engine.cpp cn_set_rid_rank)
+            seed_refs = self.ref_seqs
+            if self.custom_rid_rank is not None:
+                seed_refs = [self.ref_seqs[r] for r in self.custom_rid_rank]
             try:
                 key = []
                 import os as _os
@@ -931,7 +933,7 @@ class MappingPipeline:
                     key.append(path)
                     key.append(_os.path.getmtime(path))
                 self._device_seeder = get_device_seeder(
-                    self.index, self.ref_seqs, cfg.error_threshold,
+                    self.index, seed_refs, cfg.error_threshold,
                     cfg.min_num_seeds_required_for_mapping,
                     cfg.max_seed_frequencies, cache_key=tuple(key),
                     mesh_devices=cfg.mesh_devices,
@@ -1037,9 +1039,9 @@ class MappingPipeline:
         offs1 = slot[1]
         L = int(offs1[1] - offs1[0]) if n1 else 0
         # (trimmed pairs are demoted per-pair inside the native finish;
-        # custom rid order reranks candidates post-seeding there too)
-        if (n1 == 0 or not (30 <= L <= 230)
-                or cfg.custom_rid_order_file_path):
+        # custom rid order reranks candidates post-seeding there too --
+        # the seeder gathers in index space, see _get_seeder)
+        if n1 == 0 or not (30 <= L <= 230):
             return None
 
         if self._get_seeder() is None:
@@ -1284,7 +1286,13 @@ class MappingPipeline:
 
         cfg = self.cfg
         C = min(2 * cfg.device_batch_size, cfg.read_batch_size)
+        # single-end + --chr-order stays on the host: the reference's SE
+        # rerank call site is a no-op (chromap.h:418-419), so the host
+        # gathers the REORDERED reference at index-space rids -- the
+        # index-space seeder would diverge from that (bug-compatible)
+        # behavior
         use_dev = (cfg.use_device and n > C and not cfg.split_alignment
+                   and not cfg.custom_rid_order_file_path
                    and self._get_seeder() is not None)
         off_base = _ct.c_void_p(r_off.ctypes.data)
         if not use_dev:
@@ -1840,7 +1848,11 @@ class MappingPipeline:
             _ct.cast(o1.value if hasattr(o1, "value") else o1,
                      _ct.POINTER(_ct.c_int64)), shape=(n1 + 1,))
         L = int(offs1[1] - offs1[0]) if n1 else 0
-        if n1 == 0 or not (30 <= L <= 230):
+        # chr-order gate: see _map_single_hybrid (SE candidates never
+        # rerank, reference-faithfully, so the host gathers the reordered
+        # reference at index rids; the index-space seeder would diverge)
+        if (n1 == 0 or not (30 <= L <= 230)
+                or cfg.custom_rid_order_file_path):
             return None
         if self._get_seeder() is None:
             return None

@@ -111,6 +111,46 @@ def test_mesh_cli_parity(sim_data, golden_dir, tmp_path):
     assert outs[8] == (golden_dir / "sim_default.bed").read_bytes()
 
 
+@pytest.fixture(scope="module")
+def mc_data(tmp_path_factory):
+    d = tmp_path_factory.mktemp("simmcdev")
+    from simulate import write_simulated_multichrom_dataset
+    write_simulated_multichrom_dataset(str(d))
+    args = [sys.executable, "-m", "chromap_tpu.cli", "-i",
+            "-r", f"{d}/ref.fa", "-o", f"{d}/index"]
+    subprocess.run(args, check=True, capture_output=True)
+    return d
+
+
+MC_CASES = [
+    # --chr-order reorders the reference list; the device seeder gathers
+    # in index space and the native finish reranks candidate rids after
+    # paired reduction (engine.cpp cn_set_rid_rank), so the output must
+    # byte-match the host run's (= the reference golden)
+    ("sim_chrorder.bed", ["--chr-order", "{d}/chr_order.txt"]),
+    ("sim_chrorder.pairs",
+     ["--preset", "hic", "--chr-order", "{d}/chr_order.txt",
+      "--pairs-natural-chr-order", "{d}/chr_order2.txt"]),
+]
+
+
+@pytest.mark.parametrize("golden,extra", MC_CASES,
+                         ids=[c[0] for c in MC_CASES])
+def test_device_chr_order_parity(golden, extra, mc_data, golden_dir,
+                                 tmp_path):
+    d = mc_data
+    out = tmp_path / f"dev_{golden}"
+    args = [sys.executable, "-m", "chromap_tpu.cli",
+            "-x", f"{d}/index", "-r", f"{d}/ref.fa",
+            "-1", f"{d}/r1.fq", "-2", f"{d}/r2.fq",
+            "-o", str(out)] + [a.format(d=d) for a in extra] + DEVICE_ARGS
+    result = subprocess.run(args, capture_output=True, text=True)
+    assert result.returncode == 0, result.stderr
+    assert "WARNING: --device does not cover" not in result.stderr
+    assert out.read_bytes() == (golden_dir / golden).read_bytes(), \
+        f"{golden} differs under --device"
+
+
 SE_CASES = [
     # single-end barcoded fragments (cell dedup) and SAM (per-chunk
     # CIGAR/NM/MD merge) through the single-end device hybrid
