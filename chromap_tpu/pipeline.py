@@ -1068,16 +1068,36 @@ class MappingPipeline:
         if n1 < chunk:
             buf2d[2 * n1:] = 0xFFFFFFFF
 
-        handle = self._device_seeder.submit_packed(buf2d, 2 * chunk, L)
+        try:
+            handle = self._device_seeder.submit_packed(buf2d, 2 * chunk, L)
+        except Exception as exc:
+            self._disable_device(exc)
+            return None
         fut = hyb["executor"].submit(self._device_seeder.resolve, handle)
         return (fut, slot, n1, base_read_id, threshold)
+
+    def _disable_device(self, exc) -> None:
+        """A device dispatch failed mid-run (kernel compile error, relay
+        drop): log once and fall back to host-only for the rest of the
+        run. Correctness is unaffected -- the failed chunk's raw reads
+        are still buffered and map on the host like any ineligible
+        chunk."""
+        if self._device_seeder is not False:
+            log(f"WARNING: device dispatch failed ({exc}); mapping "
+                "continues on the host engine.")
+        self._device_seeder = False
 
     def _hybrid_finish_dev(self, engine, hyb, pend, account) -> None:
         """Finish the in-flight device chunk (last of its cycle)."""
         import ctypes as _ct
 
         fut, slot, n1, base, threshold = pend
-        meta, cand_pos, cand_meta, overflow = fut.result()
+        try:
+            meta, cand_pos, cand_meta, overflow = fut.result()
+        except Exception as exc:
+            self._disable_device(exc)
+            meta = cand_pos = cand_meta = None
+            overflow = True
         r1p = _ct.cast(slot[0].ctypes.data, _ct.c_char_p)
         r2p = _ct.cast(slot[2].ctypes.data, _ct.c_char_p)
         o1p = slot[1].ctypes.data_as(_ct.c_void_p)
@@ -1322,6 +1342,8 @@ class MappingPipeline:
                 auxes[ci] = engine.get_sam_aux()
 
         def submit_dev(ci):
+            if not self._device_seeder:  # disabled mid-run
+                return None
             s, e = bounds[ci]
             nn = e - s
             L = int(r_off[s + 1] - r_off[s])
@@ -1338,14 +1360,22 @@ class MappingPipeline:
             buf2d = buf[:need].reshape(C, W)
             if nn < C:
                 buf2d[nn:] = 0xFFFFFFFF
-            handle = self._device_seeder.submit_packed(buf2d, C, L)
+            try:
+                handle = self._device_seeder.submit_packed(buf2d, C, L)
+            except Exception as exc:
+                self._disable_device(exc)
+                return None
             fut = self._dev_executor().submit(self._device_seeder.resolve,
                                               handle)
             return (fut, ci)
 
         def finish_dev(pend):
             fut, ci = pend
-            meta, cp, cm, overflow = fut.result()
+            try:
+                meta, cp, cm, overflow = fut.result()
+            except Exception as exc:
+                self._disable_device(exc)
+                overflow = True
             if overflow:
                 run_cpu(ci)
                 return
@@ -1868,7 +1898,11 @@ class MappingPipeline:
         buf2d = buf[:need].reshape(chunk, W)
         if n1 < chunk:
             buf2d[n1:] = 0xFFFFFFFF
-        handle = self._device_seeder.submit_packed(buf2d, chunk, L)
+        try:
+            handle = self._device_seeder.submit_packed(buf2d, chunk, L)
+        except Exception as exc:
+            self._disable_device(exc)
+            return None
         raw1 = np.ctypeslib.as_array(
             _ct.cast(b1, _ct.POINTER(_ct.c_uint8)), shape=(int(offs1[n1]),))
         saved = (raw1.copy(), offs1.copy())
@@ -1881,8 +1915,13 @@ class MappingPipeline:
 
         handle, saved, n1, base = pending
         raw1, offs1 = saved
-        meta, cand_pos, cand_meta, overflow = \
-            self._device_seeder.resolve(handle)
+        try:
+            meta, cand_pos, cand_meta, overflow = \
+                self._device_seeder.resolve(handle)
+        except Exception as exc:
+            self._disable_device(exc)
+            meta = cand_pos = cand_meta = None
+            overflow = True
         rp = _ct.cast(raw1.ctypes.data, _ct.c_char_p)
         op = offs1.ctypes.data_as(_ct.c_void_p)
         if overflow:

@@ -176,6 +176,55 @@ def test_device_se_flow_parity(golden, extra, sim_data, golden_dir,
         f"{golden} differs under --device"
 
 
+def test_device_failure_falls_back(sim_data, tmp_path, monkeypatch):
+    """A device dispatch failure mid-run (kernel compile error, relay
+    drop) must degrade to host-only mapping with byte-identical output,
+    not crash: the failed chunk's raw reads are still buffered and map
+    on the host like any ineligible chunk."""
+    from dataclasses import replace
+
+    from chromap_tpu.config import MappingConfig
+    from chromap_tpu.pipeline import MappingPipeline
+    from chromap_tpu.ops import device_seed
+
+    calls = {"n": 0}
+    origs = {}  # the CPU mesh has 8 virtual devices, so MeshSeeder runs
+
+    def make_flaky(orig):
+        def flaky(self, *a, **kw):
+            calls["n"] += 1
+            if calls["n"] >= 2:
+                raise RuntimeError("injected device failure")
+            return orig(self, *a, **kw)
+        return flaky
+
+    for cls in (device_seed.DeviceSeeder, device_seed.MeshSeeder):
+        origs[cls] = cls.__dict__.get("submit_packed")
+        if origs[cls] is not None:
+            monkeypatch.setattr(cls, "submit_packed",
+                                make_flaky(origs[cls]))
+
+    d = sim_data
+    cfg = MappingConfig(
+        reference_file_path=f"{d}/ref.fa",
+        index_file_path=f"{d}/index",
+        read_file1_paths=[f"{d}/r1.fq"],
+        read_file2_paths=[f"{d}/r2.fq"],
+        mapping_output_file_path=str(tmp_path / "flaky.bed"),
+        use_device=True, device_batch_size=512)
+    MappingPipeline(cfg).map_paired_end()
+    assert calls["n"] >= 2, "device path never engaged"
+
+    for cls, orig in origs.items():
+        if orig is not None:
+            monkeypatch.setattr(cls, "submit_packed", orig)
+    host_cfg = replace(cfg, use_device=False,
+                       mapping_output_file_path=str(tmp_path / "host.bed"))
+    MappingPipeline(host_cfg).map_paired_end()
+    assert (tmp_path / "flaky.bed").read_bytes() == \
+        (tmp_path / "host.bed").read_bytes()
+
+
 def test_device_parity_cache_active(sim_data, tmp_path):
     """Duplicate-heavy input activates the candidate cache (slots need
     >= 10 same-sketch updates + weight voting). Device chunks skip the
