@@ -924,6 +924,28 @@ class DeviceSeeder:
 
         threading.Thread(target=_warm_d2h, daemon=True).start()
 
+    def _drop_dense_pallas(self) -> bool:
+        """A step call failed -- most likely the fused Pallas minimizer
+        front end failing to lower on this backend. Fall back to the
+        bit-identical jnp dense stages and let the caller retry once.
+        Returns False when dense-Pallas was already off (nothing left to
+        drop; the caller re-raises and the pipeline degrades to
+        host-only)."""
+        if not self.dense_pallas:
+            return False
+        import sys
+        print("chromap-tpu: fused Pallas minimizer kernel failed; "
+              "retrying with the jnp dense stages", file=sys.stderr)
+        self.dense_pallas = False
+        self._step = _jitted_step(self.k, self.w, self.e, self.f0,
+                                  self.f1, self.min_num_seeds,
+                                  self.num_refs, self.use_pallas,
+                                  split=self.split, dense_pallas=False)
+        steps = getattr(self, "_sharded_steps", None)
+        if steps is not None:
+            steps.clear()
+        return True
+
     # ------------------------------------------------------------------
     def submit(self, codes: np.ndarray, lengths: np.ndarray):
         """Asynchronously dispatch one batch of (B, L) u8 codes; returns an
@@ -952,11 +974,22 @@ class DeviceSeeder:
                 self._lengths_cache[key] = lend
         else:
             lend = jnp.asarray(lengths, dtype=jnp.int32)
-        dl, full = self._step(jnp.asarray(rw), lend,
-                              self.hash_keys, self.offcnt, self.occurrences,
-                              self.ref_words, self.ref_nwords, self.ref_lens,
-                              self.ref_offsets,
-                              L=L, B=B, Mtot=Mtot, Htot=Htot, captot=captot)
+        try:
+            dl, full = self._step(jnp.asarray(rw), lend, self.hash_keys,
+                                  self.offcnt, self.occurrences,
+                                  self.ref_words, self.ref_nwords,
+                                  self.ref_lens, self.ref_offsets,
+                                  L=L, B=B, Mtot=Mtot, Htot=Htot,
+                                  captot=captot)
+        except Exception:
+            if not self._drop_dense_pallas():
+                raise
+            dl, full = self._step(jnp.asarray(rw), lend, self.hash_keys,
+                                  self.offcnt, self.occurrences,
+                                  self.ref_words, self.ref_nwords,
+                                  self.ref_lens, self.ref_offsets,
+                                  L=L, B=B, Mtot=Mtot, Htot=Htot,
+                                  captot=captot)
         try:
             dl.copy_to_host_async()
         except Exception:
@@ -1087,10 +1120,18 @@ class MeshSeeder(DeviceSeeder):
                                   NamedSharding(self.mesh, P("data")))
         rw_dev = jax.device_put(np.ascontiguousarray(rw),
                                 self._row_sharding)
-        dl, full = self._sharded_step(B, L)(
-            rw_dev, lend, self.hash_keys, self.offcnt, self.occurrences,
-            self.ref_words, self.ref_nwords, self.ref_lens,
-            self.ref_offsets)
+        try:
+            dl, full = self._sharded_step(B, L)(
+                rw_dev, lend, self.hash_keys, self.offcnt,
+                self.occurrences, self.ref_words, self.ref_nwords,
+                self.ref_lens, self.ref_offsets)
+        except Exception:
+            if not self._drop_dense_pallas():
+                raise
+            dl, full = self._sharded_step(B, L)(
+                rw_dev, lend, self.hash_keys, self.offcnt,
+                self.occurrences, self.ref_words, self.ref_nwords,
+                self.ref_lens, self.ref_offsets)
         try:
             dl.copy_to_host_async()
         except Exception:

@@ -368,3 +368,38 @@ def test_se_dev_engine_byte_parity(small_world):
     for key in out_host:
         np.testing.assert_array_equal(out_host[key], out_dev[key],
                                       err_msg=key)
+
+
+def test_dense_pallas_failure_falls_back(small_world, monkeypatch):
+    """If the fused Pallas minimizer front end fails to lower (Mosaic
+    backend quirks), the seeder must retry the same chunk through the
+    bit-identical jnp dense stages instead of losing the device path."""
+    from chromap_tpu.ops import pallas_dense
+    from chromap_tpu.ops import device_seed as ds
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected Mosaic lowering failure")
+
+    monkeypatch.setattr(pallas_dense, "dense_minimizer_device", boom)
+    index, ref_codes, ref_seqs = small_world
+    rng = np.random.default_rng(5)
+    B, L = 1024, 80      # use_dense needs B % 1024 == 0 (and 2k > 32)
+    reads = _simulate_reads(ref_codes, rng, B, L)
+    lengths = np.full(B, L, dtype=np.int64)
+
+    seeder = ds.DeviceSeeder(index, ref_seqs, E, MIN_SEEDS, F,
+                             use_pallas=False)
+    seeder.dense_pallas = True
+    seeder._step = ds._jitted_step(seeder.k, seeder.w, seeder.e, seeder.f0,
+                                   seeder.f1, seeder.min_num_seeds,
+                                   seeder.num_refs, False, split=False,
+                                   dense_pallas=True)
+    out = seeder.seed_and_verify(reads, lengths)
+    assert seeder.dense_pallas is False, "fallback did not disarm the kernel"
+
+    base_seeder = ds.DeviceSeeder(index, ref_seqs, E, MIN_SEEDS, F,
+                                  use_pallas=False)
+    base = base_seeder.seed_and_verify(reads, lengths)
+    assert out[3] == base[3]
+    for a, b in zip(out[:3], base[:3]):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
