@@ -393,7 +393,7 @@ def test_dense_pallas_failure_falls_back(small_world, monkeypatch):
     seeder._step = ds._jitted_step(seeder.k, seeder.w, seeder.e, seeder.f0,
                                    seeder.f1, seeder.min_num_seeds,
                                    seeder.num_refs, False, split=False,
-                                   dense_pallas=True)
+                                   dense_pallas=True, probe=seeder._probe)
     out = seeder.seed_and_verify(reads, lengths)
     assert seeder.dense_pallas is False, "fallback did not disarm the kernel"
 

@@ -68,7 +68,7 @@ def main():
         ds.CANDS_PER_READ * B
     args = (rw, lend, seeder.hash_keys, seeder.offcnt, seeder.occurrences,
             seeder.ref_words, seeder.ref_nwords, seeder.ref_lens,
-            seeder.ref_offsets)
+            seeder.ref_offsets, seeder.probe_table)
     kw = dict(L=L, B=B, Mtot=Mtot, Htot=Htot, captot=captot)
 
     prev = 0.0
@@ -79,7 +79,8 @@ def main():
         fn = jax.jit(
             ds._build_step(seeder.k, seeder.w, seeder.e, seeder.f0,
                            seeder.f1, seeder.min_num_seeds,
-                           seeder.num_refs, False, stop=stop),
+                           seeder.num_refs, False, stop=stop,
+                           probe=seeder._probe),
             static_argnames=("L", "B", "Mtot", "Htot", "captot"))
         out = fn(*args, **kw)
         jax.block_until_ready(out)

@@ -73,10 +73,10 @@ def main():
         captot = ds.CANDS_PER_READ * S
         step = ds._build_step(seeder.k, seeder.w, seeder.e, seeder.f0,
                               seeder.f1, seeder.min_num_seeds,
-                              seeder.num_refs, False)
+                              seeder.num_refs, False, probe=seeder._probe)
 
-        def shard_step(rw, lens, hk, oc, occ, rw_, rn_, rl_, ro_):
-            dl, full = step(rw, lens, hk, oc, occ, rw_, rn_, rl_, ro_,
+        def shard_step(rw, lens, hk, oc, occ, rw_, rn_, rl_, ro_, pt):
+            dl, full = step(rw, lens, hk, oc, occ, rw_, rn_, rl_, ro_, pt,
                             L=L, B=S, Mtot=Mtot, Htot=Htot, captot=captot)
             total = jax.lax.psum(dl[0].astype(np.int32), "data")
             return dl, total
@@ -85,7 +85,7 @@ def main():
         fn = jax.jit(shard_map(
             shard_step, mesh=mesh,
             in_specs=(P("data", None), P("data"),
-                      rep, rep, rep, rep, rep, rep, rep),
+                      rep, rep, rep, rep, rep, rep, rep, rep),
             out_specs=(P("data"), P()), check_vma=False))
         rw = ds._pack_reads(make_reads(B))
         repl = NamedSharding(mesh, P())
@@ -99,7 +99,8 @@ def main():
              jax.device_put(seeder.ref_words, repl),
              jax.device_put(seeder.ref_nwords, repl),
              jax.device_put(seeder.ref_lens, repl),
-             jax.device_put(seeder.ref_offsets, repl))
+             jax.device_put(seeder.ref_offsets, repl),
+             jax.device_put(seeder.probe_table, repl))
         with mesh:
             jax.block_until_ready(fn(*a))  # compile + warm
             best = None
