@@ -949,6 +949,9 @@ class DeviceSeeder:
         else:
             self._probe = None
             self.probe_table = None
+        if os.environ.get("CHROMAP_TPU_PROBE") == "sort":
+            # A/B escape hatch: the former sort-method searchsorted probe
+            self._probe = None
         tbl = np.full(256, 4, np.uint8)
         for i, c in enumerate(b"ACGT"):
             tbl[c] = i
