@@ -176,6 +176,49 @@ def test_device_se_flow_parity(golden, extra, sim_data, golden_dir,
         f"{golden} differs under --device"
 
 
+def test_device_readformat_parity(sim_data, golden_dir, tmp_path):
+    """--read-format slices rewrite the reads before seeding; the device
+    chunks must seed the rewritten reads and byte-match the reference
+    golden (sequence_effective_range.h semantics)."""
+    d = sim_data
+    out = tmp_path / "dev_readformat.bed"
+    args = [sys.executable, "-m", "chromap_tpu.cli",
+            "-x", f"{d}/index", "-r", f"{d}/ref.fa",
+            "-1", f"{d}/r1.fq", "-2", f"{d}/r2.fq", "-b", f"{d}/bc.fq",
+            "--read-format", "r1:5:84,r2:0:79,bc:0:7",
+            "-o", str(out)] + DEVICE_ARGS
+    result = subprocess.run(args, capture_output=True, text=True)
+    assert result.returncode == 0, result.stderr
+    assert "Using TPU device seeding" in result.stderr, result.stderr
+    assert out.read_bytes() == \
+        (golden_dir / "sim_readformat.bed").read_bytes()
+
+
+def test_device_sharded_run_parity(sim_data, golden_dir, tmp_path):
+    """--num-shards + --device: each host shard maps its slice with
+    device chunks, spills a sorted shard, and the k-way merge equals the
+    single-run golden (the multi-host configuration with chips on every
+    host)."""
+    d = sim_data
+    out = tmp_path / "sharded_dev.bed"
+    base = [sys.executable, "-m", "chromap_tpu.cli",
+            "-x", f"{d}/index", "-r", f"{d}/ref.fa",
+            "-1", f"{d}/r1.fq", "-2", f"{d}/r2.fq",
+            "-o", str(out)] + DEVICE_ARGS
+    for i in range(2):
+        res = subprocess.run(base + ["--num-shards", "2",
+                                     "--shard-index", str(i)],
+                             capture_output=True, text=True)
+        assert res.returncode == 0, res.stderr
+        assert "Using TPU device seeding" in res.stderr, res.stderr
+    res = subprocess.run(
+        base + ["--merge-shards",
+                f"{out}.shard0.temp0,{out}.shard1.temp0"],
+        capture_output=True, text=True)
+    assert res.returncode == 0, res.stderr
+    assert out.read_bytes() == (golden_dir / "sim_default.bed").read_bytes()
+
+
 def test_device_failure_falls_back(sim_data, tmp_path, monkeypatch):
     """A device dispatch failure mid-run (kernel compile error, relay
     drop) must degrade to host-only mapping with byte-identical output,
