@@ -973,7 +973,7 @@ class MappingPipeline:
         import ctypes as _ct
 
         cfg = self.cfg
-        P = max(1, getattr(cfg, "device_hybrid_period", 4))
+        P = self._hybrid_tuner().g
 
         # copy the reader's (reused) buffers into a pooled slot
         offs1 = np.ctypeslib.as_array(
@@ -1015,13 +1015,16 @@ class MappingPipeline:
         if hyb["pending"] is not None:
             self._hybrid_finish_dev(engine, hyb, hyb["pending"], account)
             hyb["pending"] = None
+        tuner = self._hybrid_tuner()
         for (slot, n1, base, thr) in chunks:
             r1p = _ct.cast(slot[0].ctypes.data, _ct.c_char_p)
             r2p = _ct.cast(slot[2].ctypes.data, _ct.c_char_p)
             o1p = slot[1].ctypes.data_as(_ct.c_void_p)
             o2p = slot[3].ctypes.data_as(_ct.c_void_p)
+            t0 = time.time()
             account(engine.map_pairs_raw(r1p, o1p, r2p, o2p, n1, base,
                                          thr))
+            tuner.cpu(time.time() - t0)
             hyb["pool"].append(slot)
         if final and pend is not None:
             self._hybrid_finish_dev(engine, hyb, pend, account)
@@ -1073,8 +1076,59 @@ class MappingPipeline:
         except Exception as exc:
             self._disable_device(exc)
             return None
-        fut = hyb["executor"].submit(self._device_seeder.resolve, handle)
-        return (fut, slot, n1, base_read_id, threshold)
+        seeder = self._device_seeder
+
+        def _resolve():
+            r = seeder.resolve(handle)
+            return r, time.time()
+
+        t_sub = time.time()
+        fut = hyb["executor"].submit(_resolve)
+        return (fut, slot, n1, base_read_id, threshold, t_sub)
+
+    class _HybridTuner:
+        """Adapts the hybrid group size G so (G-1) CPU chunks cover one
+        device chunk's service time: G = ceil(dev/cpu) + 1, clamped to
+        [2, 16]. Mapping output is invariant to which chunks the device
+        maps (device chunks are byte-identical to CPU chunks), so G may
+        change freely between groups; only the summary CSV's
+        cachehit/fric columns can shift (device chunks skip the host
+        candidate cache, see ARCHITECTURE.md)."""
+
+        def __init__(self, g0: int):
+            self.g = max(2, g0)
+            self.cpu_t = None
+            self.dev_t = None
+            self._dev_samples = 0
+
+        def cpu(self, dt: float) -> None:
+            self.cpu_t = dt if self.cpu_t is None \
+                else 0.7 * self.cpu_t + 0.3 * dt
+            self._update()
+
+        def dev(self, dt: float) -> None:
+            # the first device chunk pays trace/compile/warmup; skip it
+            self._dev_samples += 1
+            if self._dev_samples == 1:
+                return
+            self.dev_t = dt if self.dev_t is None \
+                else 0.7 * self.dev_t + 0.3 * dt
+            self._update()
+
+        def _update(self) -> None:
+            if not self.cpu_t or self.dev_t is None:
+                return
+            import math
+            self.g = min(16, max(2, 1 + math.ceil(
+                self.dev_t / max(self.cpu_t, 1e-6))))
+
+    def _hybrid_tuner(self) -> "_HybridTuner":
+        t = getattr(self, "_hybrid_tuner_obj", None)
+        if t is None:
+            t = self._HybridTuner(
+                max(2, getattr(self.cfg, "device_hybrid_period", 3)))
+            self._hybrid_tuner_obj = t
+        return t
 
     def _disable_device(self, exc) -> None:
         """A device dispatch failed mid-run (kernel compile error, relay
@@ -1091,9 +1145,10 @@ class MappingPipeline:
         """Finish the in-flight device chunk (last of its cycle)."""
         import ctypes as _ct
 
-        fut, slot, n1, base, threshold = pend
+        fut, slot, n1, base, threshold, t_sub = pend
         try:
-            meta, cand_pos, cand_meta, overflow = fut.result()
+            (meta, cand_pos, cand_meta, overflow), t_end = fut.result()
+            self._hybrid_tuner().dev(t_end - t_sub)
         except Exception as exc:
             self._disable_device(exc)
             meta = cand_pos = cand_meta = None
@@ -1207,9 +1262,12 @@ class MappingPipeline:
                 tl1[s:e] = t1[:e - s]
                 tl2[s:e] = t2[:e - s]
 
+        tuner = self._hybrid_tuner()
+
         def run_cpu(ci):
             s, e = bounds[ci]
             thr = max(0, min(threshold - s, e - s))
+            t0 = time.time()
             if full:
                 out, st, aux = engine.map_pairs_full_raw(
                     r1_bytes, off_ptr(o1, s), r2_bytes, off_ptr(o2, s),
@@ -1220,11 +1278,14 @@ class MappingPipeline:
                 out, st = engine.map_pairs_raw(
                     r1_bytes, off_ptr(o1, s), r2_bytes, off_ptr(o2, s),
                     e - s, base_read_id + s, thr)
+            tuner.cpu(time.time() - t0)
             outs[ci] = out
             stats_sum[:] += st
             side_channels(ci)
 
         def submit_dev(ci):
+            if not self._device_seeder:  # disabled mid-run
+                return None
             s, e = bounds[ci]
             nn = e - s
             L = len(reads1[s])
@@ -1241,14 +1302,28 @@ class MappingPipeline:
             buf2d = buf[:need].reshape(2 * C, W)
             if nn < C:
                 buf2d[2 * nn:] = 0xFFFFFFFF
-            handle = self._device_seeder.submit_packed(buf2d, 2 * C, L)
-            fut = self._dev_executor().submit(self._device_seeder.resolve,
-                                              handle)
-            return (fut, ci)
+            try:
+                handle = self._device_seeder.submit_packed(buf2d, 2 * C, L)
+            except Exception as exc:
+                self._disable_device(exc)
+                return None
+            seeder = self._device_seeder
+
+            def _resolve():
+                return seeder.resolve(handle), time.time()
+
+            t_sub = time.time()
+            fut = self._dev_executor().submit(_resolve)
+            return (fut, ci, t_sub)
 
         def finish_dev(pend):
-            fut, ci = pend
-            meta, cp, cm, overflow = fut.result()
+            fut, ci, t_sub = pend
+            try:
+                (meta, cp, cm, overflow), t_end = fut.result()
+                tuner.dev(t_end - t_sub)
+            except Exception as exc:
+                self._disable_device(exc)
+                overflow = True
             if overflow:
                 run_cpu(ci)
                 return
@@ -1268,11 +1343,10 @@ class MappingPipeline:
             stats_sum[:] += st
             side_channels(ci)
 
-        G = max(2, cfg.device_hybrid_period)
         pend = None
         gi = 0
         while gi < nb:
-            group = list(range(gi, min(gi + G, nb)))
+            group = list(range(gi, min(gi + tuner.g, nb)))
             newpend = submit_dev(group[-1]) if len(group) >= 2 else None
             if pend is not None:
                 finish_dev(pend)
@@ -1331,11 +1405,17 @@ class MappingPipeline:
         def off_ptr(s):
             return _ct.c_void_p(r_off.ctypes.data + 8 * s)
 
+        tuner = self._hybrid_tuner()
+
         def run_cpu(ci):
             s, e = bounds[ci]
             thr = max(0, min(threshold - s, e - s))
+            t0 = time.time()
             out, st = engine.map_single_raw(r_bytes, off_ptr(s), e - s,
                                             base_read_id + s, thr)
+            # single-end chunks are half a pair chunk's work; normalize so
+            # the tuner's CPU unit stays one device dispatch's worth
+            tuner.cpu(2 * (time.time() - t0))
             outs[ci] = out
             stats_sum[:] += st
             if auxes is not None:
@@ -1365,14 +1445,22 @@ class MappingPipeline:
             except Exception as exc:
                 self._disable_device(exc)
                 return None
-            fut = self._dev_executor().submit(self._device_seeder.resolve,
-                                              handle)
-            return (fut, ci)
+            seeder = self._device_seeder
+
+            def _resolve():
+                return seeder.resolve(handle), time.time()
+
+            t_sub = time.time()
+            fut = self._dev_executor().submit(_resolve)
+            return (fut, ci, t_sub)
 
         def finish_dev(pend):
-            fut, ci = pend
+            fut, ci, t_sub = pend
             try:
-                meta, cp, cm, overflow = fut.result()
+                (meta, cp, cm, overflow), t_end = fut.result()
+                # SE device chunks carry half a pair chunk's reads;
+                # normalize like run_cpu so G stays comparable
+                tuner.dev(2 * (t_end - t_sub))
             except Exception as exc:
                 self._disable_device(exc)
                 overflow = True
@@ -1387,11 +1475,10 @@ class MappingPipeline:
             if auxes is not None:
                 auxes[ci] = engine.get_sam_aux()
 
-        G = max(2, cfg.device_hybrid_period)
         pend = None
         gi = 0
         while gi < nb:
-            group = list(range(gi, min(gi + G, nb)))
+            group = list(range(gi, min(gi + tuner.g, nb)))
             newpend = submit_dev(group[-1]) if len(group) >= 2 else None
             if pend is not None:
                 finish_dev(pend)
