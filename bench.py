@@ -172,6 +172,40 @@ def myers_cells_per_s() -> float:
         return 0.0
 
 
+def myers_pallas_cells_per_s() -> float:
+    """The VMEM-resident Pallas Myers kernel's throughput, measured in a
+    subprocess WITHOUT jax_enable_x64 (the seeding program enables x64
+    process-wide, under which Mosaic cannot lower the kernel; standalone
+    it lowers fine). 0.0 when it fails to lower or no TPU."""
+    import subprocess
+    code = """
+import time
+import numpy as np
+import jax
+import jax.numpy as jnp
+from chromap_tpu.ops.pallas_myers import myers_device
+e, L, N = 8, 100, 1 << 18
+rng = np.random.default_rng(0)
+p = jnp.asarray(rng.integers(0, 4, (L + 2 * e, N), dtype=np.int32))
+t = jnp.asarray(rng.integers(0, 4, (L, N), dtype=np.int32))
+jax.block_until_ready(myers_device(p, t, e, L))
+best = None
+for _ in range(3):
+    t0 = time.time()
+    jax.block_until_ready(myers_device(p, t, e, L))
+    dt = time.time() - t0
+    best = dt if best is None else min(best, dt)
+print(N * L * (2 * e + 1) / best)
+"""
+    try:
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True, timeout=600,
+                             cwd=os.path.dirname(os.path.abspath(__file__)))
+        return float(out.stdout.strip().splitlines()[-1])
+    except Exception:
+        return 0.0
+
+
 def main():
     ensure_data(CACHE, NUM_PAIRS)
     use_device = (os.environ.get("CHROMAP_TPU_BENCH_DEVICE", "1") == "1"
@@ -196,6 +230,9 @@ def main():
             time_mapping(CACHE_LARGE, NUM_PAIRS_LARGE, use_device=True,
                          runs=3), 1)
         extra["myers_band_cells_per_s"] = round(myers_cells_per_s())
+        pallas_cells = myers_pallas_cells_per_s()
+        if pallas_cells:
+            extra["myers_pallas_band_cells_per_s"] = round(pallas_cells)
     else:
         scored = host_rps
 
