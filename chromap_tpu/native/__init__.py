@@ -29,12 +29,12 @@ def _cpu_supports(flag: str) -> bool:
         return False
 
 
-def _build() -> None:
+def _build_cmd() -> List[str]:
     cmd = ["g++", "-O3", "-std=c++17", "-fopenmp-simd", "-shared", "-fPIC"]
     # vectorizes the Hash64 lanes in GenerateMinimizers (4x uint64 with
     # AVX2, 8x with AVX-512) and widens the u32 Myers lane groups
     if (_cpu_supports("avx512f") and _cpu_supports("avx512bw")
-            and _cpu_supports("avx512dq")):
+            and _cpu_supports("avx512dq") and _cpu_supports("avx512vl")):
         cmd += ["-mavx512f", "-mavx512bw", "-mavx512dq", "-mavx512vl",
                 "-mprefer-vector-width=512"]
     elif _cpu_supports("avx2"):
@@ -44,7 +44,14 @@ def _build() -> None:
         # LD_PRELOAD=$(g++ -print-file-name=libasan.so) to load it
         cmd += ["-fsanitize=address", "-g"]
     cmd += ["-o", _SO, _SRC, "-lz"]
+    return cmd
+
+
+def _build(cmd: List[str]) -> None:
     subprocess.run(cmd, check=True, capture_output=True, text=True)
+    # cache key: rebuild whenever the flags change, not just the source
+    with open(_SO + ".flags", "w") as f:
+        f.write(" ".join(cmd))
 
 
 def load_library():
@@ -54,9 +61,17 @@ def load_library():
     if os.environ.get("CHROMAP_TPU_NO_NATIVE") == "1":
         return None
     try:
-        if (not os.path.exists(_SO)
-                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
-            _build()
+        cmd = _build_cmd()
+        stale = (not os.path.exists(_SO)
+                 or os.path.getmtime(_SO) < os.path.getmtime(_SRC))
+        if not stale:
+            try:
+                with open(_SO + ".flags") as f:
+                    stale = f.read() != " ".join(cmd)
+            except OSError:
+                stale = True
+        if stale:
+            _build(cmd)
         lib = ctypes.CDLL(_SO)
     except Exception as exc:  # pragma: no cover - environment dependent
         print(f"chromap-tpu: native engine unavailable ({exc}); "

@@ -1124,8 +1124,11 @@ class MeshSeeder(DeviceSeeder):
         repl = NamedSharding(self.mesh, P())
         # re-place the index/reference arrays replicated across the mesh
         for name in ("hash_keys", "offcnt", "occurrences", "ref_words",
-                     "ref_nwords", "ref_lens", "ref_offsets"):
-            setattr(self, name, jax.device_put(getattr(self, name), repl))
+                     "ref_nwords", "ref_lens", "ref_offsets",
+                     "probe_table"):
+            arr = getattr(self, name)
+            if arr is not None:
+                setattr(self, name, jax.device_put(arr, repl))
         self._row_sharding = NamedSharding(self.mesh, P("data", None))
         self._sharded_steps = {}
 

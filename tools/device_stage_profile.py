@@ -80,6 +80,7 @@ def main():
             ds._build_step(seeder.k, seeder.w, seeder.e, seeder.f0,
                            seeder.f1, seeder.min_num_seeds,
                            seeder.num_refs, False, stop=stop,
+                           dense_pallas=seeder.dense_pallas,
                            probe=seeder._probe),
             static_argnames=("L", "B", "Mtot", "Htot", "captot"))
         out = fn(*args, **kw)
