@@ -4,7 +4,9 @@ byte-compare the outputs, then print both throughputs. Run on the real
 TPU (no JAX_PLATFORMS override) after device-path changes; the CPU-mesh
 tests cover the same logic, this checks real-chip numerics + transport.
 
-Usage: python tools/device_bench_parity.py [num_pairs] [runs]
+Usage: python tools/device_bench_parity.py [num_pairs] [runs] [batch_size]
+(batch_size = device_batch_size in pairs; default 8192 -- larger chunks
+amortize the relay's fixed dispatch/transfer floors over more work)
 """
 
 import contextlib
@@ -18,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench as benchmod
 
 
-def map_once(cache, num_pairs, use_device, out_name):
+def map_once(cache, num_pairs, use_device, out_name, batch_size=None):
     from chromap_tpu.config import MappingConfig
     from chromap_tpu.pipeline import MappingPipeline
 
@@ -33,6 +35,8 @@ def map_once(cache, num_pairs, use_device, out_name):
         engine="auto",
         num_threads=os.cpu_count() or 1,
     )
+    if batch_size:
+        cfg.device_batch_size = batch_size
     with contextlib.redirect_stderr(io.StringIO()):
         pipeline = MappingPipeline(cfg)
         t0 = time.time()
@@ -43,12 +47,17 @@ def map_once(cache, num_pairs, use_device, out_name):
 def main():
     num_pairs = int(sys.argv[1]) if len(sys.argv) > 1 else benchmod.NUM_PAIRS
     runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-    cache = benchmod.CACHE
+    batch = int(sys.argv[3]) if len(sys.argv) > 3 else None
+    # one cache dir per dataset size (ensure_data writes r1/r2 in place)
+    cache = (benchmod.CACHE if num_pairs == benchmod.NUM_PAIRS
+             else benchmod.CACHE_LARGE
+             if num_pairs == benchmod.NUM_PAIRS_LARGE
+             else f"/tmp/chromap_tpu_bench{num_pairs}")
     benchmod.ensure_data(cache, num_pairs)
 
     th = min(map_once(cache, num_pairs, False, "host.bed")
              for _ in range(runs))
-    td = min(map_once(cache, num_pairs, True, "dev.bed")
+    td = min(map_once(cache, num_pairs, True, "dev.bed", batch)
              for _ in range(runs))
     with open(f"{cache}/host.bed", "rb") as f1, \
             open(f"{cache}/dev.bed", "rb") as f2:

@@ -57,6 +57,14 @@ def main():
     res["parity"] = run(
         [sys.executable, "tools/device_bench_parity.py", "20000",
          "1" if quick else "3"], timeout=1800)
+    if not quick:
+        # dispatch-floor amortization sweep: bigger device chunks
+        res["parity_batch16k"] = run(
+            [sys.executable, "tools/device_bench_parity.py", "100000",
+             "2", "16384"], timeout=2400)
+        res["parity_batch4k"] = run(
+            [sys.executable, "tools/device_bench_parity.py", "100000",
+             "2", "4096"], timeout=2400)
 
     res["profile_bucket_pallas"] = run(
         [sys.executable, "tools/device_stage_profile.py"], timeout=1200)
