@@ -96,6 +96,15 @@ class FastxReader:
             self._fh, io.BufferedReader) else self._fh
         self._pending: Optional[bytes] = None
         self._next_id = id_offset
+        # block-parser state (see read_batch): records parsed ahead, an
+        # unconsumed raw remainder, and a flag that pins the slow path
+        # (FASTA, CR line endings, structural surprises)
+        self._ready: List[SequenceRecord] = []
+        self._ready_pos = 0
+        self._tail = b""
+        self._tail_pos = 0
+        self._fast_off = False
+        self._eof = False
 
     def close(self) -> None:
         self._fh.close()
@@ -104,12 +113,122 @@ class FastxReader:
         if self._pending is not None:
             line, self._pending = self._pending, None
             return line
+        if self._tail_pos < len(self._tail):
+            # drain the block remainder stashed by a fast-path bailout
+            nl = self._tail.find(b"\n", self._tail_pos)
+            if nl >= 0:
+                line = self._tail[self._tail_pos:nl + 1]
+                self._tail_pos = nl + 1
+                return line
+            line = self._tail[self._tail_pos:] + self._buf.readline()
+            self._tail = b""
+            self._tail_pos = 0
+            return line
         return self._buf.readline()
 
     def _pushback(self, line: bytes) -> None:
         self._pending = line
 
     def read_one(self) -> Optional[SequenceRecord]:
+        if self._ready_pos < len(self._ready):
+            rec = self._ready[self._ready_pos]
+            self._ready_pos += 1
+            return rec
+        return self._read_one_slow()
+
+    def read_batch(self, n: int) -> List[SequenceRecord]:
+        """Batch read with a block FASTQ fast path (plain 4-line records,
+        LF endings); FASTA and unusual layouts fall back to the per-line
+        parser with identical semantics."""
+        out: List[SequenceRecord] = []
+        while len(out) < n:
+            avail = len(self._ready) - self._ready_pos
+            if avail:
+                take = min(avail, n - len(out))
+                out.extend(
+                    self._ready[self._ready_pos:self._ready_pos + take])
+                self._ready_pos += take
+                continue
+            if self._fill_ready():
+                continue
+            rec = self._read_one_slow()
+            if rec is None:
+                break
+            out.append(rec)
+        return out
+
+    _BLOCK = 1 << 22
+
+    def _fill_ready(self) -> bool:
+        """Parse one block of FASTQ records ahead into self._ready.
+        Returns False when the fast path is unavailable (pushback pending,
+        FASTA/CR/malformed layout -- the remainder is stashed for the slow
+        parser) or at EOF with nothing parsed."""
+        if self._fast_off or self._pending is not None or self._eof:
+            return False
+        tail = self._tail[self._tail_pos:]
+        self._tail = b""
+        self._tail_pos = 0
+        block = self._buf.read(self._BLOCK)
+        if not block:
+            self._eof = True
+            if not tail:
+                return False
+            data = tail
+        else:
+            data = tail + block if tail else block
+        if b"\r" in data or data[:1] != b"@":
+            # CR endings or a non-FASTQ leading byte (FASTA '>'): stash
+            # the raw remainder and pin the per-line parser
+            self._tail = data
+            self._fast_off = True
+            return False
+        lines = data.split(b"\n")
+        partial = lines.pop()  # '' when data ends with a newline
+        ngroups = len(lines) // 4
+        recs: List[SequenceRecord] = []
+        rewrite = not self._range.is_full_positive()
+        next_id = self._next_id
+        idx = 0
+        broke = False
+        for _ in range(ngroups):
+            nm = lines[idx]
+            plus = lines[idx + 2]
+            if nm[:1] != b"@" or plus[:1] != b"+":
+                # structural surprise (blank/extra lines): the slow
+                # parser reproduces the reference semantics exactly
+                broke = True
+                break
+            seq = lines[idx + 1]
+            qual = lines[idx + 3]
+            idx += 4
+            if not seq:
+                continue
+            nm1 = nm[1:]
+            if b" " in nm1 or b"\t" in nm1:
+                nm1 = nm1.split()[0]
+            sq = bytearray(seq)
+            ql = bytearray(qual)
+            if rewrite:
+                sq = self._range.apply(sq, is_seq=True)
+                ql = self._range.apply(ql, is_seq=False)
+            recs.append(SequenceRecord(name=nm1, seq=sq, qual=ql,
+                                       read_id=next_id))
+            next_id += 1
+        if idx != len(lines):
+            # incomplete trailing record at the block edge (normal), or
+            # the break above: carry the raw remainder forward
+            self._tail = b"\n".join(lines[idx:] + [partial])
+            if broke:
+                self._fast_off = True
+        else:
+            self._tail = partial
+        self._next_id = next_id
+        self._ready = recs
+        self._ready_pos = 0
+        return bool(recs)
+
+    def _read_one_slow(self) -> Optional[SequenceRecord]:
         while True:
             line = self._readline()
             if not line:
@@ -189,11 +308,21 @@ class MultiFileFastxStream:
 
     def read_batch(self, batch_size: int) -> List[SequenceRecord]:
         out: List[SequenceRecord] = []
-        for _ in range(batch_size):
-            rec = self.read_one()
-            if rec is None:
-                break
-            out.append(rec)
+        while len(out) < batch_size:
+            if self._reader is None:
+                if self._path_index >= len(self._paths):
+                    break
+                self._reader = FastxReader(self._paths[self._path_index],
+                                           self._range,
+                                           id_offset=self._next_id)
+                self._path_index += 1
+            got = self._reader.read_batch(batch_size - len(out))
+            if got:
+                self._next_id = got[-1].read_id + 1
+                out.extend(got)
+            else:
+                self._reader.close()
+                self._reader = None
         return out
 
 

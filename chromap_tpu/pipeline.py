@@ -1568,7 +1568,13 @@ class MappingPipeline:
         exact = np.zeros(nb, dtype=bool)
         keys = np.zeros(nb, dtype=np.uint64)
         if self.whitelist is not None and nb:
-            codes_mat = np.stack([rec.codes()[:blen] for rec in batch_bc])
+            from .utils import encode_sequence
+            buf = b"".join(bytes(rec.seq[:blen]) for rec in batch_bc)
+            if len(buf) == nb * blen:
+                codes_mat = encode_sequence(buf).reshape(nb, blen)
+            else:  # a short barcode read: per-record fallback
+                codes_mat = np.stack(
+                    [rec.codes()[:blen] for rec in batch_bc])
             weights = (np.uint64(4) ** np.arange(blen - 1, -1, -1,
                                                  dtype=np.uint64))
             keys = (np.where(codes_mat < 4, codes_mat, 0).astype(np.uint64)
@@ -1598,8 +1604,11 @@ class MappingPipeline:
             orig_ids.append(bi)
         if self.summary is not None:
             from .summary import TOTAL
-            for key in barcodes:
-                self.summary.update_count(key, TOTAL, 1)
+            if barcodes:
+                uk, cnt = np.unique(np.asarray(barcodes, dtype=np.uint64),
+                                    return_counts=True)
+                for key, c in zip(uk.tolist(), cnt.tolist()):
+                    self.summary.update_count(int(key), TOTAL, int(c))
             self.summary.update_nonwhitelist(TOTAL, nonwhitelist_count)
         return reads1, reads2, barcodes, orig_ids
 
@@ -1747,20 +1756,31 @@ class MappingPipeline:
         tl1, tl2 = info.tl1, info.tl2
         cig_buf, cig_off, md_buf, md_off, nm_arr = info.aux
         rid_a = out["rid"]
+        # row-wise python lists beat per-element numpy scalar conversion
+        # in this per-record loop
+        o_read_id = out["read_id"].tolist()
+        o_dir = out["dir"].tolist()
+        o_rid = rid_a.tolist()
+        o_rs1, o_re1 = out["rs1"].tolist(), out["re1"].tolist()
+        o_rs2, o_re2 = out["rs2"].tolist(), out["re2"].tolist()
+        o_mapq, o_uniq = out["mapq"].tolist(), out["uniq"].tolist()
+        cig_list = cig_buf.tolist()
+        cig_off_l = cig_off.tolist()
+        nm_list = nm_arr.tolist()
         prev_read_id = None
         occurrence = 0
         for i in range(len(rid_a)):
-            j = int(out["read_id"][i]) - base_read_id
+            j = o_read_id[i] - base_read_id
             bj = sel[j]
             read_id = int(batch1[bj].read_id)
             occurrence = occurrence + 1 if read_id == prev_read_id else 0
             prev_read_id = read_id
-            first_negative = int(out["dir"][i]) == 0
-            rid = int(rid_a[i])
-            rs1, re1 = int(out["rs1"][i]), int(out["re1"][i])
-            rs2, re2 = int(out["rs2"][i]), int(out["re2"][i])
-            mapq = int(out["mapq"][i])
-            uniq = int(out["uniq"][i])
+            first_negative = o_dir[i] == 0
+            rid = o_rid[i]
+            rs1, re1 = o_rs1[i], o_re1[i]
+            rs2, re2 = o_rs2[i], o_re2[i]
+            mapq = o_mapq[i]
+            uniq = o_uniq[i]
             barcode = int(barcodes[j]) if barcodes is not None else 0
             tlen = (re1 - rs2 + 1) if first_negative else (re2 - rs1 + 1)
             flag1, flag2 = 3, 3
@@ -1781,7 +1801,7 @@ class MappingPipeline:
                     (1, batch2[bj], flag2, rs2, rs1, not first_negative,
                      int(tl2[j]) if tl2 is not None else None)):
                 k = 2 * i + end
-                cigar = [int(c) for c in cig_buf[cig_off[k]:cig_off[k + 1]]]
+                cigar = cig_list[cig_off_l[k]:cig_off_l[k + 1]]
                 md = md_buf[md_off[k]:md_off[k + 1]]
                 full = bytes(rec.seq)
                 qual = bytes(rec.qual or b"")
@@ -1804,7 +1824,7 @@ class MappingPipeline:
                     num_dups=1, pos=pos, rid=rid, mpos=mpos, mrid=rid,
                     tlen=tlen if strand_bit else -tlen, flag=flagv,
                     direction=strand_bit, is_unique=uniq, mapq=mapq,
-                    NM=int(nm_arr[k]), cigar=cigar, MD=md,
+                    NM=nm_list[k], cigar=cigar, MD=md,
                     sequence=seq, qual=qual))
         self.num_candidates += int(stats[0])
         self.num_mappings += int(stats[1])
