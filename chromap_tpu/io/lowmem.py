@@ -135,11 +135,49 @@ def _find_best_dup(whitelist, dups: List[object]) -> object:
 
 
 def merge_and_output_low_memory(cfg: MappingConfig, shard_paths: List[str],
-                                writer, whitelist=None,
-                                summary=None) -> Tuple[int, int, int]:
+                                writer, whitelist=None, summary=None,
+                                engine=None) -> Tuple[int, int, int]:
     """Returns (num_uni, num_multi, num_passing_filters)."""
     if not shard_paths:
         return 0, 0, 0
+
+    # BED-family shards merge natively (engine.cpp cn_lowmem_merge_bed,
+    # identical semantics); text-record formats and barcode translation
+    # take the per-record path below
+    if (engine is not None
+            and cfg.output_format in ("bed", "tagalign")
+            and getattr(writer, "barcode_translator", None) is None):
+        tags = set()
+        ok = True
+        for p in shard_paths:
+            try:
+                with open(p, "rb") as f:
+                    hdr = f.read(7)
+            except OSError:
+                ok = False
+                break
+            if len(hdr) < 7 or hdr[:6] != _MAGIC:
+                ok = False
+                break
+            if hdr[6] != 0:
+                tags.add(hdr[6])
+        if ok and len(tags) <= 1 and tags <= {1, 2}:
+            try:
+                uni, multi, passing, items = engine.lowmem_merge_bed(
+                    cfg, writer.ref_names, shard_paths,
+                    writer.cell_barcode_length, whitelist,
+                    summary is not None)
+            except Exception:
+                pass
+            else:
+                if summary is not None:
+                    for key, mapped, dup, lowmapq in items:
+                        summary.update_count(key, MAPPED, mapped)
+                        if dup:
+                            summary.update_count(key, DUP, dup)
+                        if lowmapq:
+                            summary.update_count(key, LOWMAPQ, lowmapq)
+                return uni, multi, passing
 
     # per-shard read-buffer size under the reference's merge memory budget
     # (mapping_writer.h:179-184: 10 GiB, 1 GiB for text-record formats)

@@ -227,6 +227,19 @@ def load_library():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
     ]
+    lib.cn_lowmem_merge_bed.restype = ctypes.c_int64
+    lib.cn_lowmem_merge_bed.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int32,
+        ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_void_p,
+    ]
+    lib.cn_get_lowmem_summary.restype = ctypes.c_int64
+    lib.cn_get_lowmem_summary.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
     _lib = lib
     return lib
 
@@ -484,6 +497,61 @@ class NativeEngine:
         for key in out:
             out[key] = out[key][:count]
         return out, stats
+
+    def lowmem_merge_bed(self, cfg, ref_names, shard_paths,
+                         cell_barcode_length: int, whitelist,
+                         want_summary: bool):
+        """Native k-way merge + streaming dedup + Tn5 + BED/TagAlign write
+        of sorted temp shards (io/lowmem.py CTSH1 format, BED-family
+        tags); the exact semantics of merge_and_output_low_memory.
+        Returns (num_uni, num_multi, num_passing, summary_items) where
+        summary_items is [(barcode, mapped, dup, lowmapq), ...]."""
+        names_bytes = b"".join(ref_names)
+        name_offsets = np.zeros(len(ref_names) + 1, dtype=np.int64)
+        np.cumsum([len(x) for x in ref_names], out=name_offsets[1:])
+        enc = [p.encode() for p in shard_paths]
+        paths_bytes = b"".join(enc)
+        path_offsets = np.zeros(len(enc) + 1, dtype=np.int64)
+        np.cumsum([len(p) for p in enc], out=path_offsets[1:])
+        dedup_bulk = (cfg.remove_pcr_duplicates and not cfg.is_bulk_data
+                      and cfg.remove_pcr_duplicates_at_bulk_level)
+        wl_keys = wl_counts = None
+        wl_n = 0
+        if dedup_bulk and whitelist is not None and whitelist.table:
+            wl_keys = np.fromiter(whitelist.table.keys(), dtype=np.uint64,
+                                  count=len(whitelist.table))
+            wl_counts = np.fromiter(whitelist.table.values(),
+                                    dtype=np.int64,
+                                    count=len(whitelist.table))
+            order = np.argsort(wl_keys)
+            wl_keys = np.ascontiguousarray(wl_keys[order])
+            wl_counts = np.ascontiguousarray(wl_counts[order])
+            wl_n = len(wl_keys)
+        stats = np.zeros(3, dtype=np.int64)
+        fmt = 0 if cfg.output_format == "bed" else 1
+        res = self.lib.cn_lowmem_merge_bed(
+            self.ctx, cfg.mapping_output_file_path.encode(), fmt,
+            paths_bytes, _ptr(path_offsets), len(enc),
+            cfg.mapq_threshold, 1 if cfg.tn5_shift else 0,
+            1 if cfg.remove_pcr_duplicates else 0, 1 if dedup_bulk else 0,
+            names_bytes, _ptr(name_offsets), len(ref_names),
+            cell_barcode_length,
+            _ptr(wl_keys) if wl_keys is not None else None,
+            _ptr(wl_counts) if wl_counts is not None else None, wl_n,
+            1 if want_summary else 0, _ptr(stats))
+        if res < 0:
+            raise IOError(f"native low-mem merge failed ({res})")
+        items = []
+        if want_summary:
+            kp = ctypes.POINTER(ctypes.c_uint64)()
+            cp = ctypes.POINTER(ctypes.c_int64)()
+            nk = self.lib.cn_get_lowmem_summary(self.ctx,
+                                                ctypes.byref(kp),
+                                                ctypes.byref(cp))
+            for i in range(nk):
+                items.append((int(kp[i]), int(cp[3 * i]),
+                              int(cp[3 * i + 1]), int(cp[3 * i + 2])))
+        return int(stats[0]), int(stats[1]), int(stats[2]), items
 
     def set_rid_rank(self, ranks: List[int]) -> None:
         """Custom chromosome order: rank per original rid (--chr-order)."""

@@ -17,6 +17,7 @@
 // routes through the Python engines.
 
 #include <algorithm>
+#include <array>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
@@ -2427,6 +2428,11 @@ struct CnContext {
   // the trimmed sequence); filled by the last paired mapping call
   std::vector<uint16_t> pair_tl1, pair_tl2;
 
+  // per-barcode summary aggregates from the last native low-memory merge
+  // (MAPPED, DUP, LOWMAPQ triples; summary_metadata.h:17-25)
+  std::vector<uint64_t> lowmem_sum_keys;
+  std::vector<int64_t> lowmem_sum_counts;
+
   // device-verification work buffers (phase split)
   std::vector<int64_t> wb_pattern_starts;
   std::vector<int32_t> wb_text_offsets;
@@ -4134,6 +4140,391 @@ int64_t cn_postprocess_write(
   out_stats[1] = uni;
   out_stats[2] = multi;
   return written;
+}
+
+
+// ---------------------- native low-memory merge (BED) ----------------------
+// K-way merge of sorted temp shards (io/lowmem.py CTSH1 format, record tags
+// 1 = SE BED, 2 = PE BED) with streaming dedup, Tn5 and BED/TagAlign output
+// -- the exact semantics of merge_and_output_low_memory (which ports
+// mapping_writer.h:166-376). Cell-level dedup collapses equal dup_key runs
+// keeping the max-mapq representative; bulk-level dedup additionally picks
+// the best barcode by (num_dups, whitelist abundance)
+// (mapping_writer.h:128-165). Per-barcode MAPPED/DUP/LOWMAPQ aggregates are
+// stored on the context for the Python summary.
+
+namespace {
+
+struct LmRec {
+  uint64_t barcode;
+  uint32_t read_id, start;
+  uint16_t length, posalen, negalen;
+  uint8_t mapq, dir, uniq, dups, hasbc;
+};
+
+struct LmShard {
+  FILE* f = nullptr;
+  std::vector<uint8_t> buf;
+  size_t pos = 0, lim = 0;
+  uint64_t rids_left = 0;     // rid groups not yet started
+  uint64_t recs_left = 0;     // records left in the current rid group
+  int64_t rid = -1;
+  int rec_size = 0;
+  bool se = false;
+
+  bool Refill(size_t need) {
+    if (lim - pos >= need) return true;
+    memmove(buf.data(), buf.data() + pos, lim - pos);
+    lim -= pos;
+    pos = 0;
+    lim += fread(buf.data() + lim, 1, buf.size() - lim, f);
+    return lim - pos >= need;
+  }
+
+  // advance to the next nonempty rid group; false at end of shard
+  bool NextGroup() {
+    while (rids_left > 0) {
+      if (!Refill(8)) return false;
+      uint64_t cnt;
+      memcpy(&cnt, buf.data() + pos, 8);
+      pos += 8;
+      --rids_left;
+      ++rid;
+      if (cnt > 0) {
+        recs_left = cnt;
+        return true;
+      }
+    }
+    return false;
+  }
+
+  bool Next(LmRec& r) {
+    if (recs_left == 0 && !NextGroup()) return false;
+    if (!Refill((size_t)rec_size)) return false;
+    const uint8_t* p = buf.data() + pos;
+    memcpy(&r.read_id, p, 4);
+    memcpy(&r.barcode, p + 4, 8);
+    memcpy(&r.start, p + 12, 4);
+    memcpy(&r.length, p + 16, 2);
+    r.mapq = p[18];
+    r.dir = p[19];
+    r.uniq = p[20];
+    r.dups = p[21];
+    if (se) {
+      r.posalen = r.negalen = 0;
+      r.hasbc = p[22];
+    } else {
+      memcpy(&r.posalen, p + 22, 2);
+      memcpy(&r.negalen, p + 24, 2);
+      r.hasbc = p[26];
+    }
+    pos += rec_size;
+    --recs_left;
+    return true;
+  }
+};
+
+// sort_key comparison (records.py SEBedRecord/PEBedRecord.sort_key)
+inline int LmCmp(const LmRec& a, const LmRec& b, bool se) {
+#define CN_CMP(f) \
+  if (a.f != b.f) return a.f < b.f ? -1 : 1;
+  CN_CMP(start)
+  CN_CMP(length)
+  if (a.hasbc) CN_CMP(barcode)
+  CN_CMP(mapq)
+  CN_CMP(dir)
+  CN_CMP(uniq)
+  CN_CMP(read_id)
+  if (!se) {
+    CN_CMP(posalen)
+    CN_CMP(negalen)
+  }
+#undef CN_CMP
+  return 0;
+}
+
+}  // namespace
+
+int64_t cn_lowmem_merge_bed(
+    CnContext* ctx, const char* out_path, int32_t format /*0 bed, 1 tag*/,
+    const char* paths_bytes, const int64_t* path_offsets, int32_t n_shards,
+    int32_t mapq_threshold, int32_t tn5, int32_t remove_dups,
+    int32_t dedup_bulk, const char* ref_names_bytes,
+    const int64_t* ref_name_offsets, int32_t num_refs,
+    int32_t cell_barcode_length, const uint64_t* wl_keys,
+    const int64_t* wl_counts, int64_t wl_n, int32_t want_summary,
+    int64_t* out_stats /*[3]: uni, multi, passing*/) {
+  (void)num_refs;
+  std::vector<LmShard> shards((size_t)n_shards);
+  const size_t kBlock = 1 << 20;
+  bool se_mode = false;
+  int live = 0;
+  for (int i = 0; i < n_shards; ++i) {
+    LmShard& s = shards[i];
+    std::string path(paths_bytes + path_offsets[i],
+                     paths_bytes + path_offsets[i + 1]);
+    s.f = fopen(path.c_str(), "rb");
+    if (!s.f) return -1;
+    s.buf.resize(kBlock);
+    if (!s.Refill(6 + 1 + 8)) {
+      fclose(s.f);
+      s.f = nullptr;
+      continue;
+    }
+    if (memcmp(s.buf.data() + s.pos, "CTSH1\0", 6) != 0) return -2;
+    uint8_t tag = s.buf[s.pos + 6];
+    uint64_t num_rids;
+    memcpy(&num_rids, s.buf.data() + s.pos + 7, 8);
+    s.pos += 15;
+    if (tag == 0) {  // empty shard
+      fclose(s.f);
+      s.f = nullptr;
+      continue;
+    }
+    if (tag != 1 && tag != 2) return -3;
+    s.se = tag == 1;
+    se_mode = s.se;
+    s.rec_size = s.se ? 23 : 27;
+    s.rids_left = num_rids;
+    s.rid = -1;
+    ++live;
+  }
+
+  FILE* out = fopen(out_path, "w");
+  if (!out) return -1;
+  std::vector<char> iobuf(1 << 20);
+  setvbuf(out, iobuf.data(), _IOFBF, iobuf.size());
+
+  // heap of shard heads ordered by (rid, sort_key, shard index)
+  struct Head {
+    LmRec r;
+    int64_t rid;
+    int si;
+  };
+  std::vector<Head> heap;
+  heap.reserve((size_t)live);
+  auto hgt = [&](const Head& a, const Head& b) {  // a after b
+    if (a.rid != b.rid) return a.rid > b.rid;
+    int c = LmCmp(a.r, b.r, se_mode);
+    if (c != 0) return c > 0;
+    return a.si > b.si;
+  };
+  for (int i = 0; i < n_shards; ++i) {
+    if (!shards[i].f) continue;
+    Head h;
+    h.si = i;
+    if (shards[i].Next(h.r)) {
+      h.rid = shards[i].rid;
+      heap.push_back(h);
+    }
+  }
+  std::make_heap(heap.begin(), heap.end(), hgt);
+
+  char bc_str[40];
+  auto barcode_str = [&](uint64_t key) -> int {
+    if (cell_barcode_length == 0) {
+      bc_str[0] = 'N';
+      return 1;
+    }
+    static const char kB[4] = {'A', 'C', 'G', 'T'};
+    for (int i = 0; i < cell_barcode_length; ++i)
+      bc_str[i] = kB[(key >> (2 * (cell_barcode_length - 1 - i))) & 3];
+    return cell_barcode_length;
+  };
+
+  auto abundance = [&](uint64_t key) -> int64_t {
+    if (!wl_keys || wl_n == 0) return 0;
+    int64_t lo = 0, hi = wl_n;
+    while (lo < hi) {
+      int64_t mid = (lo + hi) >> 1;
+      if (wl_keys[mid] < key)
+        lo = mid + 1;
+      else
+        hi = mid;
+    }
+    return (lo < wl_n && wl_keys[lo] == key) ? wl_counts[lo] : 0;
+  };
+
+  std::unordered_map<uint64_t, std::array<int64_t, 3>> sum;  // M, D, L
+
+  int64_t uni = 0, multi = 0, passing = 0;
+  bool have_last = false;
+  int64_t last_rid = -1;
+  LmRec last;
+  uint64_t run = 0;
+  struct BulkDup {
+    LmRec r;
+    uint32_t sel_dups;
+  };
+  std::vector<BulkDup> bulk_dups;
+
+  auto emit = [&](const LmRec& mr, int64_t rid) {
+    LmRec m = mr;  // Tn5 mutates
+    const char* name = ref_names_bytes + ref_name_offsets[rid];
+    int nl = (int)(ref_name_offsets[rid + 1] - ref_name_offsets[rid]);
+    if (tn5) {
+      if (se_mode) {
+        if (m.dir)
+          m.start += 4;
+        else
+          m.length = (uint16_t)(m.length - 5);
+      } else {
+        m.start += 4;
+        m.posalen = (uint16_t)(m.posalen - 4);
+        m.length = (uint16_t)(m.length - 9);
+        m.negalen = (uint16_t)(m.negalen - 5);
+      }
+    }
+    uint32_t s = m.start, e2 = m.start + m.length;
+    if (se_mode || format == 0) {
+      if (m.hasbc) {
+        int n2 = barcode_str(m.barcode);
+        fprintf(out, "%.*s\t%u\t%u\t%.*s\t%u\n", nl, name, s, e2, n2,
+                bc_str, (unsigned)m.dups);
+      } else {
+        fprintf(out, "%.*s\t%u\t%u\tN\t%u\t%c\t%u\n", nl, name, s, e2,
+                (unsigned)m.mapq, m.dir ? '+' : '-', (unsigned)m.dups);
+      }
+    } else {  // PE TagAlign two-line output (writers.py _append_pe_bed)
+      uint32_t pe = m.start + m.posalen;
+      uint32_t ne = m.start + m.length;
+      uint32_t ns = ne - m.negalen;
+      if (m.hasbc) {
+        if (m.dir)
+          fprintf(out, "%.*s\t%u\t%u\tN\t%u\t+\n%.*s\t%u\t%u\tN\t%u\t-\n",
+                  nl, name, s, pe, (unsigned)m.mapq, nl, name, ns, ne,
+                  (unsigned)m.mapq);
+        else
+          fprintf(out, "%.*s\t%u\t%u\tN\t%u\t-\n%.*s\t%u\t%u\tN\t%u\t+\n",
+                  nl, name, ns, ne, (unsigned)m.mapq, nl, name, s, pe,
+                  (unsigned)m.mapq);
+      } else {
+        if (m.dir)
+          fprintf(out,
+                  "%.*s\t%u\t%u\tN\t%u\t+\n%.*s\t%u\t%u\tN\t%u\t-\t%u\n",
+                  nl, name, s, pe, (unsigned)m.mapq, nl, name, ns, ne,
+                  (unsigned)m.mapq, (unsigned)m.dups);
+        else
+          fprintf(out,
+                  "%.*s\t%u\t%u\tN\t%u\t-\n%.*s\t%u\t%u\tN\t%u\t+\t%u\n",
+                  nl, name, ns, ne, (unsigned)m.mapq, nl, name, s, pe,
+                  (unsigned)m.mapq, (unsigned)m.dups);
+      }
+    }
+  };
+
+  auto flush_last = [&]() {
+    if (!have_last) return;
+    LmRec m = last;
+    if (dedup_bulk && !bulk_dups.empty()) {
+      // FindBestMappingIndexFromDuplicates (mapping_writer.h:128-165):
+      // best_abundance tracks the CURRENT best only (reference-faithful)
+      size_t best = 0;
+      int64_t best_ab = abundance(bulk_dups[0].r.barcode);
+      for (size_t i = 1; i < bulk_dups.size(); ++i) {
+        int64_t ab = abundance(bulk_dups[i].r.barcode);
+        if (bulk_dups[i].sel_dups > bulk_dups[best].sel_dups ||
+            (bulk_dups[i].sel_dups == bulk_dups[best].sel_dups &&
+             ab > best_ab)) {
+          best = i;
+          best_ab = ab;
+        }
+      }
+      m = bulk_dups[best].r;
+      bulk_dups.clear();
+    }
+    if (m.mapq >= mapq_threshold) {
+      m.dups = (uint8_t)(run > 255 ? 255 : run);
+      emit(m, last_rid);
+      ++passing;
+      if (want_summary) sum[m.barcode][1] += (int64_t)run - 1;  // DUP
+    } else if (want_summary) {
+      sum[m.barcode][2] += (int64_t)run;  // LOWMAPQ
+    }
+    if (want_summary) sum[m.barcode][0] += (int64_t)run;  // MAPPED
+    if (m.uniq)
+      ++uni;
+    else
+      ++multi;
+  };
+
+  while (!heap.empty()) {
+    std::pop_heap(heap.begin(), heap.end(), hgt);
+    Head h = heap.back();
+    heap.pop_back();
+    const LmRec& m = h.r;
+    bool dup_cell =
+        have_last && m.start == last.start &&
+        (se_mode || m.length == last.length) &&
+        (!m.hasbc || m.barcode == last.barcode);
+    bool dup_pos = have_last && dedup_bulk && m.start == last.start &&
+                   (se_mode || m.length == last.length);
+    bool is_dup = have_last && last_rid == h.rid && (dup_cell || dup_pos);
+    if (remove_dups && is_dup) {
+      ++run;
+      if (dedup_bulk) {
+        // the reference assigns the incoming record then num_dups_ += 1,
+        // so the selection count is incoming+1, not accumulated
+        if (!bulk_dups.empty() &&
+            (!m.hasbc || m.barcode == bulk_dups.back().r.barcode) &&
+            m.start == bulk_dups.back().r.start &&
+            (se_mode || m.length == bulk_dups.back().r.length)) {
+          bulk_dups.back().r = m;
+          bulk_dups.back().sel_dups = (uint32_t)m.dups + 1;
+        } else {
+          bulk_dups.push_back({m, 1});
+        }
+      }
+      if (m.mapq > last.mapq) last = m;
+    } else {
+      flush_last();
+      last = m;
+      last_rid = h.rid;
+      have_last = true;
+      run = 1;
+      if (dedup_bulk) {
+        bulk_dups.clear();
+        bulk_dups.push_back({m, 1});
+      }
+    }
+    // refill this shard's head
+    LmShard& s = shards[h.si];
+    Head nh;
+    nh.si = h.si;
+    if (s.Next(nh.r)) {
+      nh.rid = s.rid;
+      heap.push_back(nh);
+      std::push_heap(heap.begin(), heap.end(), hgt);
+    }
+  }
+  flush_last();
+  fclose(out);
+  for (auto& s : shards)
+    if (s.f) fclose(s.f);
+
+  ctx->lowmem_sum_keys.clear();
+  ctx->lowmem_sum_counts.clear();
+  if (want_summary) {
+    ctx->lowmem_sum_keys.reserve(sum.size());
+    ctx->lowmem_sum_counts.reserve(sum.size() * 3);
+    for (auto& kv : sum) {
+      ctx->lowmem_sum_keys.push_back(kv.first);
+      ctx->lowmem_sum_counts.push_back(kv.second[0]);
+      ctx->lowmem_sum_counts.push_back(kv.second[1]);
+      ctx->lowmem_sum_counts.push_back(kv.second[2]);
+    }
+  }
+  out_stats[0] = uni;
+  out_stats[1] = multi;
+  out_stats[2] = passing;
+  return passing;
+}
+
+int64_t cn_get_lowmem_summary(CnContext* ctx, const uint64_t** keys,
+                              const int64_t** counts) {
+  *keys = ctx->lowmem_sum_keys.data();
+  *counts = ctx->lowmem_sum_counts.data();
+  return (int64_t)ctx->lowmem_sum_keys.size();
 }
 
 }  // extern "C"

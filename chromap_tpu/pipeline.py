@@ -2255,7 +2255,7 @@ class MappingPipeline:
                 self.num_mappings_in_mem = 0
             num_uni, num_multi, num_passing = merge_and_output_low_memory(
                 cfg, self.temp_shard_paths, writer, whitelist=self.whitelist,
-                summary=self.summary)
+                summary=self.summary, engine=self._native_engine)
             log(f"# uni-mappings: {num_uni}, # multi-mappings: {num_multi}, "
                 f"total: {num_uni + num_multi}.")
             log(f"Number of output mappings (passed filters): {num_passing}")

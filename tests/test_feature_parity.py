@@ -148,6 +148,32 @@ def test_forced_lowmem_spill(sc_data, golden_dir, tmp_path):
     assert out.read_bytes() == (golden_dir / "sim_default.bed").read_bytes()
 
 
+def test_forced_lowmem_spill_barcoded(sc_data, tmp_path):
+    """Barcoded --low-mem with many forced shards (native k-way merge,
+    bulk-level best-duplicate selection, per-barcode summary) is
+    byte-identical to the in-memory run, and the summary CSVs agree."""
+    import os
+    env = dict(os.environ, CHROMAP_TPU_LOWMEM_MAX_RECORDS="500")
+    outs = {}
+    for mode, extra, e in (("mem", [], None), ("lowmem", ["--low-mem"], env)):
+        out = tmp_path / f"{mode}.bed"
+        csv = tmp_path / f"{mode}.csv"
+        args = [sys.executable, "-m", "chromap_tpu.cli",
+                "-x", f"{sc_data}/index", "-r", f"{sc_data}/ref.fa",
+                "-1", f"{sc_data}/r1.fq", "-2", f"{sc_data}/r2.fq",
+                "-b", f"{sc_data}/bc.fq",
+                "--barcode-whitelist", f"{sc_data}/whitelist.txt",
+                "--remove-pcr-duplicates", "--Tn5-shift", "-l", "2000",
+                "--summary", str(csv), "-o", str(out)] + extra
+        result = subprocess.run(args, capture_output=True, text=True,
+                                env=e)
+        assert result.returncode == 0, result.stderr
+        outs[mode] = (out.read_bytes(),
+                      sorted(csv.read_text().splitlines()))
+    assert outs["mem"][0] == outs["lowmem"][0]
+    assert outs["mem"][1] == outs["lowmem"][1]
+
+
 def test_feature_barcode_matrix(sc_data, golden_dir, tmp_path):
     """scATAC feature-barcode matrix (--matrix-output-prefix): peaks,
     MatrixMarket counts and barcode list against frozen goldens. The
