@@ -101,6 +101,66 @@ class TempMappingShard:
                     yield rid, m
 
 
+import numpy as np
+
+# packed layout of _PE_S ("<IQIHBBBBHHB", records.py) as a numpy dtype so
+# whole spill chunks pack without per-record struct calls
+PE_SPILL_DT = np.dtype({
+    "names": ["read_id", "barcode", "start", "length", "mapq", "dir",
+              "uniq", "dups", "posalen", "negalen", "hasbc"],
+    "formats": ["<u4", "<u8", "<u4", "<u2", "u1", "u1", "u1", "u1",
+                "<u2", "<u2", "u1"],
+    "offsets": [0, 4, 12, 16, 18, 19, 20, 21, 22, 24, 26],
+    "itemsize": 27})
+
+
+def _spill_base(cfg: MappingConfig, base: str) -> str:
+    if base is None:
+        base = cfg.mapping_output_file_path
+    if base in ("/dev/stdout", "/dev/stderr"):
+        base = "chromap_output"
+    return base
+
+
+def spill_pe_arrays(cfg: MappingConfig, chunks: List[tuple], num_refs: int,
+                    shard_paths: List[str], base: str = None) -> None:
+    """Vectorized spill of PE BED rows collected as (rid array, structured
+    record array) chunks -- the array analog of spill_mappings: one
+    lexsort by (rid, sort_key) and one CTSH1 shard, byte-identical to the
+    record-object path's."""
+    rid = (np.concatenate([c[0] for c in chunks]) if chunks
+           else np.empty(0, np.int64))
+    arr = (np.concatenate([c[1] for c in chunks]) if chunks
+           else np.empty(0, PE_SPILL_DT))
+    path = f"{_spill_base(cfg, base)}.temp{len(shard_paths)}"
+    with open(path, "wb") as f:
+        if len(arr) == 0:
+            # mirror TempMappingShard.write for an all-empty spill
+            f.write(_MAGIC + bytes([0]) + _U64.pack(num_refs))
+            f.write(_U64.pack(0) * num_refs)
+            shard_paths.append(path)
+            return
+        keys = [arr["negalen"], arr["posalen"], arr["read_id"],
+                arr["uniq"], arr["dir"], arr["mapq"]]
+        if arr["hasbc"][0]:
+            keys.append(arr["barcode"])
+        keys += [arr["length"], arr["start"], rid]
+        order = np.lexsort(keys)
+        rid_s = rid[order]
+        arr_s = np.ascontiguousarray(arr[order])
+        counts = np.bincount(rid_s, minlength=num_refs)
+        bounds = np.zeros(num_refs + 1, dtype=np.int64)
+        np.cumsum(counts, out=bounds[1:])
+        raw = arr_s.tobytes()
+        isz = PE_SPILL_DT.itemsize
+        f.write(_MAGIC + bytes([2]) + _U64.pack(num_refs))
+        for r in range(num_refs):
+            f.write(_U64.pack(int(counts[r])))
+            if counts[r]:
+                f.write(raw[bounds[r] * isz:bounds[r + 1] * isz])
+    shard_paths.append(path)
+
+
 def spill_mappings(cfg: MappingConfig, mappings_on_refs: List[List[object]],
                    shard_paths: List[str], base: str = None) -> None:
     from ..mapping.postprocess import sort_mappings

@@ -767,6 +767,55 @@ class MappingPipeline:
         log(f"Number of candidates: {self.num_candidates}.")
         log(f"Number of mappings: {self.num_mappings}.")
 
+    def _stash_pe_rows(self, rid_a, out, oid, bcs) -> None:
+        """Collect one batch's PE BED rows as a structured spill chunk
+        (the array analog of the PEBedRecord emit loop)."""
+        from .io.lowmem import PE_SPILL_DT
+        n = len(rid_a)
+        arr = np.zeros(n, dtype=PE_SPILL_DT)
+        j = out["read_id"]
+        arr["read_id"] = oid[j]
+        if bcs is not None:
+            arr["barcode"] = bcs[j]
+            arr["hasbc"] = 1
+        arr["start"] = out["start"]
+        arr["length"] = out["flen"]
+        arr["mapq"] = out["mapq"]
+        arr["dir"] = out["dir"]
+        arr["uniq"] = out["uniq"]
+        arr["dups"] = 1
+        arr["posalen"] = out["posalen"]
+        arr["negalen"] = out["negalen"]
+        chunks = getattr(self, "_spill_chunks", None)
+        if chunks is None:
+            chunks = self._spill_chunks = []
+        chunks.append((rid_a.astype(np.int64), arr))
+        self.num_mappings_in_mem += n
+
+    def _array_spill_ok(self) -> bool:
+        """BED-family low-mem/shard runs collect mapping rows as numpy
+        chunks and spill them vectorized (spill_pe_arrays); record objects
+        remain for text formats, the matrix, and allocation."""
+        cfg = self.cfg
+        return ((cfg.low_memory_mode or cfg.num_shards > 1)
+                and cfg.output_format in ("bed", "tagalign")
+                and not cfg.matrix_output_prefix
+                and not cfg.allocate_multi_mappings)
+
+    def _spill_now(self, base) -> None:
+        from .io.lowmem import spill_mappings, spill_pe_arrays
+        chunks = getattr(self, "_spill_chunks", None)
+        if chunks:
+            spill_pe_arrays(self.cfg, chunks, len(self.ref_names),
+                            self.temp_shard_paths, base=base)
+            chunks.clear()
+            if any(self.mappings_on_refs):  # defensive: mixed emitters
+                spill_mappings(self.cfg, self.mappings_on_refs,
+                               self.temp_shard_paths, base=base)
+        else:
+            spill_mappings(self.cfg, self.mappings_on_refs,
+                           self.temp_shard_paths, base=base)
+
     def _maybe_spill(self) -> None:
         """Spill sorted shards when over budget (low-memory mode)."""
         cfg = self.cfg
@@ -774,12 +823,10 @@ class MappingPipeline:
             return
         if self.num_mappings_in_mem <= self.max_mappings_in_mem:
             return
-        from .io.lowmem import spill_mappings
         base = None
         if cfg.num_shards > 1:
             base = f"{cfg.mapping_output_file_path}.shard{cfg.shard_index}"
-        spill_mappings(cfg, self.mappings_on_refs, self.temp_shard_paths,
-                       base=base)
+        self._spill_now(base)
         if (len(self.temp_shard_paths) > 850
                 and len(self.temp_shard_paths) % 10 == 1):
             # past 850 temp files, double the per-file volume so the file
@@ -1534,15 +1581,19 @@ class MappingPipeline:
         out, stats = self._map_pairs_hybrid(engine, reads1, reads2, 0,
                                             threshold)
         rid_a = out["rid"]
-        for i in range(len(rid_a)):
-            rec = PEBedRecord(
-                read_id=int(orig_ids[int(out["read_id"][i])]), barcode=0,
-                start=int(out["start"][i]), length=int(out["flen"][i]),
-                mapq=int(out["mapq"][i]), direction=int(out["dir"][i]),
-                is_unique=int(out["uniq"][i]), num_dups=1,
-                positive_alignment_length=int(out["posalen"][i]),
-                negative_alignment_length=int(out["negalen"][i]))
-            emit(int(rid_a[i]), rec)
+        if self._array_spill_ok():
+            self._stash_pe_rows(rid_a, out, orig_ids, None)
+        else:
+            for i in range(len(rid_a)):
+                rec = PEBedRecord(
+                    read_id=int(orig_ids[int(out["read_id"][i])]),
+                    barcode=0,
+                    start=int(out["start"][i]), length=int(out["flen"][i]),
+                    mapq=int(out["mapq"][i]), direction=int(out["dir"][i]),
+                    is_unique=int(out["uniq"][i]), num_dups=1,
+                    positive_alignment_length=int(out["posalen"][i]),
+                    negative_alignment_length=int(out["negalen"][i]))
+                emit(int(rid_a[i]), rec)
         self.num_candidates += int(stats[0])
         self.num_mappings += int(stats[1])
         self.num_mapped_reads += int(stats[2])
@@ -1648,17 +1699,20 @@ class MappingPipeline:
                          dtype=np.uint32)
         bcs = np.asarray(barcodes, dtype=np.uint64)
         idx = out["read_id"]
-        for i in range(len(rid_a)):
-            j = int(idx[i])
-            rec = PEBedRecord(
-                read_id=int(oid[j]), barcode=int(bcs[j]),
-                start=int(out["start"][i]), length=int(out["flen"][i]),
-                mapq=int(out["mapq"][i]), direction=int(out["dir"][i]),
-                is_unique=int(out["uniq"][i]), num_dups=1,
-                positive_alignment_length=int(out["posalen"][i]),
-                negative_alignment_length=int(out["negalen"][i]),
-                has_barcode=True)
-            emit(int(rid_a[i]), rec)
+        if self._array_spill_ok():
+            self._stash_pe_rows(rid_a, out, oid, bcs)
+        else:
+            for i in range(len(rid_a)):
+                j = int(idx[i])
+                rec = PEBedRecord(
+                    read_id=int(oid[j]), barcode=int(bcs[j]),
+                    start=int(out["start"][i]), length=int(out["flen"][i]),
+                    mapq=int(out["mapq"][i]), direction=int(out["dir"][i]),
+                    is_unique=int(out["uniq"][i]), num_dups=1,
+                    positive_alignment_length=int(out["posalen"][i]),
+                    negative_alignment_length=int(out["negalen"][i]),
+                    has_barcode=True)
+                emit(int(rid_a[i]), rec)
         self.num_candidates += int(stats[0])
         self.num_mappings += int(stats[1])
         self.num_mapped_reads += int(stats[2])
@@ -2239,19 +2293,16 @@ class MappingPipeline:
         if cfg.num_shards > 1:
             # sharded run: emit sorted spill shards only; a merge invocation
             # (--merge-shards) unifies shards from all hosts
-            from .io.lowmem import spill_mappings
             base = f"{cfg.mapping_output_file_path}.shard{cfg.shard_index}"
-            spill_mappings(cfg, self.mappings_on_refs, self.temp_shard_paths,
-                           base=base)
+            self._spill_now(base)
             log(f"Shard {cfg.shard_index}/{cfg.num_shards} wrote "
                 f"{len(self.temp_shard_paths)} spill files at {base}.temp*")
             self.temp_shard_paths.clear()
             return
         if cfg.low_memory_mode:
-            from .io.lowmem import merge_and_output_low_memory, spill_mappings
+            from .io.lowmem import merge_and_output_low_memory
             if self.num_mappings_in_mem > 0 or not self.temp_shard_paths:
-                spill_mappings(cfg, self.mappings_on_refs,
-                               self.temp_shard_paths)
+                self._spill_now(None)
                 self.num_mappings_in_mem = 0
             num_uni, num_multi, num_passing = merge_and_output_low_memory(
                 cfg, self.temp_shard_paths, writer, whitelist=self.whitelist,
