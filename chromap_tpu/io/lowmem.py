@@ -103,8 +103,9 @@ class TempMappingShard:
 
 import numpy as np
 
-# packed layout of _PE_S ("<IQIHBBBBHHB", records.py) as a numpy dtype so
-# whole spill chunks pack without per-record struct calls
+# packed layouts of _PE_S ("<IQIHBBBBHHB") / _SE_S ("<IQIHBBBBB")
+# (records.py) as numpy dtypes so whole spill chunks pack without
+# per-record struct calls
 PE_SPILL_DT = np.dtype({
     "names": ["read_id", "barcode", "start", "length", "mapq", "dir",
               "uniq", "dups", "posalen", "negalen", "hasbc"],
@@ -112,6 +113,12 @@ PE_SPILL_DT = np.dtype({
                 "<u2", "<u2", "u1"],
     "offsets": [0, 4, 12, 16, 18, 19, 20, 21, 22, 24, 26],
     "itemsize": 27})
+SE_SPILL_DT = np.dtype({
+    "names": ["read_id", "barcode", "start", "length", "mapq", "dir",
+              "uniq", "dups", "hasbc"],
+    "formats": ["<u4", "<u8", "<u4", "<u2", "u1", "u1", "u1", "u1", "u1"],
+    "offsets": [0, 4, 12, 16, 18, 19, 20, 21, 22],
+    "itemsize": 23})
 
 
 def _spill_base(cfg: MappingConfig, base: str) -> str:
@@ -122,12 +129,12 @@ def _spill_base(cfg: MappingConfig, base: str) -> str:
     return base
 
 
-def spill_pe_arrays(cfg: MappingConfig, chunks: List[tuple], num_refs: int,
-                    shard_paths: List[str], base: str = None) -> None:
-    """Vectorized spill of PE BED rows collected as (rid array, structured
-    record array) chunks -- the array analog of spill_mappings: one
-    lexsort by (rid, sort_key) and one CTSH1 shard, byte-identical to the
-    record-object path's."""
+def spill_bed_arrays(cfg: MappingConfig, chunks: List[tuple], num_refs: int,
+                     shard_paths: List[str], base: str = None) -> None:
+    """Vectorized spill of SE/PE BED rows collected as (rid array,
+    structured record array) chunks -- the array analog of
+    spill_mappings: one lexsort by (rid, sort_key) and one CTSH1 shard,
+    byte-identical to the record-object path's."""
     rid = (np.concatenate([c[0] for c in chunks]) if chunks
            else np.empty(0, np.int64))
     arr = (np.concatenate([c[1] for c in chunks]) if chunks
@@ -140,8 +147,9 @@ def spill_pe_arrays(cfg: MappingConfig, chunks: List[tuple], num_refs: int,
             f.write(_U64.pack(0) * num_refs)
             shard_paths.append(path)
             return
-        keys = [arr["negalen"], arr["posalen"], arr["read_id"],
-                arr["uniq"], arr["dir"], arr["mapq"]]
+        se = arr.dtype.itemsize == SE_SPILL_DT.itemsize
+        keys = ([] if se else [arr["negalen"], arr["posalen"]]) + \
+            [arr["read_id"], arr["uniq"], arr["dir"], arr["mapq"]]
         if arr["hasbc"][0]:
             keys.append(arr["barcode"])
         keys += [arr["length"], arr["start"], rid]
@@ -152,8 +160,8 @@ def spill_pe_arrays(cfg: MappingConfig, chunks: List[tuple], num_refs: int,
         bounds = np.zeros(num_refs + 1, dtype=np.int64)
         np.cumsum(counts, out=bounds[1:])
         raw = arr_s.tobytes()
-        isz = PE_SPILL_DT.itemsize
-        f.write(_MAGIC + bytes([2]) + _U64.pack(num_refs))
+        isz = arr.dtype.itemsize
+        f.write(_MAGIC + bytes([1 if se else 2]) + _U64.pack(num_refs))
         for r in range(num_refs):
             f.write(_U64.pack(int(counts[r])))
             if counts[r]:

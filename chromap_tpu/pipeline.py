@@ -792,6 +792,29 @@ class MappingPipeline:
         chunks.append((rid_a.astype(np.int64), arr))
         self.num_mappings_in_mem += n
 
+    def _stash_se_rows(self, rid_a, out, oid, bcs) -> None:
+        """Collect one batch's SE BED rows as a structured spill chunk
+        (the array analog of the SEBedRecord emit loop)."""
+        from .io.lowmem import SE_SPILL_DT
+        n = len(rid_a)
+        arr = np.zeros(n, dtype=SE_SPILL_DT)
+        j = out["read_id"]
+        arr["read_id"] = oid[j]
+        if bcs is not None:
+            arr["barcode"] = bcs[j]
+            arr["hasbc"] = 1
+        arr["start"] = out["start"]
+        arr["length"] = out["flen"]
+        arr["mapq"] = out["mapq"]
+        arr["dir"] = out["dir"]
+        arr["uniq"] = out["uniq"]
+        arr["dups"] = 1
+        chunks = getattr(self, "_spill_chunks", None)
+        if chunks is None:
+            chunks = self._spill_chunks = []
+        chunks.append((rid_a.astype(np.int64), arr))
+        self.num_mappings_in_mem += n
+
     def _array_spill_ok(self) -> bool:
         """BED-family low-mem/shard runs collect mapping rows as numpy
         chunks and spill them vectorized (spill_pe_arrays); record objects
@@ -803,11 +826,11 @@ class MappingPipeline:
                 and not cfg.allocate_multi_mappings)
 
     def _spill_now(self, base) -> None:
-        from .io.lowmem import spill_mappings, spill_pe_arrays
+        from .io.lowmem import spill_mappings, spill_bed_arrays
         chunks = getattr(self, "_spill_chunks", None)
         if chunks:
-            spill_pe_arrays(self.cfg, chunks, len(self.ref_names),
-                            self.temp_shard_paths, base=base)
+            spill_bed_arrays(self.cfg, chunks, len(self.ref_names),
+                             self.temp_shard_paths, base=base)
             chunks.clear()
             if any(self.mappings_on_refs):  # defensive: mixed emitters
                 spill_mappings(self.cfg, self.mappings_on_refs,
@@ -2104,13 +2127,17 @@ class MappingPipeline:
         out, stats = self._map_single_hybrid(engine, r_bytes, r_off, n, 0,
                                              threshold)
         rid_a = out["rid"]
-        for i in range(len(rid_a)):
-            rec = SEBedRecord(
-                read_id=int(orig_ids[int(out["read_id"][i])]), barcode=0,
-                start=int(out["start"][i]), length=int(out["flen"][i]),
-                mapq=int(out["mapq"][i]), direction=int(out["dir"][i]),
-                is_unique=int(out["uniq"][i]), num_dups=1)
-            emit(int(rid_a[i]), rec)
+        if self._array_spill_ok():
+            self._stash_se_rows(rid_a, out, orig_ids, None)
+        else:
+            for i in range(len(rid_a)):
+                rec = SEBedRecord(
+                    read_id=int(orig_ids[int(out["read_id"][i])]),
+                    barcode=0,
+                    start=int(out["start"][i]), length=int(out["flen"][i]),
+                    mapq=int(out["mapq"][i]), direction=int(out["dir"][i]),
+                    is_unique=int(out["uniq"][i]), num_dups=1)
+                emit(int(rid_a[i]), rec)
         self.num_candidates += int(stats[0])
         self.num_mappings += int(stats[1])
         self.num_mapped_reads += int(stats[2])
@@ -2154,14 +2181,19 @@ class MappingPipeline:
         out, stats = self._map_single_hybrid(engine, r_bytes, r_off, n, 0,
                                              threshold)
         rid_a = out["rid"]
-        for i in range(len(rid_a)):
-            j = int(out["read_id"][i])
-            emit(int(rid_a[i]), SEBedRecord(
-                read_id=int(orig_ids[j]), barcode=int(barcodes[j]),
-                start=int(out["start"][i]), length=int(out["flen"][i]),
-                mapq=int(out["mapq"][i]), direction=int(out["dir"][i]),
-                is_unique=int(out["uniq"][i]), num_dups=1,
-                has_barcode=True))
+        if self._array_spill_ok():
+            self._stash_se_rows(rid_a, out,
+                                np.asarray(orig_ids, dtype=np.uint32),
+                                np.asarray(barcodes, dtype=np.uint64))
+        else:
+            for i in range(len(rid_a)):
+                j = int(out["read_id"][i])
+                emit(int(rid_a[i]), SEBedRecord(
+                    read_id=int(orig_ids[j]), barcode=int(barcodes[j]),
+                    start=int(out["start"][i]), length=int(out["flen"][i]),
+                    mapq=int(out["mapq"][i]), direction=int(out["dir"][i]),
+                    is_unique=int(out["uniq"][i]), num_dups=1,
+                    has_barcode=True))
         self.num_candidates += int(stats[0])
         self.num_mappings += int(stats[1])
         self.num_mapped_reads += int(stats[2])

@@ -148,6 +148,32 @@ def test_forced_lowmem_spill(sc_data, golden_dir, tmp_path):
     assert out.read_bytes() == (golden_dir / "sim_default.bed").read_bytes()
 
 
+def test_forced_lowmem_spill_single_end(sc_data, tmp_path):
+    """Single-end --low-mem with many forced shards (SE array spill +
+    native k-way merge) equals the single-shard low-mem run. (SE low-mem
+    output legitimately differs from the in-memory run under --Tn5-shift:
+    the merge dedups on unshifted starts and shifts at write,
+    mapping_writer.h:281-301, while the in-memory path shifts first --
+    and the SE shift is strand-dependent.)"""
+    import os
+    outs = {}
+    for mode, records in (("multi", "500"), ("single", None)):
+        out = tmp_path / f"se_{mode}.bed"
+        env = dict(os.environ)
+        if records:
+            env["CHROMAP_TPU_LOWMEM_MAX_RECORDS"] = records
+        args = [sys.executable, "-m", "chromap_tpu.cli",
+                "-x", f"{sc_data}/index", "-r", f"{sc_data}/ref.fa",
+                "-1", f"{sc_data}/r1.fq", "--Tn5-shift",
+                "--remove-pcr-duplicates", "-q", "0",
+                "--low-mem", "-o", str(out)]
+        result = subprocess.run(args, capture_output=True, text=True,
+                                env=env)
+        assert result.returncode == 0, result.stderr
+        outs[mode] = out.read_bytes()
+    assert outs["multi"] == outs["single"]
+
+
 def test_forced_lowmem_spill_barcoded(sc_data, tmp_path):
     """Barcoded --low-mem with many forced shards (native k-way merge,
     bulk-level best-duplicate selection, per-barcode summary) is
