@@ -1772,23 +1772,31 @@ class MappingPipeline:
                                            barcodes, flags=info.flags)
         tl1, tl2 = info.tl1, info.tl2
         rid_a = out["rid"]
+        o_read_id = out["read_id"].tolist()
+        o_rid = rid_a.tolist()
+        o_start = out["start"].tolist()
+        o_mapq = out["mapq"].tolist()
+        o_dir, o_uniq = out["dir"].tolist(), out["uniq"].tolist()
+        o_pal = out["posalen"].tolist()
+        o_nal = out["negalen"].tolist()
+        o_flen = out["flen"].tolist()
         for i in range(len(rid_a)):
-            j = int(out["read_id"][i]) - base_read_id
+            j = o_read_id[i] - base_read_id
             bj = sel[j]
-            mapq = int(out["mapq"][i])
+            mapq = o_mapq[i]
             l1 = int(tl1[j]) if tl1 is not None else len(reads1[j])
             l2 = int(tl2[j]) if tl2 is not None else len(reads2[j])
-            emit(int(rid_a[i]), PairedPafRecord(
+            emit(o_rid[i], PairedPafRecord(
                 read_id=int(batch1[bj].read_id),
                 read1_name=batch1[bj].name, read2_name=batch2[bj].name,
                 read1_length=l1, read2_length=l2,
-                start=int(out["start"][i]),
-                negative_alignment_length=int(out["posalen"][i]),
-                length=int(out["negalen"][i]),
-                positive_alignment_length=int(out["flen"][i]),
+                start=o_start[i],
+                negative_alignment_length=o_pal[i],
+                length=o_nal[i],
+                positive_alignment_length=o_flen[i],
                 mapq=mapq, mapq1=clip_mapq(mapq), mapq2=clip_mapq(mapq),
-                direction=int(out["dir"][i]),
-                is_unique=int(out["uniq"][i]), num_dups=1))
+                direction=o_dir[i],
+                is_unique=o_uniq[i], num_dups=1))
         self.num_candidates += int(stats[0])
         self.num_mappings += int(stats[1])
         self.num_mapped_reads += int(stats[2])
@@ -1943,18 +1951,24 @@ class MappingPipeline:
                                            barcodes, flags=info.flags)
         rank = self.pairs_custom_rid_rank
         rid_a = out["rid"]
+        o_read_id = out["read_id"].tolist()
+        o_rid, o_rid2 = rid_a.tolist(), out["rid2"].tolist()
+        o_dir, o_dir2 = out["dir"].tolist(), out["dir2"].tolist()
+        o_rs1, o_re1 = out["rs1"].tolist(), out["re1"].tolist()
+        o_rs2, o_re2 = out["rs2"].tolist(), out["re2"].tolist()
+        o_mapq, o_uniq = out["mapq"].tolist(), out["uniq"].tolist()
         for i in range(len(rid_a)):
-            j = int(out["read_id"][i]) - base_read_id
+            j = o_read_id[i] - base_read_id
             bj = sel[j]
             read_id = int(batch1[bj].read_id)
-            rid = int(rid_a[i])
-            first_negative = int(out["dir"][i]) == 0
-            second_negative = int(out["dir2"][i]) == 0
+            rid = o_rid[i]
+            first_negative = o_dir[i] == 0
+            second_negative = o_dir2[i] == 0
             strand1 = 0 if first_negative else 1
             strand2 = 0 if second_negative else 1
-            pos1 = int(out["re1"][i] if first_negative else out["rs1"][i])
-            pos2 = int(out["re2"][i] if second_negative else out["rs2"][i])
-            rid1, rid2 = rid, int(out["rid2"][i])
+            pos1 = o_re1[i] if first_negative else o_rs1[i]
+            pos2 = o_re2[i] if second_negative else o_rs2[i]
+            rid1, rid2 = rid, o_rid2[i]
             r1_rank = rank[rid1] if rank else rid1
             r2_rank = rank[rid2] if rank else rid2
             if not (r1_rank < r2_rank or (rid1 == rid2 and pos1 < pos2)):
@@ -1965,8 +1979,8 @@ class MappingPipeline:
                 barcode=(int(barcodes[j]) if barcodes is not None else 0),
                 rid1=rid1, rid2=rid2, pos1=pos1, pos2=pos2,
                 strand1=strand1, strand2=strand2,
-                mapq=int(out["mapq"][i]),
-                is_unique=int(out["uniq"][i]), num_dups=1))
+                mapq=o_mapq[i],
+                is_unique=o_uniq[i], num_dups=1))
         self.num_candidates += int(stats[0])
         self.num_mappings += int(stats[1])
         self.num_mapped_reads += int(stats[2])
