@@ -1641,41 +1641,53 @@ class MappingPipeline:
         blen = self.barcode_length
         exact = np.zeros(nb, dtype=bool)
         keys = np.zeros(nb, dtype=np.uint64)
-        if self.whitelist is not None and nb:
+        if nb:
             from .utils import encode_sequence
             buf = b"".join(bytes(rec.seq[:blen]) for rec in batch_bc)
             if len(buf) == nb * blen:
                 codes_mat = encode_sequence(buf).reshape(nb, blen)
-            else:  # a short barcode read: per-record fallback
+            elif self.whitelist is not None:
+                # a short barcode read: per-record fallback
                 codes_mat = np.stack(
                     [rec.codes()[:blen] for rec in batch_bc])
-            weights = (np.uint64(4) ** np.arange(blen - 1, -1, -1,
-                                                 dtype=np.uint64))
-            keys = (np.where(codes_mat < 4, codes_mat, 0).astype(np.uint64)
-                    @ weights)
-            clean = (codes_mat < 4).all(axis=1) & \
-                (codes_mat.shape[1] == blen)
-            wl = self.whitelist.sorted_keys()
-            loc = np.searchsorted(wl, keys)
-            loc = np.minimum(loc, len(wl) - 1) if len(wl) else loc
-            exact = clean & (wl[loc] == keys if len(wl) else False)
-            self.num_barcode_in_whitelist += int(exact.sum())
-
-        reads1, reads2, barcodes, orig_ids = [], [], [], []
-        nonwhitelist_count = 0
-        for bi, (rec1, rec2) in enumerate(zip(batch1, batch2)):
-            if exact[bi]:
-                whitelisted, barcode_key = True, int(keys[bi])
             else:
+                codes_mat = None
+            if codes_mat is not None:
+                weights = (np.uint64(4)
+                           ** np.arange(blen - 1, -1, -1, dtype=np.uint64))
+                keys = (np.where(codes_mat < 4, codes_mat, 0)
+                        .astype(np.uint64) @ weights)
+                if self.whitelist is not None:
+                    clean = (codes_mat < 4).all(axis=1) & \
+                        (codes_mat.shape[1] == blen)
+                    wl = self.whitelist.sorted_keys()
+                    loc = np.searchsorted(wl, keys)
+                    loc = (np.minimum(loc, len(wl) - 1) if len(wl)
+                           else loc)
+                    exact = clean & (wl[loc] == keys if len(wl) else False)
+                    self.num_barcode_in_whitelist += int(exact.sum())
+                else:
+                    # no whitelist: the packed key IS the barcode
+                    # (generate_seed_from_codes maps N/out-of-range to 0)
+                    exact[:] = True
+
+        keep = np.ones(nb, dtype=bool)
+        nonwhitelist_count = 0
+        nonexact = np.flatnonzero(~exact)
+        if len(nonexact):
+            keys = keys.copy()
+            for bi in nonexact.tolist():
                 whitelisted, barcode_key = self._process_barcode(
                     batch_bc[bi])
-            if not (whitelisted or cfg.output_mappings_not_in_whitelist):
-                nonwhitelist_count += 1
-                continue
-            reads1.append(bytes(rec1.seq))
-            reads2.append(bytes(rec2.seq))
-            barcodes.append(barcode_key)
-            orig_ids.append(bi)
+                keys[bi] = barcode_key
+                if not (whitelisted
+                        or cfg.output_mappings_not_in_whitelist):
+                    keep[bi] = False
+                    nonwhitelist_count += 1
+        orig_ids = np.flatnonzero(keep).tolist()
+        reads1 = [bytes(batch1[i].seq) for i in orig_ids]
+        reads2 = [bytes(batch2[i].seq) for i in orig_ids]
+        barcodes = keys[keep].tolist()
         if self.summary is not None:
             from .summary import TOTAL
             if barcodes:
