@@ -205,8 +205,11 @@ class FastxReader:
             if not seq:
                 continue
             nm1 = nm[1:]
-            if b" " in nm1 or b"\t" in nm1:
-                nm1 = nm1.split()[0]
+            # kseq truncates at ANY whitespace (the slow path's .split());
+            # \r/\n cannot appear here (line split + CR fallback)
+            if (b" " in nm1 or b"\t" in nm1 or b"\x0b" in nm1
+                    or b"\x0c" in nm1):
+                nm1 = nm1.split()[0] if nm1.split() else b""
             sq = bytearray(seq)
             ql = bytearray(qual)
             if rewrite:

@@ -21,6 +21,8 @@ from __future__ import annotations
 import heapq
 import os
 import struct
+
+import numpy as np
 from typing import Iterator, List, Optional, Tuple
 
 from ..config import MappingConfig
@@ -101,8 +103,6 @@ class TempMappingShard:
                     yield rid, m
 
 
-import numpy as np
-
 # packed layouts of _PE_S ("<IQIHBBBBHHB") / _SE_S ("<IQIHBBBBB")
 # (records.py) as numpy dtypes so whole spill chunks pack without
 # per-record struct calls
@@ -174,11 +174,7 @@ def spill_mappings(cfg: MappingConfig, mappings_on_refs: List[List[object]],
     from ..mapping.postprocess import sort_mappings
 
     sort_mappings(mappings_on_refs)
-    if base is None:
-        base = cfg.mapping_output_file_path
-    if base in ("/dev/stdout", "/dev/stderr"):
-        base = "chromap_output"
-    path = f"{base}.temp{len(shard_paths)}"
+    path = f"{_spill_base(cfg, base)}.temp{len(shard_paths)}"
     TempMappingShard.write(path, mappings_on_refs)
     shard_paths.append(path)
     for lst in mappings_on_refs:
@@ -235,8 +231,11 @@ def merge_and_output_low_memory(cfg: MappingConfig, shard_paths: List[str],
                     cfg, writer.ref_names, shard_paths,
                     writer.cell_barcode_length, whitelist,
                     summary is not None)
-            except Exception:
-                pass
+            except Exception as exc:
+                import sys
+                print(f"chromap-tpu: native low-mem merge failed "
+                      f"({exc}); using the per-record merge",
+                      file=sys.stderr)
             else:
                 if summary is not None:
                     for key, mapped, dup, lowmapq in items:
@@ -245,6 +244,12 @@ def merge_and_output_low_memory(cfg: MappingConfig, shard_paths: List[str],
                             summary.update_count(key, DUP, dup)
                         if lowmapq:
                             summary.update_count(key, LOWMAPQ, lowmapq)
+                for p in shard_paths:
+                    try:
+                        os.remove(p)
+                    except OSError:
+                        pass
+                shard_paths.clear()
                 return uni, multi, passing
 
     # per-shard read-buffer size under the reference's merge memory budget

@@ -4259,19 +4259,27 @@ int64_t cn_lowmem_merge_bed(
   const size_t kBlock = 1 << 20;
   bool se_mode = false;
   int live = 0;
+  auto fail = [&](int64_t code) {  // close everything on early error
+    for (auto& sh : shards)
+      if (sh.f) {
+        fclose(sh.f);
+        sh.f = nullptr;
+      }
+    return code;
+  };
   for (int i = 0; i < n_shards; ++i) {
     LmShard& s = shards[i];
     std::string path(paths_bytes + path_offsets[i],
                      paths_bytes + path_offsets[i + 1]);
     s.f = fopen(path.c_str(), "rb");
-    if (!s.f) return -1;
+    if (!s.f) return fail(-1);
     s.buf.resize(kBlock);
     if (!s.Refill(6 + 1 + 8)) {
       fclose(s.f);
       s.f = nullptr;
       continue;
     }
-    if (memcmp(s.buf.data() + s.pos, "CTSH1\0", 6) != 0) return -2;
+    if (memcmp(s.buf.data() + s.pos, "CTSH1\0", 6) != 0) return fail(-2);
     uint8_t tag = s.buf[s.pos + 6];
     uint64_t num_rids;
     memcpy(&num_rids, s.buf.data() + s.pos + 7, 8);
@@ -4281,7 +4289,7 @@ int64_t cn_lowmem_merge_bed(
       s.f = nullptr;
       continue;
     }
-    if (tag != 1 && tag != 2) return -3;
+    if (tag != 1 && tag != 2) return fail(-3);
     s.se = tag == 1;
     se_mode = s.se;
     s.rec_size = s.se ? 23 : 27;
@@ -4291,7 +4299,7 @@ int64_t cn_lowmem_merge_bed(
   }
 
   FILE* out = fopen(out_path, "w");
-  if (!out) return -1;
+  if (!out) return fail(-1);
   std::vector<char> iobuf(1 << 20);
   setvbuf(out, iobuf.data(), _IOFBF, iobuf.size());
 

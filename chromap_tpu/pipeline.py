@@ -767,12 +767,12 @@ class MappingPipeline:
         log(f"Number of candidates: {self.num_candidates}.")
         log(f"Number of mappings: {self.num_mappings}.")
 
-    def _stash_pe_rows(self, rid_a, out, oid, bcs) -> None:
-        """Collect one batch's PE BED rows as a structured spill chunk
-        (the array analog of the PEBedRecord emit loop)."""
-        from .io.lowmem import PE_SPILL_DT
+    def _stash_bed_rows(self, rid_a, out, oid, bcs, se: bool) -> None:
+        """Collect one batch's SE/PE BED rows as a structured spill chunk
+        (the array analog of the record emit loops)."""
+        from .io.lowmem import PE_SPILL_DT, SE_SPILL_DT
         n = len(rid_a)
-        arr = np.zeros(n, dtype=PE_SPILL_DT)
+        arr = np.zeros(n, dtype=SE_SPILL_DT if se else PE_SPILL_DT)
         j = out["read_id"]
         arr["read_id"] = oid[j]
         if bcs is not None:
@@ -784,31 +784,9 @@ class MappingPipeline:
         arr["dir"] = out["dir"]
         arr["uniq"] = out["uniq"]
         arr["dups"] = 1
-        arr["posalen"] = out["posalen"]
-        arr["negalen"] = out["negalen"]
-        chunks = getattr(self, "_spill_chunks", None)
-        if chunks is None:
-            chunks = self._spill_chunks = []
-        chunks.append((rid_a.astype(np.int64), arr))
-        self.num_mappings_in_mem += n
-
-    def _stash_se_rows(self, rid_a, out, oid, bcs) -> None:
-        """Collect one batch's SE BED rows as a structured spill chunk
-        (the array analog of the SEBedRecord emit loop)."""
-        from .io.lowmem import SE_SPILL_DT
-        n = len(rid_a)
-        arr = np.zeros(n, dtype=SE_SPILL_DT)
-        j = out["read_id"]
-        arr["read_id"] = oid[j]
-        if bcs is not None:
-            arr["barcode"] = bcs[j]
-            arr["hasbc"] = 1
-        arr["start"] = out["start"]
-        arr["length"] = out["flen"]
-        arr["mapq"] = out["mapq"]
-        arr["dir"] = out["dir"]
-        arr["uniq"] = out["uniq"]
-        arr["dups"] = 1
+        if not se:
+            arr["posalen"] = out["posalen"]
+            arr["negalen"] = out["negalen"]
         chunks = getattr(self, "_spill_chunks", None)
         if chunks is None:
             chunks = self._spill_chunks = []
@@ -1605,7 +1583,7 @@ class MappingPipeline:
                                             threshold)
         rid_a = out["rid"]
         if self._array_spill_ok():
-            self._stash_pe_rows(rid_a, out, orig_ids, None)
+            self._stash_bed_rows(rid_a, out, orig_ids, None, se=False)
         else:
             for i in range(len(rid_a)):
                 rec = PEBedRecord(
@@ -1735,7 +1713,7 @@ class MappingPipeline:
         bcs = np.asarray(barcodes, dtype=np.uint64)
         idx = out["read_id"]
         if self._array_spill_ok():
-            self._stash_pe_rows(rid_a, out, oid, bcs)
+            self._stash_bed_rows(rid_a, out, oid, bcs, se=False)
         else:
             for i in range(len(rid_a)):
                 j = int(idx[i])
@@ -2154,7 +2132,7 @@ class MappingPipeline:
                                              threshold)
         rid_a = out["rid"]
         if self._array_spill_ok():
-            self._stash_se_rows(rid_a, out, orig_ids, None)
+            self._stash_bed_rows(rid_a, out, orig_ids, None, se=True)
         else:
             for i in range(len(rid_a)):
                 rec = SEBedRecord(
@@ -2208,9 +2186,10 @@ class MappingPipeline:
                                              threshold)
         rid_a = out["rid"]
         if self._array_spill_ok():
-            self._stash_se_rows(rid_a, out,
-                                np.asarray(orig_ids, dtype=np.uint32),
-                                np.asarray(barcodes, dtype=np.uint64))
+            self._stash_bed_rows(rid_a, out,
+                                 np.asarray(orig_ids, dtype=np.uint32),
+                                 np.asarray(barcodes, dtype=np.uint64),
+                                 se=True)
         else:
             for i in range(len(rid_a)):
                 j = int(out["read_id"][i])
