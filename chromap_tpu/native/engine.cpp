@@ -1188,7 +1188,7 @@ inline void PushCigar(std::vector<uint32_t>& cigar, uint32_t op,
 }
 
 struct KswScratch {
-  std::vector<uint8_t> z;
+  std::vector<uint8_t> z, qcodes;
   std::vector<int> h, e;
   std::vector<uint32_t> rev;
 };
@@ -1209,20 +1209,33 @@ static void KswSemiGlobal3(int qlen, const char* query, int tlen,
   int lim = qlen < w ? qlen : w;
   for (int j = 1; j <= lim; ++j) ks.h[j] = 0;
 
+  // hoist the per-cell decode/compare chain: query codes once per call,
+  // match/mismatch/ambiguous as one 5x5 table lookup per cell
+  ks.qcodes.resize(qlen);
+  for (int j = 0; j < qlen; ++j)
+    ks.qcodes[j] = kCharToCode[(uint8_t)query[j]];
+  int16_t score_tbl[25];
+  for (int a = 0; a < 5; ++a)
+    for (int b = 0; b < 5; ++b)
+      score_tbl[a * 5 + b] =
+          (a == 4 || b == 4) ? 0
+          : (a == b ? (int16_t)mp.match_score
+                    : (int16_t)-mp.mismatch_penalty);
+
   for (int i = 0; i < tlen; ++i) {
     int f = kMinusInf;
     int beg = i;
     int end = i + w + 1 < qlen ? i + w + 1 : qlen;
     int h1 = beg == 0 ? -(o_del + e_del * (i + 1)) : kMinusInf;
     uint8_t* zi = ks.z.data() + (size_t)i * n_col;
-    uint8_t tc = kCharToCode[(uint8_t)target[i]];
+    const int16_t* srow =
+        score_tbl + 5 * kCharToCode[(uint8_t)target[i]];
+    const uint8_t* qv = ks.qcodes.data();
     for (int j = beg; j < end; ++j) {
       int m = ks.h[j];
       int e = ks.e[j];
       ks.h[j] = h1;
-      uint8_t qc = kCharToCode[(uint8_t)query[j]];
-      m += (qc == 4 || tc == 4) ? 0
-           : (qc == tc ? mp.match_score : -mp.mismatch_penalty);
+      m += srow[qv[j]];
       int d = m >= e ? 0 : 1;
       int hh = m >= e ? m : e;
       if (hh < f) {
