@@ -205,11 +205,12 @@ def merge_and_output_low_memory(cfg: MappingConfig, shard_paths: List[str],
     if not shard_paths:
         return 0, 0, 0
 
-    # BED-family shards merge natively (engine.cpp cn_lowmem_merge_bed,
-    # identical semantics); text-record formats and barcode translation
-    # take the per-record path below
+    # BED-family and pairs shards merge natively (engine.cpp
+    # cn_lowmem_merge_bed / cn_lowmem_merge_pairs, identical semantics);
+    # the remaining text-record formats and barcode translation take the
+    # per-record path below
     if (engine is not None
-            and cfg.output_format in ("bed", "tagalign")
+            and cfg.output_format in ("bed", "tagalign", "pairs")
             and getattr(writer, "barcode_translator", None) is None):
         tags = set()
         ok = True
@@ -225,12 +226,22 @@ def merge_and_output_low_memory(cfg: MappingConfig, shard_paths: List[str],
                 break
             if hdr[6] != 0:
                 tags.add(hdr[6])
-        if ok and len(tags) <= 1 and tags <= {1, 2}:
+        want_tags = {6} if cfg.output_format == "pairs" else {1, 2}
+        if ok and len(tags) <= 1 and tags <= want_tags:
             try:
-                uni, multi, passing, items = engine.lowmem_merge_bed(
-                    cfg, writer.ref_names, shard_paths,
-                    writer.cell_barcode_length, whitelist,
-                    summary is not None)
+                if cfg.output_format == "pairs":
+                    # the pairs header is already written through the
+                    # Python writer; flush it so the native append lands
+                    # after it
+                    writer._f.flush()
+                    uni, multi, passing, items = engine.lowmem_merge_pairs(
+                        cfg, writer.ref_names, shard_paths, whitelist,
+                        summary is not None)
+                else:
+                    uni, multi, passing, items = engine.lowmem_merge_bed(
+                        cfg, writer.ref_names, shard_paths,
+                        writer.cell_barcode_length, whitelist,
+                        summary is not None)
             except Exception as exc:
                 import sys
                 print(f"chromap-tpu: native low-mem merge failed "

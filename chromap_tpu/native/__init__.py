@@ -236,6 +236,15 @@ def load_library():
         ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
         ctypes.c_int32, ctypes.c_void_p,
     ]
+    lib.cn_lowmem_merge_pairs.restype = ctypes.c_int64
+    lib.cn_lowmem_merge_pairs.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p,
+        ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_void_p,
+    ]
     lib.cn_get_lowmem_summary.restype = ctypes.c_int64
     lib.cn_get_lowmem_summary.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -541,6 +550,56 @@ class NativeEngine:
             1 if want_summary else 0, _ptr(stats))
         if res < 0:
             raise IOError(f"native low-mem merge failed ({res})")
+        items = []
+        if want_summary:
+            kp = ctypes.POINTER(ctypes.c_uint64)()
+            cp = ctypes.POINTER(ctypes.c_int64)()
+            nk = self.lib.cn_get_lowmem_summary(self.ctx,
+                                                ctypes.byref(kp),
+                                                ctypes.byref(cp))
+            for i in range(nk):
+                items.append((int(kp[i]), int(cp[3 * i]),
+                              int(cp[3 * i + 1]), int(cp[3 * i + 2])))
+        return int(stats[0]), int(stats[1]), int(stats[2]), items
+
+    def lowmem_merge_pairs(self, cfg, ref_names, shard_paths, whitelist,
+                           want_summary: bool):
+        """Native k-way merge + dedup + append-after-header write of
+        4DN-pairs temp shards (tag 6). Returns
+        (num_uni, num_multi, num_passing, summary_items)."""
+        names_bytes = b"".join(ref_names)
+        name_offsets = np.zeros(len(ref_names) + 1, dtype=np.int64)
+        np.cumsum([len(x) for x in ref_names], out=name_offsets[1:])
+        enc = [p.encode() for p in shard_paths]
+        paths_bytes = b"".join(enc)
+        path_offsets = np.zeros(len(enc) + 1, dtype=np.int64)
+        np.cumsum([len(p) for p in enc], out=path_offsets[1:])
+        dedup_bulk = (cfg.remove_pcr_duplicates and not cfg.is_bulk_data
+                      and cfg.remove_pcr_duplicates_at_bulk_level)
+        wl_keys = wl_counts = None
+        wl_n = 0
+        if dedup_bulk and whitelist is not None and whitelist.table:
+            wl_keys = np.fromiter(whitelist.table.keys(), dtype=np.uint64,
+                                  count=len(whitelist.table))
+            wl_counts = np.fromiter(whitelist.table.values(),
+                                    dtype=np.int64,
+                                    count=len(whitelist.table))
+            order = np.argsort(wl_keys)
+            wl_keys = np.ascontiguousarray(wl_keys[order])
+            wl_counts = np.ascontiguousarray(wl_counts[order])
+            wl_n = len(wl_keys)
+        stats = np.zeros(3, dtype=np.int64)
+        res = self.lib.cn_lowmem_merge_pairs(
+            self.ctx, cfg.mapping_output_file_path.encode(),
+            paths_bytes, _ptr(path_offsets), len(enc),
+            cfg.mapq_threshold,
+            1 if cfg.remove_pcr_duplicates else 0, 1 if dedup_bulk else 0,
+            names_bytes, _ptr(name_offsets), len(ref_names),
+            _ptr(wl_keys) if wl_keys is not None else None,
+            _ptr(wl_counts) if wl_counts is not None else None, wl_n,
+            1 if want_summary else 0, _ptr(stats))
+        if res < 0:
+            raise IOError(f"native pairs merge failed ({res})")
         items = []
         if want_summary:
             kp = ctypes.POINTER(ctypes.c_uint64)()

@@ -4552,6 +4552,269 @@ int64_t cn_lowmem_merge_bed(
   return passing;
 }
 
+
+// K-way merge of tag-6 (4DN pairs) shards: fixed 33-byte struct + u16-len
+// read name per record (records.py _PAIRS_S). Streaming dedup on
+// (rid1, pos1, rid2, pos2) (pairs_mapping.h:44-49), optional bulk-level
+// best-barcode selection, mapq filter, and the pairs text rows appended
+// after the Python-written header. Summary aggregates land on the
+// context like the BED merge's.
+
+namespace {
+
+struct LmPairsRec {
+  uint64_t barcode;
+  uint32_t read_id, pos1, pos2;
+  int32_t rid1, rid2;
+  uint8_t strand1, strand2, mapq, uniq, dups;
+  std::string name;
+};
+
+inline int LmPairsCmp(const LmPairsRec& a, const LmPairsRec& b) {
+#define CN_CMP(f) \
+  if (a.f != b.f) return a.f < b.f ? -1 : 1;
+  CN_CMP(rid1)
+  CN_CMP(rid2)
+  CN_CMP(pos1)
+  CN_CMP(pos2)
+  CN_CMP(mapq)
+  CN_CMP(read_id)
+#undef CN_CMP
+  return 0;
+}
+
+inline bool LmPairsNext(LmShard& s, LmPairsRec& r) {
+  if (s.recs_left == 0 && !s.NextGroup()) return false;
+  if (!s.Refill(33 + 2)) return false;
+  const uint8_t* p = s.buf.data() + s.pos;
+  memcpy(&r.read_id, p, 4);
+  memcpy(&r.barcode, p + 4, 8);
+  memcpy(&r.rid1, p + 12, 4);
+  memcpy(&r.rid2, p + 16, 4);
+  memcpy(&r.pos1, p + 20, 4);
+  memcpy(&r.pos2, p + 24, 4);
+  r.strand1 = p[28];
+  r.strand2 = p[29];
+  r.mapq = p[30];
+  r.uniq = p[31];
+  r.dups = p[32];
+  uint16_t nlen;
+  memcpy(&nlen, p + 33, 2);
+  s.pos += 35;
+  s.recs_left -= 1;
+  if (!s.Refill(nlen)) return false;
+  r.name.assign((const char*)s.buf.data() + s.pos, nlen);
+  s.pos += nlen;
+  return true;
+}
+
+}  // namespace
+
+int64_t cn_lowmem_merge_pairs(
+    CnContext* ctx, const char* out_path, const char* paths_bytes,
+    const int64_t* path_offsets, int32_t n_shards, int32_t mapq_threshold,
+    int32_t remove_dups, int32_t dedup_bulk, const char* ref_names_bytes,
+    const int64_t* ref_name_offsets, int32_t num_refs,
+    const uint64_t* wl_keys, const int64_t* wl_counts, int64_t wl_n,
+    int32_t want_summary, int64_t* out_stats /*[3]: uni, multi, passing*/) {
+  (void)num_refs;
+  std::vector<LmShard> shards((size_t)n_shards);
+  const size_t kBlock = 1 << 20;
+  auto fail = [&](int64_t code) {
+    for (auto& sh : shards)
+      if (sh.f) {
+        fclose(sh.f);
+        sh.f = nullptr;
+      }
+    return code;
+  };
+  for (int i = 0; i < n_shards; ++i) {
+    LmShard& s = shards[i];
+    std::string path(paths_bytes + path_offsets[i],
+                     paths_bytes + path_offsets[i + 1]);
+    s.f = fopen(path.c_str(), "rb");
+    if (!s.f) return fail(-1);
+    s.buf.resize(kBlock);
+    if (!s.Refill(6 + 1 + 8)) {
+      fclose(s.f);
+      s.f = nullptr;
+      continue;
+    }
+    if (memcmp(s.buf.data() + s.pos, "CTSH1\0", 6) != 0) return fail(-2);
+    uint8_t tag = s.buf[s.pos + 6];
+    uint64_t num_rids;
+    memcpy(&num_rids, s.buf.data() + s.pos + 7, 8);
+    s.pos += 15;
+    if (tag == 0) {
+      fclose(s.f);
+      s.f = nullptr;
+      continue;
+    }
+    if (tag != 6) return fail(-3);
+    s.rids_left = num_rids;
+    s.rid = -1;
+  }
+
+  FILE* out = fopen(out_path, "a");  // the header is already written
+  if (!out) return fail(-1);
+  std::vector<char> iobuf(1 << 20);
+  setvbuf(out, iobuf.data(), _IOFBF, iobuf.size());
+
+  struct Head {
+    LmPairsRec r;
+    int64_t rid;
+    int si;
+  };
+  std::vector<Head> heap;
+  auto hgt = [&](const Head& a, const Head& b) {
+    if (a.rid != b.rid) return a.rid > b.rid;
+    int c = LmPairsCmp(a.r, b.r);
+    if (c != 0) return c > 0;
+    return a.si > b.si;
+  };
+  for (int i = 0; i < n_shards; ++i) {
+    if (!shards[i].f) continue;
+    Head h;
+    h.si = i;
+    if (LmPairsNext(shards[i], h.r)) {
+      h.rid = shards[i].rid;
+      heap.push_back(std::move(h));
+    }
+  }
+  std::make_heap(heap.begin(), heap.end(), hgt);
+
+  auto abundance = [&](uint64_t key) -> int64_t {
+    if (!wl_keys || wl_n == 0) return 0;
+    int64_t lo = 0, hi = wl_n;
+    while (lo < hi) {
+      int64_t mid = (lo + hi) >> 1;
+      if (wl_keys[mid] < key)
+        lo = mid + 1;
+      else
+        hi = mid;
+    }
+    return (lo < wl_n && wl_keys[lo] == key) ? wl_counts[lo] : 0;
+  };
+
+  std::unordered_map<uint64_t, std::array<int64_t, 3>> sum;
+  int64_t uni = 0, multi = 0, passing = 0;
+  bool have_last = false;
+  int64_t last_rid = -1;
+  LmPairsRec last;
+  uint64_t run = 0;
+  struct BulkDup {
+    LmPairsRec r;
+    uint32_t sel_dups;
+  };
+  std::vector<BulkDup> bulk_dups;
+
+  auto emit = [&](const LmPairsRec& m) {
+    const char* n1 = ref_names_bytes + ref_name_offsets[m.rid1];
+    int l1 = (int)(ref_name_offsets[m.rid1 + 1] - ref_name_offsets[m.rid1]);
+    const char* n2 = ref_names_bytes + ref_name_offsets[m.rid2];
+    int l2 = (int)(ref_name_offsets[m.rid2 + 1] - ref_name_offsets[m.rid2]);
+    fprintf(out, "%.*s\t%.*s\t%u\t%.*s\t%u\t%c\t%c\tUU\t%u\t%u\n",
+            (int)m.name.size(), m.name.data(), l1, n1, m.pos1 + 1, l2, n2,
+            m.pos2 + 1, m.strand1 > 0 ? '+' : '-',
+            m.strand2 > 0 ? '+' : '-', (unsigned)m.mapq, (unsigned)m.mapq);
+  };
+
+  auto same_pos = [](const LmPairsRec& a, const LmPairsRec& b) {
+    return a.rid1 == b.rid1 && a.pos1 == b.pos1 && a.rid2 == b.rid2 &&
+           a.pos2 == b.pos2;
+  };
+
+  auto flush_last = [&]() {
+    if (!have_last) return;
+    LmPairsRec m = last;
+    if (dedup_bulk && !bulk_dups.empty()) {
+      size_t best = 0;
+      int64_t best_ab = abundance(bulk_dups[0].r.barcode);
+      for (size_t i = 1; i < bulk_dups.size(); ++i) {
+        int64_t ab = abundance(bulk_dups[i].r.barcode);
+        if (bulk_dups[i].sel_dups > bulk_dups[best].sel_dups ||
+            (bulk_dups[i].sel_dups == bulk_dups[best].sel_dups &&
+             ab > best_ab)) {
+          best = i;
+          best_ab = ab;
+        }
+      }
+      m = bulk_dups[best].r;
+      bulk_dups.clear();
+    }
+    if (m.mapq >= mapq_threshold) {
+      emit(m);
+      ++passing;
+      if (want_summary) sum[m.barcode][1] += (int64_t)run - 1;
+    } else if (want_summary) {
+      sum[m.barcode][2] += (int64_t)run;
+    }
+    if (want_summary) sum[m.barcode][0] += (int64_t)run;
+    if (m.uniq)
+      ++uni;
+    else
+      ++multi;
+  };
+
+  while (!heap.empty()) {
+    std::pop_heap(heap.begin(), heap.end(), hgt);
+    Head h = std::move(heap.back());
+    heap.pop_back();
+    const LmPairsRec& m = h.r;
+    // pairs dup_key == same_position_key (pairs_mapping.h:44-49)
+    bool dup = have_last && last_rid == h.rid && same_pos(m, last);
+    if (remove_dups && dup) {
+      ++run;
+      if (dedup_bulk) {
+        if (!bulk_dups.empty() && same_pos(m, bulk_dups.back().r)) {
+          bulk_dups.back().r = m;
+          bulk_dups.back().sel_dups = (uint32_t)m.dups + 1;
+        } else {
+          bulk_dups.push_back({m, 1});
+        }
+      }
+      if (m.mapq > last.mapq) last = m;
+    } else {
+      flush_last();
+      last = m;
+      last_rid = h.rid;
+      have_last = true;
+      run = 1;
+      if (dedup_bulk) {
+        bulk_dups.clear();
+        bulk_dups.push_back({m, 1});
+      }
+    }
+    LmShard& s = shards[h.si];
+    Head nh;
+    nh.si = h.si;
+    if (LmPairsNext(s, nh.r)) {
+      nh.rid = s.rid;
+      heap.push_back(std::move(nh));
+      std::push_heap(heap.begin(), heap.end(), hgt);
+    }
+  }
+  flush_last();
+  fclose(out);
+  for (auto& s : shards)
+    if (s.f) fclose(s.f);
+
+  ctx->lowmem_sum_keys.clear();
+  ctx->lowmem_sum_counts.clear();
+  if (want_summary) {
+    for (auto& kv : sum) {
+      ctx->lowmem_sum_keys.push_back(kv.first);
+      ctx->lowmem_sum_counts.push_back(kv.second[0]);
+      ctx->lowmem_sum_counts.push_back(kv.second[1]);
+      ctx->lowmem_sum_counts.push_back(kv.second[2]);
+    }
+  }
+  out_stats[0] = uni;
+  out_stats[1] = multi;
+  out_stats[2] = passing;
+  return passing;
+}
+
 int64_t cn_get_lowmem_summary(CnContext* ctx, const uint64_t** keys,
                               const int64_t** counts) {
   *keys = ctx->lowmem_sum_keys.data();
