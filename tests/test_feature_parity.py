@@ -200,6 +200,30 @@ def test_forced_lowmem_spill_barcoded(sc_data, tmp_path):
     assert outs["mem"][1] == outs["lowmem"][1]
 
 
+def test_forced_lowmem_spill_pairs(sc_data, tmp_path):
+    """Hi-C pairs --low-mem with many forced shards (native tag-6 k-way
+    merge, append after the Python-written header) equals the
+    single-shard low-mem run."""
+    import os
+    outs = {}
+    for mode, records in (("multi", "400"), ("single", None)):
+        out = tmp_path / f"pairs_{mode}.pairs"
+        env = dict(os.environ)
+        if records:
+            env["CHROMAP_TPU_LOWMEM_MAX_RECORDS"] = records
+        args = [sys.executable, "-m", "chromap_tpu.cli",
+                "--preset", "hic",
+                "-x", f"{sc_data}/index", "-r", f"{sc_data}/ref.fa",
+                "-1", f"{sc_data}/r1.fq", "-2", f"{sc_data}/r2.fq",
+                "-o", str(out)]
+        result = subprocess.run(args, capture_output=True, text=True,
+                                env=env)
+        assert result.returncode == 0, result.stderr
+        assert "per-record merge" not in result.stderr, result.stderr
+        outs[mode] = out.read_bytes()
+    assert outs["multi"] == outs["single"]
+
+
 def test_feature_barcode_matrix(sc_data, golden_dir, tmp_path):
     """scATAC feature-barcode matrix (--matrix-output-prefix): peaks,
     MatrixMarket counts and barcode list against frozen goldens. The
