@@ -29,7 +29,7 @@ def _open_text_auto(path: str):
     return f
 
 
-@dataclass
+@dataclass(slots=True)
 class SequenceRecord:
     """One parsed sequence with its (effective-range-rewritten) bases."""
 
