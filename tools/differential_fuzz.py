@@ -39,11 +39,18 @@ CASES = [
     ("se_bed", ["--BED"], True),
     ("se_tn5", ["--BED", "--Tn5-shift", "--remove-pcr-duplicates",
                 "-q", "0"], True),
+    # barcoded (scATAC) fragments: whitelist + correction + cell dedup
+    ("bc_bed", ["--BED", "-l", "2000", "-b", "{d}/bc.fq",
+                "--barcode-whitelist", "{d}/whitelist.txt",
+                "--remove-pcr-duplicates", "--Tn5-shift"], False),
+    ("bc_lowmem", ["--BED", "-l", "2000", "-b", "{d}/bc.fq",
+                   "--barcode-whitelist", "{d}/whitelist.txt",
+                   "--remove-pcr-duplicates", "--low-mem"], False),
 ]
 
 
 def run_case(d, name, flags, single_end):
-    base = [("-x", "{idx}"), ("-r", f"{d}/ref.fa"), ("-1", f"{d}/r1.fq")]
+    flags = [a.format(d=d) for a in flags]
     reads = ["-1", f"{d}/r1.fq"]
     if not single_end:
         reads += ["-2", f"{d}/r2.fq"]
@@ -101,6 +108,8 @@ def main():
             d, num_pairs=600 + (seed % 5) * 300, seed=seed,
             max_mismatches=1 + seed % 4, indel_rate=(seed % 6) * 0.01,
             genome_core=200_000 + (seed % 3) * 400_000)
+        from simulate import write_simulated_barcodes
+        write_simulated_barcodes(d, num_pairs=600 + (seed % 5) * 300)
         subprocess.run([REF_BIN, "-i", "-r", f"{d}/ref.fa",
                         "-o", f"{d}/ref.index"], check=True,
                        capture_output=True, timeout=600)
