@@ -928,10 +928,17 @@ class DeviceSeeder:
             jnp.asarray(index.occurrences, dtype=jnp.uint64))
         # bucket table for the probe stage: top tbits of the (uniform)
         # 2k-bit hash space -> lower_bound range, capping the in-graph
-        # binary search at `depth` halvings (see _build_step)
+        # binary search at `depth` halvings (see _build_step).
+        # OFF by default: measured end-to-end on the v5e (16384x100 chunk,
+        # 500k-key index, 2026-08-18) the sort-method searchsorted probe
+        # runs the full program in 195 ms vs 226 ms with the bucketed
+        # search -- the 2+depth dependent gather rounds serialize against
+        # HBM latency while the concat-sort pipelines. Kept as an opt-in
+        # (CHROMAP_TPU_PROBE=bucket) for larger indexes, where sort cost
+        # grows O((M+K) log) and the bucket walk stays flat.
         keys_np = np.asarray(index.hash_keys, dtype=np.uint64)
         nk = len(keys_np)
-        if nk > 0:
+        if nk > 0 and os.environ.get("CHROMAP_TPU_PROBE") == "bucket":
             tbits = min(22, max(10, int(np.ceil(np.log2(nk))) + 2))
             # the in-graph search compares only the low `shift` bits via a
             # u32 key copy, so the bucket must pin the rest: tbits >= 2k-32
@@ -949,9 +956,6 @@ class DeviceSeeder:
         else:
             self._probe = None
             self.probe_table = None
-        if os.environ.get("CHROMAP_TPU_PROBE") == "sort":
-            # A/B escape hatch: the former sort-method searchsorted probe
-            self._probe = None
         tbl = np.full(256, 4, np.uint8)
         for i, c in enumerate(b"ACGT"):
             tbl[c] = i

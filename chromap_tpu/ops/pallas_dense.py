@@ -262,9 +262,9 @@ def dense_minimizer_device(codes_T: jax.Array, lengths_row: jax.Array,
     assert B % LANE_TILE == 0
     kernel = functools.partial(_dense_kernel, k, w, L)
     grid = (B // LANE_TILE,)
-    plane = pl.BlockSpec((L, LANE_TILE), lambda i: (0, i),
+    plane = pl.BlockSpec((L, LANE_TILE), lambda i: (np.int32(0), i),
                          memory_space=pltpu.VMEM)
-    row = pl.BlockSpec((1, LANE_TILE), lambda i: (0, i),
+    row = pl.BlockSpec((1, LANE_TILE), lambda i: (np.int32(0), i),
                        memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,

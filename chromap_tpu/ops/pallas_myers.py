@@ -115,19 +115,22 @@ def myers_device(patterns_T: jax.Array, texts_T: jax.Array, e: int,
     L = read_length
     kernel = functools.partial(_myers_kernel, e, L)
     num_tiles = n // LANE_TILE
+    # index-map constants must be np.int32: under jax_enable_x64 (which the
+    # seeding program sets process-wide) a Python 0 traces as i64, which
+    # Mosaic cannot legalize (func.return (i64, i32))
     errors, endpos = pl.pallas_call(
         kernel,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec((L + 2 * e, LANE_TILE), lambda i: (0, i),
+            pl.BlockSpec((L + 2 * e, LANE_TILE), lambda i: (np.int32(0), i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, LANE_TILE), lambda i: (0, i),
+            pl.BlockSpec((L, LANE_TILE), lambda i: (np.int32(0), i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, LANE_TILE), lambda i: (0, i),
+            pl.BlockSpec((1, LANE_TILE), lambda i: (np.int32(0), i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANE_TILE), lambda i: (0, i),
+            pl.BlockSpec((1, LANE_TILE), lambda i: (np.int32(0), i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
