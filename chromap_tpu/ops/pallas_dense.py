@@ -39,6 +39,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANE_TILE = 1024
 _MIN32 = np.int32(-0x80000000)
+_I0 = np.int32(0)
+_I1 = np.int32(1)
 _NEG1 = np.int32(-1)
 
 
@@ -130,7 +132,7 @@ def _one_word_ops(nbits: int):
     return hash1, m
 
 
-def _dense_kernel(k: int, w: int, L: int,
+def _dense_kernel(k: int, w: int, L: int, unroll: bool,
                   codes_ref, len_ref,
                   hlo_ref, hhi_ref, emit_ref, mm_ref, bad_ref,
                   s_hlo, s_hhi, s_run):
@@ -158,9 +160,9 @@ def _dense_kernel(k: int, w: int, L: int,
         flo, fhi, rlo, rhi, run, sym_any = carry
         c = codes_ref[pl.ds(p, 1), :]
         valid = c < 4
-        b = jnp.where(valid, c, 0)
-        comp = jnp.where(valid, c ^ 3, 3)
-        run = jnp.where(valid, run + 1, 0)
+        b = jnp.where(valid, c, _I0)
+        comp = jnp.where(valid, c ^ 3, np.int32(3))
+        run = jnp.where(valid, run + _I1, _I0)
         if two_word:
             # fwd = ((fwd << 2) | b) & mask
             fhi = ((fhi << 2) | _lsr(flo, 30)) & mhi
@@ -195,12 +197,25 @@ def _dense_kernel(k: int, w: int, L: int,
         s_run[pl.ds(p, 1), :] = run
         hlo_ref[pl.ds(p, 1), :] = hlo_row
         hhi_ref[pl.ds(p, 1), :] = jnp.where(
-            inval, _NEG1, hhi | jnp.where(strand, _MIN32, 0))
-        return (flo, fhi, rlo, rhi, run, sym_any | sym)
+            inval, _NEG1, hhi | jnp.where(strand, _MIN32, _I0))
+        # flag carries are int32: a bool (1, TILE) fori_loop carry crashes
+        # the TPU backend compiler (tpu_compile_helper exit 1, v5e,
+        # 2026-08-18); i32 0/1 lowers fine
+        return (flo, fhi, rlo, rhi, run, sym_any | sym.astype(jnp.int32))
 
-    init = (zeros, zeros, zeros, zeros, zeros,
-            jnp.zeros((1, tile), bool))
-    *_, sym_any = jax.lax.fori_loop(jnp.int32(0), jnp.int32(L), stepA, init)
+    # for real lowering both position loops are unrolled statically: a
+    # fori_loop whose carry rows are (1, TILE) vectors trips a Mosaic
+    # relayout bug on v5e ("Invalid relayout ... (1,128) -> replicated
+    # (8,128)"), and static row offsets also drop the dynamic-store
+    # bookkeeping. Interpret mode (CPU tests) keeps the fori_loop: the
+    # eager interpreter would execute the ~200 unrolled bodies per call.
+    carry = (zeros, zeros, zeros, zeros, zeros, zeros)
+    if unroll:
+        for p in range(L):
+            carry = stepA(p, carry)
+    else:
+        carry = jax.lax.fori_loop(jnp.int32(0), jnp.int32(L), stepA, carry)
+    sym_any = carry[-1]
 
     # ---- phase B: closed-form window emission (static row offsets) -------
     INF = np.int32(L + w + 1)
@@ -223,18 +238,22 @@ def _dense_kernel(k: int, w: int, L: int,
             lt = ltu2(nlo, nhi, h_lo, h_hi)
             tie = tie | ((nhi == h_hi) & (nlo == h_lo) & finite_n)
             first = lt & (r_off == INF)
-            r_off = jnp.where(first, d, r_off)
+            r_off = jnp.where(first, np.int32(d), r_off)
             run_r = jnp.where(first, s_run[pl.ds(p + d, 1), :], run_r)
-            qb = jnp.maximum(p - d, 0)
+            # python max when p is static: jnp.maximum of two Python ints
+            # makes a weak i64 scalar under x64, which Mosaic cannot cast
+            qb = max(p - d, 0) if unroll else jnp.maximum(p - np.int32(d),
+                                                          _I0)
             plo = s_hlo[pl.ds(qb, 1), :]
             phi = s_hhi[pl.ds(qb, 1), :]
             maskb = p >= d
             tie = tie | ((phi == h_hi) & (plo == h_lo) & finite_p & maskb)
             if d <= w - 1:
                 lt_l = ltu2(plo, phi, h_lo, h_hi) & maskb
-                l_off = jnp.where(lt_l & (l_off == INF), d, l_off)
+                l_off = jnp.where(lt_l & (l_off == INF), np.int32(d), l_off)
         has_r = r_off <= w
-        a = jnp.where(l_off >= INF, p, p - l_off + w)
+        p32 = np.int32(p) if unroll else p
+        a = jnp.where(l_off >= INF, p32, p32 + np.int32(w) - l_off)
         disp = has_r & (a <= p + r_off - 1) & (run_r >= wk)
         run_exit = s_run[pl.ds(p + w, 1), :]
         can_exit = ~has_r & (p + w <= seg_end)
@@ -242,13 +261,18 @@ def _dense_kernel(k: int, w: int, L: int,
         flush = ~has_r & (p + w > seg_end) & (a <= seg_end)
         emit = (disp | exit_emit | flush) & finite_p
         emit_ref[pl.ds(p, 1), :] = emit.astype(jnp.int32)
-        return (mm + emit.astype(jnp.int32), tie_any | tie)
+        return (mm + emit.astype(jnp.int32), tie_any | tie.astype(jnp.int32))
 
-    mm, tie_any = jax.lax.fori_loop(
-        jnp.int32(0), jnp.int32(L), stepB,
-        (jnp.zeros((1, tile), jnp.int32), jnp.zeros((1, tile), bool)))
+    carry = (jnp.zeros((1, tile), jnp.int32),
+             jnp.zeros((1, tile), jnp.int32))
+    if unroll:
+        for p in range(L):
+            carry = stepB(p, carry)
+    else:
+        carry = jax.lax.fori_loop(jnp.int32(0), jnp.int32(L), stepB, carry)
+    mm, tie_any = carry
     mm_ref[...] = mm
-    bad_ref[...] = (tie_any | sym_any).astype(jnp.int32)
+    bad_ref[...] = tie_any | sym_any
 
 
 @functools.partial(jax.jit,
@@ -260,7 +284,7 @@ def dense_minimizer_device(codes_T: jax.Array, lengths_row: jax.Array,
     B must be a multiple of LANE_TILE. Returns (hlo, hhi, emit, mm, bad)."""
     B = codes_T.shape[1]
     assert B % LANE_TILE == 0
-    kernel = functools.partial(_dense_kernel, k, w, L)
+    kernel = functools.partial(_dense_kernel, k, w, L, not interpret)
     grid = (B // LANE_TILE,)
     plane = pl.BlockSpec((L, LANE_TILE), lambda i: (np.int32(0), i),
                          memory_space=pltpu.VMEM)
