@@ -418,6 +418,26 @@ def _gather_ref_windows(ref_words, ref_nwords, pstart, span: int,
     return jnp.where(nbit == 1, np.int32(4), code2)
 
 
+def _gather_read_rows(packed, nmask, rows, L: int):
+    """Per-candidate read codes gathered from the 2-bit packed words.
+
+    packed: (B, W) u32; nmask: (B, WN) u32; rows: (captot,) i32 read rows.
+    Returns (captot, L) int32 codes with 4 at N positions. Gathering the
+    ~11 packed words per candidate moves ~9x less HBM than gathering the
+    (B, L) unpacked plane -- and with the Pallas front end it leaves the
+    dense unpack with no consumers at all (XLA removes it)."""
+    pw = packed[rows]                                  # (captot, W)
+    nm = nmask[rows]                                   # (captot, WN)
+    cols = np.arange(L)
+    words = jnp.repeat(pw, 16, axis=1)[:, :L]
+    shifts = (2 * (cols % 16)).astype(np.uint32)[None, :]
+    code2 = ((words >> shifts) & U32(3)).astype(jnp.int32)
+    nwords = jnp.repeat(nm, 32, axis=1)[:, :L]
+    nshift = (cols % 32).astype(np.uint32)[None, :]
+    nbit = (nwords >> nshift) & U32(1)
+    return jnp.where(nbit == 1, np.int32(4), code2)
+
+
 def _stage_out(*arrs):
     """Profiling checkpoint: a cheap reduction over a stage's live outputs
     (keeps XLA from dead-code-eliminating the truncated program). Only
@@ -723,11 +743,15 @@ def _build_step(k: int, w: int, e: int, f0: int, f1: int, min_seeds: int,
             # windows and complemented (unreversed) read codes; both
             # retries are the kernel over operands sliced by the gap.
             from .pallas_myers import myers_dropoff_jnp
-            comp_codes = jnp.where(codes < 4, codes ^ 3, 4)
             negm = (cneg == 1)[:, None]
             patterns0 = jnp.where(negm, patterns[:, ::-1], patterns)
-            texts0 = jnp.where(negm, comp_codes[sc_row, :],
-                               codes[sc_row, :]).astype(jnp.int32)
+            if use_dense:
+                tex = _gather_read_rows(packed, nmask, sc_row, L)
+                texts0 = jnp.where(negm & (tex < 4), tex ^ 3, tex)
+            else:
+                comp_codes = jnp.where(codes < 4, codes ^ 3, 4)
+                texts0 = jnp.where(negm, comp_codes[sc_row, :],
+                                   codes[sc_row, :]).astype(jnp.int32)
             g = 20 - e  # allow_gap_beginning
             err0, end0, rml0 = myers_dropoff_jnp(patterns0.T, texts0.T,
                                                  e, L)
@@ -749,10 +773,17 @@ def _build_step(k: int, w: int, e: int, f0: int, f1: int, min_seeds: int,
             err_p = jnp.zeros((captot,), jnp.uint64)
             endp_p = jnp.zeros((captot,), jnp.uint64)
         else:
-            rc_codes = jnp.where(codes[:, ::-1] < 4, codes[:, ::-1] ^ 3, 4)
-            text_sel = jnp.where((cneg == 1)[:, None],
-                                 rc_codes[sc_row, :],
-                                 codes[sc_row, :]).astype(jnp.int32)
+            if use_dense:
+                tex = _gather_read_rows(packed, nmask, sc_row, L)
+                tex_rev = tex[:, ::-1]
+                rc = jnp.where(tex_rev < 4, tex_rev ^ 3, tex_rev)
+                text_sel = jnp.where((cneg == 1)[:, None], rc, tex)
+            else:
+                rc_codes = jnp.where(codes[:, ::-1] < 4,
+                                     codes[:, ::-1] ^ 3, 4)
+                text_sel = jnp.where((cneg == 1)[:, None],
+                                     rc_codes[sc_row, :],
+                                     codes[sc_row, :]).astype(jnp.int32)
 
             from .pallas_myers import myers_jnp
             err, endp = myers_jnp(patterns.T, text_sel.T, e, L)

@@ -403,3 +403,23 @@ def test_dense_pallas_failure_falls_back(small_world, monkeypatch):
     assert out[3] == base[3]
     for a, b in zip(out[:3], base[:3]):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_gather_read_rows_matches_unpack():
+    """_gather_read_rows (per-candidate packed-word texts, the Pallas-path
+    verify input) must equal row-gathering the dense unpacked plane."""
+    from chromap_tpu.ops import device_seed as ds
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    B, L = 64, 100
+    codes = rng.integers(0, 4, (B, L)).astype(np.uint8)
+    codes[rng.random((B, L)) < 0.03] = 4          # N positions
+    rw = jnp.asarray(ds._pack_reads(codes))
+    W = (L + 15) // 16
+    packed, nmask = rw[:, :W], rw[:, W:]
+    dense = ds._unpack_codes(packed, nmask, B, L)
+    rows = jnp.asarray(rng.integers(0, B, 200).astype(np.int32))
+    got = np.asarray(ds._gather_read_rows(packed, nmask, rows, L))
+    want = np.asarray(dense)[np.asarray(rows)].astype(np.int32)
+    assert np.array_equal(got, want)
