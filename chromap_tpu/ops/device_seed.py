@@ -224,33 +224,34 @@ def _emission_stage(hashes, run, lengths, k: int, w: int):
     return emit, tie
 
 
-def _cluster_scan(sort_hi, sort_lo, mm_count, num_required, e: int):
+def _cluster_scan_T(hi_ext, lo_ext, mm_count, num_required, e: int):
     """Exact port of the sequential cluster loop (candidate_processor.cc:
     283-342; ClusterHits in engine.cpp) as a lax.scan over sorted hit slots,
     vectorized over reads.
 
-    sort_hi/sort_lo: (B, H) uint32 sorted lexicographic hit keys, hi =
-    strand<<31 | rid, lo = start; invalid slots are (UMAX32, UMAX32).
+    hi_ext/lo_ext: (H+1, B) uint32 sorted lexicographic hit keys in
+    slot-major (transposed) layout -- columns are reads, hi = strand<<31 |
+    rid, lo = start; invalid slots are (UMAX32, UMAX32) and the extra
+    last row is all-UMAX32 (the kUmax sentinel push in C++; the caller's
+    scatter leaves it untouched). Slot-major keeps every scan step
+    lane-contiguous with NO transpose materializations on either side.
     Emission i reports the cluster closed when processing slot i+1 (the
-    H-th output column comes from the appended sentinel, which closes the
-    final cluster). Returns (emit (B, H) bool, cand_hi, cand_lo (B, H)
-    u32, count (B, H) u8).
+    last output row comes from the sentinel row, which closes the final
+    cluster). Returns (emit (H, B) bool, cand_hi, cand_lo (H, B) u32,
+    count (H, B) u8).
     """
-    B, H = sort_hi.shape
+    H = hi_ext.shape[0] - 1
+    B = hi_ext.shape[1]
     ethr = U32(e)
     mm = mm_count.astype(jnp.int32)
     req = num_required.astype(jnp.int32)
-
-    # sentinel column closes the last cluster (the kUmax push in C++)
-    hi_ext = jnp.concatenate([sort_hi, jnp.full((B, 1), UMAX32)], axis=1)
-    lo_ext = jnp.concatenate([sort_lo, jnp.full((B, 1), UMAX32)], axis=1)
 
     init = dict(
         min_cnt=jnp.ones((B,), jnp.int32),
         eq_cnt=jnp.ones((B,), jnp.int32),
         best_eq=jnp.ones((B,), jnp.int32),
-        best_hi=sort_hi[:, 0], best_lo=sort_lo[:, 0],
-        prev_hi=sort_hi[:, 0], prev_lo=sort_lo[:, 0],
+        best_hi=hi_ext[0], best_lo=lo_ext[0],
+        prev_hi=hi_ext[0], prev_lo=lo_ext[0],
     )
 
     def step(st, cur):
@@ -287,9 +288,9 @@ def _cluster_scan(sort_hi, sort_lo, mm_count, num_required, e: int):
         )
         return new, out
 
-    xs = (hi_ext[:, 1:].T, lo_ext[:, 1:].T)
+    xs = (hi_ext[1:], lo_ext[1:])
     _, (emit, chi, clo, ccnt) = lax.scan(step, init, xs)
-    return emit.T, chi.T, clo.T, ccnt.T
+    return emit, chi, clo, ccnt
 
 
 def _unpack_codes(packed, nmask, B: int, L: int):
@@ -356,6 +357,28 @@ def _cummax1d(x):
     return jnp.maximum(within, offs[:, None]).reshape(-1)[:n]
 
 
+def _probe_merge_sort(hash_keys, mz_h, Mtot: int, ib: int):
+    """lower_bound of every query hash in the sorted key array via ONE
+    single-operand u64 sort (vs jnp.searchsorted(method="sort")'s two
+    2-operand sorts + two scatters): pack hash<<(ib+1) | is_key<<ib | idx
+    (idx for queries only; requires 2k + 1 + ib <= 64, checked by the
+    caller), sort the merged words, count keys by exclusive prefix sum,
+    and scatter each query's key-prefix count back to its slot. Queries
+    carry flag 0 so they sort BEFORE equal keys (side='left'). Invalid
+    queries (UMAX64 plane) shift to all-ones top bits, sort last, and
+    scatter loc == num_keys, which the caller clamps; their `found` is
+    masked by mz_valid anyway."""
+    shift_p = U64(ib + 1)
+    packed_q = (mz_h << shift_p) | jnp.arange(Mtot, dtype=jnp.uint64)
+    packed_k = (hash_keys << shift_p) | U64(1 << ib)
+    s = lax.sort(jnp.concatenate([packed_q, packed_k]))
+    is_key = ((s >> U64(ib)) & U64(1)).astype(jnp.int32)
+    pk = _cumsum1d(is_key) - is_key                # keys strictly before
+    qidx = jnp.where(is_key == 0,
+                     (s & U64((1 << ib) - 1)).astype(jnp.int32), Mtot)
+    return jnp.zeros((Mtot,), jnp.int32).at[qidx].set(pk, mode="drop")
+
+
 def _flat_compact(mask2d, cap: int):
     """Row-major flat compaction of a (B, L) mask: returns (flat source
     index u32 (cap,), total i32). Overflowing elements are dropped (callers
@@ -373,6 +396,29 @@ def _flat_compact(mask2d, cap: int):
     dest = dest2d.reshape(-1)
     src = jnp.arange(B * L, dtype=jnp.uint32)
     fd = jnp.where(mask2d.reshape(-1) & (dest < cap), dest, cap)
+    out = jnp.zeros((cap,), jnp.uint32)
+    out = out.at[fd].set(src, mode="drop")
+    return out, total
+
+
+def _flat_compact_T(mask_T, cap: int):
+    """Transposed-layout flat compaction: mask_T is (S, B) slot-major
+    (columns = reads). Output order is identical to _flat_compact on
+    mask_T.T -- all of read 0's set slots in ascending slot order, then
+    read 1's, ... -- but the returned source indices address the
+    TRANSPOSED flat space (slot * B + read), so callers gather from
+    slot-major planes with no transpose materialization."""
+    S, B = mask_T.shape
+    m = mask_T.astype(jnp.int32)
+    within = jnp.cumsum(m, axis=0)                  # per-read running rank
+    col_tot = within[-1]
+    col_off = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                               _cumsum1d(col_tot)[:-1]])
+    dest2d = within + col_off[None, :] - 1
+    total = col_off[-1] + col_tot[-1]
+    dest = dest2d.reshape(-1)
+    src = jnp.arange(S * B, dtype=jnp.uint32)
+    fd = jnp.where(mask_T.reshape(-1) & (dest < cap), dest, cap)
     out = jnp.zeros((cap,), jnp.uint32)
     out = out.at[fd].set(src, mode="drop")
     return out, total
@@ -478,7 +524,6 @@ def _build_step(k: int, w: int, e: int, f0: int, f1: int, min_seeds: int,
                 codes_T, len_row, k, w, L)
             if stop == "kmer":
                 return _stage_out(d_hlo, d_hhi)
-            emit = emit_T.T != 0
             mm_count = mm_row[0]
             bad_mz = (bad_row[0] != 0) | (lengths != L)
         else:
@@ -489,25 +534,30 @@ def _build_step(k: int, w: int, e: int, f0: int, f1: int, min_seeds: int,
             mm_count = emit.sum(axis=1).astype(jnp.int32)
             bad_mz = (tie | symmetric).any(axis=1) | (lengths != L)
         if stop == "emission":
-            return _stage_out(emit, mm_count, bad_mz)
+            return _stage_out(emit_T != 0 if use_dense else emit,
+                              mm_count, bad_mz)
 
         # ---- flat minimizer compaction ----------------------------------
-        fsrc, total_mz = _flat_compact(emit, Mtot)     # (Mtot,), i32
-        mz_valid = jnp.arange(Mtot, dtype=jnp.int32) < total_mz
         if use_dense:
-            # hash planes are position-major (L, B) i32 pairs with the
-            # strand bit at hhi bit 31; two u32 gathers via the transposed
-            # flat index
-            tsrc = (fsrc % L) * U32(B) + (fsrc // L)
-            glo = d_hlo.reshape(-1)[tsrc].astype(jnp.uint32)
-            ghi = d_hhi.reshape(-1)[tsrc].astype(jnp.uint32)
+            # the emission mask and hash planes are position-major (L, B)
+            # i32 with the strand bit at hhi bit 31; compact in that
+            # layout (same per-read ascending-position order) so neither
+            # the mask nor the planes pay a transpose
+            fsrc, total_mz = _flat_compact_T(emit_T != 0, Mtot)
+            mz_valid = jnp.arange(Mtot, dtype=jnp.int32) < total_mz
+            glo = d_hlo.reshape(-1)[fsrc].astype(jnp.uint32)
+            ghi = d_hhi.reshape(-1)[fsrc].astype(jnp.uint32)
             mz_h = jnp.where(
                 mz_valid,
                 glo.astype(jnp.uint64)
                 | ((ghi & U32(0x7FFFFFFF)).astype(jnp.uint64) << U64(32)),
                 UMAX64)
             mz_strand = ghi >> U32(31)
+            mz_row = (fsrc % U32(B)).astype(jnp.int32)
+            mz_pos = fsrc // U32(B)
         else:
+            fsrc, total_mz = _flat_compact(emit, Mtot)   # (Mtot,), i32
+            mz_valid = jnp.arange(Mtot, dtype=jnp.int32) < total_mz
             # strand rides the hash plane's free top bit (hashes are
             # 2k <= 56 bits) so compaction pays ONE (B*L)-indexed gather,
             # not two
@@ -515,11 +565,11 @@ def _build_step(k: int, w: int, e: int, f0: int, f1: int, min_seeds: int,
             ghs = hs_plane.reshape(-1)[fsrc]
             mz_h = jnp.where(mz_valid, ghs & U64((1 << 63) - 1), UMAX64)
             mz_strand = (ghs >> U64(63)).astype(jnp.uint32)
-        mz_row = (fsrc // L).astype(jnp.int32)
-        mz_pos = (fsrc % L).astype(jnp.uint32)
+            mz_row = (fsrc // L).astype(jnp.int32)
+            mz_pos = (fsrc % L).astype(jnp.uint32)
         # one-gather expansion metadata: row<<9 | pos<<1 | strand
-        mz_packmeta = ((fsrc // L) << U32(9)) | (mz_pos << U32(1)) \
-            | mz_strand
+        mz_packmeta = (mz_row.astype(jnp.uint32) << U32(9)) \
+            | (mz_pos << U32(1)) | mz_strand
         if stop == "mzcompact":
             return _stage_out(mz_h, mz_packmeta, total_mz)
 
@@ -553,8 +603,15 @@ def _build_step(k: int, w: int, e: int, f0: int, f1: int, min_seeds: int,
                 hi = jnp.where(upd & ~right, mid, hi)
             loc = lo
         else:
-            loc = jnp.searchsorted(hash_keys, mz_h, side="left",
-                                   method="sort")
+            ib = max(1, (Mtot - 1).bit_length())
+            if (2 * k + 1 + ib <= 64
+                    and os.environ.get("CHROMAP_TPU_PROBE") != "sortss"):
+                loc = _probe_merge_sort(hash_keys, mz_h, Mtot, ib)
+            else:
+                # hash too wide to pack with the query index (k > 22):
+                # jnp's generic sort-method searchsorted
+                loc = jnp.searchsorted(hash_keys, mz_h, side="left",
+                                       method="sort")
         loc = jnp.minimum(loc, hash_keys.shape[0] - 1)
         found = (hash_keys[loc] == mz_h) & mz_valid
         oc = offcnt[loc]
@@ -672,24 +729,25 @@ def _build_step(k: int, w: int, e: int, f0: int, f1: int, min_seeds: int,
             jnp.where(slot_ok, 1, 0), mode="drop")
         read_start = jnp.cumsum(read_base) - read_base  # exclusive per read
         dest_in = slots - read_start[s_row]
-        dense_hi = jnp.full((B, HCAP), UMAX32)
-        dense_lo = jnp.full((B, HCAP), UMAX32)
+        # scatter straight into the slot-major (H+1, B) cluster tile; the
+        # never-written last row doubles as the all-UMAX sentinel that
+        # closes each read's final cluster
         okd = slot_ok & (dest_in >= 0) & (dest_in < HCAP)
-        flatd = jnp.where(okd, s_row * HCAP + dest_in, B * HCAP)
-        dense_hi = dense_hi.reshape(-1).at[flatd].set(
-            s_hi, mode="drop").reshape(B, HCAP)
-        dense_lo = dense_lo.reshape(-1).at[flatd].set(
-            s_lo, mode="drop").reshape(B, HCAP)
+        flatd = jnp.where(okd, dest_in * B + s_row, (HCAP + 1) * B)
+        dense_hi = jnp.full(((HCAP + 1) * B,), UMAX32).at[flatd].set(
+            s_hi, mode="drop").reshape(HCAP + 1, B)
+        dense_lo = jnp.full(((HCAP + 1) * B,), UMAX32).at[flatd].set(
+            s_lo, mode="drop").reshape(HCAP + 1, B)
         if stop == "scatter":
             return _stage_out(dense_hi, dense_lo)
 
         # ---- cluster (exact sequential semantics) ------------------------
-        cl_emit, cl_hi, cl_lo, cl_cnt = _cluster_scan(
+        cl_emit, cl_hi, cl_lo, cl_cnt = _cluster_scan_T(
             dense_hi, dense_lo, mm_count, num_required, e)
 
         cl_neg = (cl_hi >> 31).astype(jnp.uint8)
-        n_pos = (cl_emit & (cl_neg == 0)).sum(axis=1).astype(jnp.int32)
-        n_neg = (cl_emit & (cl_neg == 1)).sum(axis=1).astype(jnp.int32)
+        n_pos = (cl_emit & (cl_neg == 0)).sum(axis=0).astype(jnp.int32)
+        n_neg = (cl_emit & (cl_neg == 1)).sum(axis=0).astype(jnp.int32)
         cand_over = (n_pos > CCAP) | (n_neg > CCAP)
 
         fallback = bad_mz | round2 | overflow_rd | cand_over
@@ -700,20 +758,19 @@ def _build_step(k: int, w: int, e: int, f0: int, f1: int, min_seeds: int,
         # supported by >= half the minimizers
         half = (mm_count // 2).astype(jnp.uint32)
         supported = (cl_emit
-                     & (cl_cnt.astype(jnp.uint32) >= half[:, None]))
-        augment = ~supported.any(axis=1)
+                     & (cl_cnt.astype(jnp.uint32) >= half[None, :]))
+        augment = ~supported.any(axis=0)
         if stop == "cluster":
             return _stage_out(cl_hi, cl_lo, n_pos, n_neg, augment)
 
         # ---- flat candidate compaction ----------------------------------
-        csrc, total_cands = _flat_compact(
-            cl_emit & ~fallback[:, None], captot)
+        csrc, total_cands = _flat_compact_T(
+            cl_emit & ~fallback[None, :], captot)
         sel_real = jnp.arange(captot, dtype=jnp.int32) < total_cands
-        cl_w = cl_emit.shape[1]
         sc_hi = cl_hi.reshape(-1)[csrc]
         sc_lo = cl_lo.reshape(-1)[csrc]
         sc_cnt = cl_cnt.reshape(-1)[csrc]
-        sc_row = (csrc // cl_w).astype(jnp.int32)
+        sc_row = (csrc % U32(B)).astype(jnp.int32)
         if stop == "candcompact":
             return _stage_out(sc_hi, sc_lo, sc_cnt, sc_row)
 

@@ -423,3 +423,27 @@ def test_gather_read_rows_matches_unpack():
     got = np.asarray(ds._gather_read_rows(packed, nmask, rows, L))
     want = np.asarray(dense)[np.asarray(rows)].astype(np.int32)
     assert np.array_equal(got, want)
+
+
+def test_probe_merge_sort_matches_searchsorted():
+    """The packed single-sort probe (_probe_merge_sort) must reproduce
+    searchsorted-left exactly, including exact hits, misses, duplicate
+    queries, and UMAX64 invalid lanes (which must land at num_keys)."""
+    from chromap_tpu.ops import device_seed as ds
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    k = 17
+    nk, M = 7919, 2048
+    keys = np.sort(rng.choice(1 << (2 * k), size=nk,
+                              replace=False).astype(np.uint64))
+    q = rng.integers(0, 1 << (2 * k), size=M, dtype=np.uint64)
+    q[: M // 2] = rng.choice(keys, size=M // 2)   # exact hits incl. dups
+    q[-19:] = np.uint64(0xFFFFFFFFFFFFFFFF)       # invalid lanes
+    ib = max(1, (M - 1).bit_length())
+    assert 2 * k + 1 + ib <= 64
+    loc = np.asarray(ds._probe_merge_sort(jnp.asarray(keys),
+                                          jnp.asarray(q), M, ib))
+    want = np.searchsorted(keys, q, side="left")
+    assert np.array_equal(loc[:-19], want[:-19])
+    assert (loc[-19:] == nk).all()
