@@ -9,9 +9,10 @@ cannot sink the rest):
   3. Pallas Myers (use_pallas) lowering check under the x64 program
   4. bench.py (the scored metric)
 
-Writes everything to ONCHIP_r03.json at the repo root. Run with the
-normal environment (the axon TPU must be reachable); per-phase timeouts
-keep a relay drop from hanging the whole run.
+Writes everything to ONCHIP_r04.json at the repo root (override with
+CHROMAP_TPU_ONCHIP_OUT). Run with the normal environment (the axon TPU
+must be reachable); per-phase timeouts keep a relay drop from hanging
+the whole run.
 
 Usage: python tools/onchip_validate.py [--quick]
 """
@@ -23,7 +24,8 @@ import sys
 import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.path.join(ROOT, "ONCHIP_r03.json")
+OUT = os.path.join(ROOT, os.environ.get("CHROMAP_TPU_ONCHIP_OUT",
+                                        "ONCHIP_r04.json"))
 
 
 def run(cmd, timeout, env=None):
@@ -99,6 +101,7 @@ print("LOWERS-AND-MATCHES" if ok else "LOWERS-BUT-DIFFERS")
 
     with open(OUT, "w") as f:
         json.dump(res, f, indent=1)
+        f.write("\n")
     print(f"wrote {OUT}")
     for key in ("parity", "profile_bucket_pallas", "profile_sort_probe",
                 "profile_jnp_dense", "pallas_myers_x64", "bench"):

@@ -3,12 +3,19 @@
 
 Runs the sharded seeding step at 1/2/4/8 devices with a FIXED per-device
 shard (weak scaling: total work grows with the mesh). On the virtual CPU
-mesh every "device" executes on the same host, so the ideal weak-scaling
-time is t_n = n * t_1; the measured ratio n*t1/tn therefore bounds the
-sharding/collective overhead the mesh adds on top of pure compute --
-the communication in this program is one psum of a per-shard scalar, so
-the bound should be (and is) close to 1. Writes one JSON line per mesh
-size and a summary file when --out is given.
+mesh every "device" executes serially on the same host, so wall time
+should grow linearly with the mesh and the honest scalar is the
+PER-READ time t_n / (n * S).
+
+Efficiency model (round 4; the round-3 "ideal t_n = n*t_1" model
+produced efficiencies up to 114% because n separate t_1 dispatches pay
+n fixed overheads while the sharded program pays one): efficiency_n =
+min_m(per_read_time_m) / per_read_time_n -- normalized per-read
+throughput relative to the best observed mesh size. This is <= 1 by
+construction; a drop below 1 at larger n measures the real growth of
+sharding/collective overhead (the program's only cross-shard
+communication is one scalar psum). Writes one JSON line per mesh size
+and a summary file when --out is given.
 
 Usage:
   JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
@@ -65,7 +72,6 @@ def main():
         return reads
 
     results = []
-    t1 = None
     for n in sizes:
         B = S * n
         mesh = Mesh(np.array(jax.devices()[:n]), axis_names=("data",))
@@ -109,21 +115,27 @@ def main():
                 jax.block_until_ready(fn(*a))
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
-        if n == 1:
-            t1 = best
-        eff = (n * t1 / best) if t1 else 0.0
         row = {"devices": n, "reads": B, "wall_s": round(best, 4),
-               "weak_scaling_efficiency": round(eff, 4)}
+               "per_read_us": round(1e6 * best / B, 3)}
         results.append(row)
+
+    # efficiency <= 1 by construction: normalized per-read throughput
+    # relative to the best observed mesh size
+    best_pr = min(r["per_read_us"] for r in results)
+    for row in results:
+        row["weak_scaling_efficiency"] = round(
+            best_pr / row["per_read_us"], 4)
         print(json.dumps(row))
 
     if args.out:
         with open(args.out, "w") as f:
             json.dump({"metric": "device seeding weak scaling "
-                                 "(virtual CPU mesh, serialized devices: "
-                                 "ideal t_n = n*t_1)",
+                                 "(virtual CPU mesh, serialized devices; "
+                                 "efficiency = best per-read time / "
+                                 "per-read time, <= 1 by construction)",
                        "per_device_reads": S,
                        "results": results}, f, indent=1)
+            f.write("\n")
 
 
 if __name__ == "__main__":
