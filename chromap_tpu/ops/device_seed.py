@@ -508,7 +508,10 @@ def _build_step(k: int, w: int, e: int, f0: int, f1: int, min_seeds: int,
              L: int, B: int, Mtot: int, Htot: int, captot: int):
         # ---- unpack + minimizers (dense (B, L) elementwise) -------------
         # rw: one row per read, W 2-bit-code words then WN N-bitmap words
-        assert B <= (1 << 14), "packed expansion meta carries 14 row bits"
+        # (row budget: the hit sort key packs row<<47 | strand<<46 |
+        # rid<<32 | start with the all-ones u64 as the invalid sentinel,
+        # so rows may use bits 47..62 = 16 bits; 2^15 keeps a spare bit)
+        assert B <= (1 << 15), "packed hit-sort key carries 15 row bits"
         W = (L + 15) // 16
         packed = rw[:, :W]
         nmask = rw[:, W:]
@@ -1065,17 +1068,19 @@ class DeviceSeeder:
                                   dense_pallas=self.dense_pallas,
                                   probe=self._probe)
         # the first device-to-host transfer of a process can stall for
-        # minutes on relayed TPU links (connection establishment); warm the
-        # channel in the background so the wait overlaps mapping work
-        import threading
-
-        def _warm_d2h():
-            try:
-                np.asarray(self.ref_lens + 0)
-            except Exception:
-                pass
-
-        threading.Thread(target=_warm_d2h, daemon=True).start()
+        # minutes on relayed TPU links (connection establishment); start an
+        # async copy so the handshake overlaps mapping work. This must NOT
+        # be a Python daemon thread blocking in np.asarray: if the process
+        # exits while the transfer is in flight, CPython 3.12 finalization
+        # kills the thread via pthread_exit as it re-enters Python from
+        # jaxlib C++, the forced unwind is swallowed by a catch(...) and
+        # glibc aborts with "FATAL: exception not rethrown" (reproduced
+        # and bisected 2026-08-18; this was ONCHIP_r03's parity_batch16k
+        # rc=-6). copy_to_host_async warms the channel entirely in C++.
+        try:
+            self.ref_lens.copy_to_host_async()
+        except Exception:
+            pass
 
     def _drop_dense_pallas(self) -> bool:
         """A step call failed -- most likely the fused Pallas minimizer

@@ -120,6 +120,12 @@ class MappingPipeline:
     def __init__(self, cfg: MappingConfig):
         self.cfg = cfg
         self._device_seeder = None
+        if getattr(cfg, "device_batch_size", 0) > 16384:
+            # the device program's hit-sort key carries 15 row bits
+            # (2 reads/pair), so one dispatch holds <= 16384 pairs
+            log("WARNING: device_batch_size capped at 16384 pairs "
+                "(device hit-sort row budget).")
+            cfg.device_batch_size = 16384
         self.read_format = (ReadFormat.parse(cfg.read_format)
                             if cfg.read_format else ReadFormat())
 

@@ -447,3 +447,47 @@ def test_probe_merge_sort_matches_searchsorted():
     want = np.searchsorted(keys, q, side="left")
     assert np.array_equal(loc[:-19], want[:-19])
     assert (loc[-19:] == nk).all()
+
+
+def test_device_seed_32k_rows(small_world):
+    """Regression for the 16384-pair (32768-row) device chunk: the hit-sort
+    key carries 15 row bits, so B = 2^15 must seed correctly (round-3's
+    14-bit assert made every 16k-pair dispatch fall back to the host, and
+    ONCHIP_r03 recorded an rc=-6 teardown abort in that configuration)."""
+    from chromap_tpu.ops.device_seed import FLAG_FALLBACK, DeviceSeeder
+
+    index, ref_codes, ref_seqs = small_world
+    rng = np.random.default_rng(5)
+    B, L = 1 << 15, 48
+    reads = _simulate_reads(ref_codes, rng, B, L)
+    lengths = np.full(B, L, dtype=np.int64)
+
+    seeder = DeviceSeeder(index, ref_seqs, E, MIN_SEEDS, F,
+                          use_pallas=False)
+    meta, cand_pos, cand_meta, overflow = seeder.seed_and_verify(
+        reads, lengths)
+    assert not overflow
+
+    # oracle-check a spread of reads across the whole row range (rows
+    # above 2^14 exercise the widened row bits in the sort key and the
+    # expansion metadata)
+    gen = CandidateGenerator(index, E, MIN_SEEDS, F)
+    starts = np.zeros(B + 1, dtype=np.int64)
+    np.cumsum(((meta >> 32) & 0xFF) + ((meta >> 40) & 0xFF),
+              out=starts[1:])
+    for i in list(range(0, B, 4093)) + [B - 2, B - 1]:
+        m = int(meta[i])
+        flags = (m >> 24) & 0xFF
+        npos, nneg = (m >> 32) & 0xFF, (m >> 40) & 0xFF
+        st = ReadSeedState()
+        st.minimizers = generate_minimizers(reads[i], 0, K, W)
+        gen.generate(st)
+        if flags & FLAG_FALLBACK:
+            assert npos == 0 and nneg == 0
+            continue
+        assert npos == len(st.positive_candidates)
+        assert nneg == len(st.negative_candidates)
+        oracle = ([c.position for c in st.positive_candidates]
+                  + [c.position for c in st.negative_candidates])
+        got = [int(cand_pos[starts[i] + j]) for j in range(npos + nneg)]
+        assert got == oracle
