@@ -224,57 +224,59 @@ def _emission_stage(hashes, run, lengths, k: int, w: int):
     return emit, tie
 
 
-def _cluster_scan_T(hi_ext, lo_ext, mm_count, num_required, e: int):
+def _cluster_scan_W(words_ext, mm_count, num_required, e: int):
     """Exact port of the sequential cluster loop (candidate_processor.cc:
     283-342; ClusterHits in engine.cpp) as a lax.scan over sorted hit slots,
     vectorized over reads.
 
-    hi_ext/lo_ext: (H+1, B) uint32 sorted lexicographic hit keys in
-    slot-major (transposed) layout -- columns are reads, hi = strand<<31 |
-    rid, lo = start; invalid slots are (UMAX32, UMAX32) and the extra
-    last row is all-UMAX32 (the kUmax sentinel push in C++; the caller's
-    scatter leaves it untouched). Slot-major keeps every scan step
-    lane-contiguous with NO transpose materializations on either side.
-    Emission i reports the cluster closed when processing slot i+1 (the
-    last output row comes from the sentinel row, which closes the final
-    cluster). Returns (emit (H, B) bool, cand_hi, cand_lo (H, B) u32,
-    count (H, B) u8).
+    words_ext: (H+1, B) uint64 sorted packed hit keys in slot-major layout
+    -- columns are reads, word = row<<47 | strand<<46 | rid<<32 | start.
+    Row bits are constant within a column, so comparing the full top words
+    equals comparing (strand, rid). Invalid slots are UMAX64 and the extra
+    last row is all-UMAX64 (the kUmax sentinel push in C++; the caller's
+    scatter leaves it untouched). Emission i reports the cluster closed
+    when processing slot i+1 (the last output row comes from the sentinel
+    row, which closes the final cluster). Returns (emit (H, B) bool,
+    cand (H, B) u64 packed count<<47 | strand<<46 | rid<<32 | start).
     """
-    H = hi_ext.shape[0] - 1
-    B = hi_ext.shape[1]
+    B = words_ext.shape[1]
     ethr = U32(e)
     mm = mm_count.astype(jnp.int32)
     req = num_required.astype(jnp.int32)
 
+    w0 = words_ext[0]
     init = dict(
         min_cnt=jnp.ones((B,), jnp.int32),
         eq_cnt=jnp.ones((B,), jnp.int32),
         best_eq=jnp.ones((B,), jnp.int32),
-        best_hi=hi_ext[0], best_lo=lo_ext[0],
-        prev_hi=hi_ext[0], prev_lo=lo_ext[0],
+        best=w0, prev=w0,
     )
 
     def step(st, cur):
-        cur_hi, cur_lo = cur
-        boundary = ((cur_hi != st["prev_hi"])
-                    | (cur_lo > st["prev_lo"] + ethr)
+        cur_hi = (cur >> U64(32)).astype(jnp.uint32)
+        cur_lo = cur.astype(jnp.uint32)
+        prev_hi = (st["prev"] >> U64(32)).astype(jnp.uint32)
+        prev_lo = st["prev"].astype(jnp.uint32)
+        best_lo = st["best"].astype(jnp.uint32)
+        boundary = ((cur_hi != prev_hi)
+                    | (cur_lo > prev_lo + ethr)
                     | ((st["min_cnt"] >= mm)
-                       & (cur_lo > st["best_lo"] + ethr)))
+                       & (cur_lo > best_lo + ethr)))
         emit = (boundary & (st["min_cnt"] >= req)
-                & (st["best_hi"] != UMAX32))
-        out = (emit, st["best_hi"], st["best_lo"],
-               (st["best_eq"] & 0xFF).astype(jnp.uint8))
+                & (st["best"] != UMAX64))
+        outw = ((st["best"] & U64((1 << 47) - 1))
+                | ((st["best_eq"] & 0xFF).astype(jnp.uint64) << U64(47)))
+        out = (emit, outw)
 
         # non-boundary update (candidate_processor.cc:311-331)
-        is_best = (cur_hi == st["best_hi"]) & (cur_lo == st["best_lo"])
-        is_prev = (cur_hi == st["prev_hi"]) & (cur_lo == st["prev_lo"])
+        is_best = cur == st["best"]
+        is_prev = cur == st["prev"]
         eq_cnt = jnp.where(is_best | is_prev, st["eq_cnt"] + 1,
                            np.int32(1))
         promote = (~is_best) & is_prev & (eq_cnt > st["best_eq"])
         best_eq = jnp.where(is_best, st["best_eq"] + 1,
                             jnp.where(promote, eq_cnt, st["best_eq"]))
-        best_hi = jnp.where(promote, st["prev_hi"], st["best_hi"])
-        best_lo = jnp.where(promote, st["prev_lo"], st["best_lo"])
+        best = jnp.where(promote, st["prev"], st["best"])
         min_cnt = st["min_cnt"] + 1
 
         one = jnp.ones_like(min_cnt)
@@ -282,15 +284,13 @@ def _cluster_scan_T(hi_ext, lo_ext, mm_count, num_required, e: int):
             min_cnt=jnp.where(boundary, one, min_cnt),
             eq_cnt=jnp.where(boundary, one, eq_cnt),
             best_eq=jnp.where(boundary, one, best_eq),
-            best_hi=jnp.where(boundary, cur_hi, best_hi),
-            best_lo=jnp.where(boundary, cur_lo, best_lo),
-            prev_hi=cur_hi, prev_lo=cur_lo,
+            best=jnp.where(boundary, cur, best),
+            prev=cur,
         )
         return new, out
 
-    xs = (hi_ext[1:], lo_ext[1:])
-    _, (emit, chi, clo, ccnt) = lax.scan(step, init, xs)
-    return emit, chi, clo, ccnt
+    _, (emit, cw) = lax.scan(step, init, words_ext[1:], unroll=4)
+    return emit, cw
 
 
 def _unpack_codes(packed, nmask, B: int, L: int):
@@ -357,54 +357,68 @@ def _cummax1d(x):
     return jnp.maximum(within, offs[:, None]).reshape(-1)[:n]
 
 
+def _cummin1d_rev_u64(x):
+    """Suffix (right-to-left inclusive) cummin of a 1-D uint64 vector.
+
+    u1 < u2 unsigned  <=>  s(u1 ^ TOP) < s(u2 ^ TOP) signed, and
+    min_s(y) = ~max_s(~y) (bitwise ~ is an order-reversing bijection), so
+    the whole map in one pass is cummax over bitcast_s64(~x ^ TOP) with
+    recovery ~r ^ TOP."""
+    TOP = U64(1) << U64(63)
+    inv = lax.bitcast_convert_type((~x ^ TOP)[::-1], jnp.int64)
+    n = inv.shape[0]
+    width = 2048
+    if n <= width:
+        out = lax.cummax(inv)
+    else:
+        rows = -(-n // width)
+        pad = rows * width - n
+        x2 = jnp.concatenate(
+            [inv, jnp.full((pad,), jnp.iinfo(jnp.int64).min)]).reshape(
+                rows, width)
+        within = lax.cummax(x2, axis=1)
+        row_prev = lax.cummax(within[:, -1])
+        offs = jnp.concatenate(
+            [jnp.full((1,), jnp.iinfo(jnp.int64).min), row_prev[:-1]])
+        out = jnp.maximum(within, offs[:, None]).reshape(-1)[:n]
+    return ~lax.bitcast_convert_type(out[::-1], jnp.uint64) ^ TOP
+
+
 def _probe_merge_sort(hash_keys, mz_h, Mtot: int, ib: int):
-    """lower_bound of every query hash in the sorted key array via ONE
-    single-operand u64 sort (vs jnp.searchsorted(method="sort")'s two
-    2-operand sorts + two scatters): pack hash<<(ib+1) | is_key<<ib | idx
-    (idx for queries only; requires 2k + 1 + ib <= 64, checked by the
-    caller), sort the merged words, count keys by exclusive prefix sum,
-    and scatter each query's key-prefix count back to its slot. Queries
-    carry flag 0 so they sort BEFORE equal keys (side='left'). Invalid
-    queries (UMAX64 plane) shift to all-ones top bits, sort last, and
-    scatter loc == num_keys, which the caller clamps; their `found` is
-    masked by mz_valid anyway."""
+    """lower_bound + key-present bit for every query hash in the sorted
+    key array via ONE single-operand u64 sort (vs jnp.searchsorted
+    (method="sort")'s two 2-operand sorts + two scatters): pack
+    hash<<(ib+1) | is_key<<ib | idx (idx for queries only; requires
+    2k + 1 + ib <= 64, checked by the caller), sort the merged words,
+    count keys by exclusive prefix sum, and scatter each query's
+    (key-prefix count | found << 31) back to its slot. Queries carry
+    flag 0 so they sort BEFORE equal keys (side='left'). `found` — the
+    next key at-or-after the query has the same hash — rides a suffix
+    cummin of the key hashes, so no post-probe hash_keys[loc] gather is
+    needed. Invalid queries (UMAX64 plane) shift to all-ones top bits
+    and sort last; their scattered loc (== num_keys) and found bit are
+    both masked by mz_valid in the caller."""
     shift_p = U64(ib + 1)
     packed_q = (mz_h << shift_p) | jnp.arange(Mtot, dtype=jnp.uint64)
     packed_k = (hash_keys << shift_p) | U64(1 << ib)
     s = lax.sort(jnp.concatenate([packed_q, packed_k]))
     is_key = ((s >> U64(ib)) & U64(1)).astype(jnp.int32)
     pk = _cumsum1d(is_key) - is_key                # keys strictly before
+    hash_only = s >> shift_p
+    next_key_hash = _cummin1d_rev_u64(
+        jnp.where(is_key == 1, hash_only, UMAX64))
+    # invalid queries may scatter found=1 (their hash_only aliases the
+    # all-ones plane); the caller masks found with mz_valid
+    found = (next_key_hash == hash_only).astype(jnp.int32)
     qidx = jnp.where(is_key == 0,
                      (s & U64((1 << ib) - 1)).astype(jnp.int32), Mtot)
-    return jnp.zeros((Mtot,), jnp.int32).at[qidx].set(pk, mode="drop")
-
-
-def _flat_compact(mask2d, cap: int):
-    """Row-major flat compaction of a (B, L) mask: returns (flat source
-    index u32 (cap,), total i32). Overflowing elements are dropped (callers
-    gate on total). The running destination index is a hierarchical scan:
-    row-wise cumsum + row-offset broadcast (the flat (B*L,) cumsum is the
-    slow path on TPU)."""
-    B, L = mask2d.shape
-    m8 = mask2d.astype(jnp.int32)
-    within = jnp.cumsum(m8, axis=1)
-    row_tot = within[:, -1]
-    row_off = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                               jnp.cumsum(row_tot)[:-1]])
-    dest2d = within + row_off[:, None] - 1
-    total = row_off[-1] + row_tot[-1]
-    dest = dest2d.reshape(-1)
-    src = jnp.arange(B * L, dtype=jnp.uint32)
-    fd = jnp.where(mask2d.reshape(-1) & (dest < cap), dest, cap)
-    out = jnp.zeros((cap,), jnp.uint32)
-    out = out.at[fd].set(src, mode="drop")
-    return out, total
+    return jnp.zeros((Mtot,), jnp.int32).at[qidx].set(
+        pk | (found << 31), mode="drop")
 
 
 def _flat_compact_T(mask_T, cap: int):
     """Transposed-layout flat compaction: mask_T is (S, B) slot-major
-    (columns = reads). Output order is identical to _flat_compact on
-    mask_T.T -- all of read 0's set slots in ascending slot order, then
+    (columns = reads). Output order:  all of read 0's set slots in ascending slot order, then
     read 1's, ... -- but the returned source indices address the
     TRANSPOSED flat space (slot * B + read), so callers gather from
     slot-major planes with no transpose materialization."""
@@ -540,41 +554,60 @@ def _build_step(k: int, w: int, e: int, f0: int, f1: int, min_seeds: int,
             return _stage_out(emit_T != 0 if use_dense else emit,
                               mm_count, bad_mz)
 
-        # ---- flat minimizer compaction ----------------------------------
+        # ---- per-read minimizer compaction (one-hot sums, no scatter) ---
+        # (MZ, B) slot-major planes: slot d of lane b is the read's d-th
+        # minimizer in ascending position order. MZ masked reductions over
+        # the (L, B) planes are pure VPU ALU, replacing the former
+        # full-plane scatter compaction (a (B*L)-element scatter + two
+        # (B*L)-indexed gathers); reads with more than MZ minimizers route
+        # to the exact host path, the same correctness escape as window
+        # hash ties. The flat (Mtot,) downstream arrays are these planes
+        # reshaped, so invalid slots are interspersed (hash UMAX64/cnt 0)
+        # -- every flat stage already masks on validity.
+        MZ = Mtot // B
         if use_dense:
-            # the emission mask and hash planes are position-major (L, B)
-            # i32 with the strand bit at hhi bit 31; compact in that
-            # layout (same per-read ascending-position order) so neither
-            # the mask nor the planes pay a transpose
-            fsrc, total_mz = _flat_compact_T(emit_T != 0, Mtot)
-            mz_valid = jnp.arange(Mtot, dtype=jnp.int32) < total_mz
-            glo = d_hlo.reshape(-1)[fsrc].astype(jnp.uint32)
-            ghi = d_hhi.reshape(-1)[fsrc].astype(jnp.uint32)
-            mz_h = jnp.where(
-                mz_valid,
-                glo.astype(jnp.uint64)
-                | ((ghi & U32(0x7FFFFFFF)).astype(jnp.uint64) << U64(32)),
-                UMAX64)
-            mz_strand = ghi >> U32(31)
-            mz_row = (fsrc % U32(B)).astype(jnp.int32)
-            mz_pos = fsrc // U32(B)
+            hlo_T, hhi_T = d_hlo, d_hhi          # (L, B) i32, inval = -1
+            emit_Tm = emit_T != 0
         else:
-            fsrc, total_mz = _flat_compact(emit, Mtot)   # (Mtot,), i32
-            mz_valid = jnp.arange(Mtot, dtype=jnp.int32) < total_mz
-            # strand rides the hash plane's free top bit (hashes are
-            # 2k <= 56 bits) so compaction pays ONE (B*L)-indexed gather,
-            # not two
-            hs_plane = h | (strand.astype(jnp.uint64) << U64(63))
-            ghs = hs_plane.reshape(-1)[fsrc]
-            mz_h = jnp.where(mz_valid, ghs & U64((1 << 63) - 1), UMAX64)
-            mz_strand = (ghs >> U64(63)).astype(jnp.uint32)
-            mz_row = (fsrc // L).astype(jnp.int32)
-            mz_pos = (fsrc % L).astype(jnp.uint32)
-        # one-gather expansion metadata: row<<9 | pos<<1 | strand
-        mz_packmeta = (mz_row.astype(jnp.uint32) << U32(9)) \
-            | (mz_pos << U32(1)) | mz_strand
+            lo_b = lax.bitcast_convert_type(
+                (h & U64(0xFFFFFFFF)).astype(jnp.uint32), jnp.int32)
+            hi_b = lax.bitcast_convert_type(
+                (h >> U64(32)).astype(jnp.uint32)
+                | (strand.astype(jnp.uint32) << U32(31)), jnp.int32)
+            hlo_T = lo_b.T                       # inval: h == UMAX64 ->
+            hhi_T = hi_b.T                       # lo = hi = -1 (2k < 56)
+            emit_Tm = emit.T
+        rank = jnp.cumsum(emit_Tm.astype(jnp.int32), axis=0) - 1
+        pos_col = jnp.arange(L, dtype=jnp.int32)[:, None]
+        acc_lo, acc_hi, acc_pos = [], [], []
+        for d in range(MZ):
+            sel = emit_Tm & (rank == d)
+            acc_lo.append(jnp.sum(jnp.where(sel, hlo_T, 0), axis=0,
+                                  dtype=jnp.int32))
+            acc_hi.append(jnp.sum(jnp.where(sel, hhi_T, 0), axis=0,
+                                  dtype=jnp.int32))
+            acc_pos.append(jnp.sum(jnp.where(sel, pos_col, 0), axis=0,
+                                   dtype=jnp.int32))
+        c_lo = lax.bitcast_convert_type(jnp.stack(acc_lo), jnp.uint32)
+        c_hi = lax.bitcast_convert_type(jnp.stack(acc_hi), jnp.uint32)
+        c_pos = jnp.stack(acc_pos).astype(jnp.uint32)        # (MZ, B)
+        bad_mz = bad_mz | (mm_count > MZ)
+        mz_valid2 = (jnp.arange(MZ, dtype=jnp.int32)[:, None]
+                     < jnp.minimum(mm_count, MZ)[None, :])
+        mz_h2 = jnp.where(
+            mz_valid2,
+            c_lo.astype(jnp.uint64)
+            | ((c_hi & U32(0x7FFFFFFF)).astype(jnp.uint64) << U64(32)),
+            UMAX64)
+        # expansion metadata: row<<9 | pos<<1 | strand (row = lane)
+        lane_row = jnp.broadcast_to(
+            jnp.arange(B, dtype=jnp.uint32)[None, :], (MZ, B))
+        meta2 = (lane_row << U32(9)) | (c_pos << U32(1)) | (c_hi >> U32(31))
+        mz_h = mz_h2.reshape(-1)                              # (Mtot,)
+        mz_valid = mz_valid2.reshape(-1)
+        mz_packmeta = meta2.reshape(-1)
         if stop == "mzcompact":
-            return _stage_out(mz_h, mz_packmeta, total_mz)
+            return _stage_out(mz_h, mz_packmeta)
 
         # ---- index probe ------------------------------------------------
         if probe is not None:
@@ -596,7 +629,9 @@ def _build_step(k: int, w: int, e: int, f0: int, f1: int, min_seeds: int,
             bk = jnp.minimum((mz_h >> U64(p_shift)).astype(jnp.int64),
                              nb - 1).astype(jnp.int32)
             lo = probe_table[bk]
-            hi = probe_table[bk + 1]
+            hi0 = probe_table[bk + 1]
+            hi = hi0
+            gk = U32(0)
             for _ in range(p_depth):
                 upd = lo < hi
                 mid = (lo + hi) >> 1
@@ -605,67 +640,74 @@ def _build_step(k: int, w: int, e: int, f0: int, f1: int, min_seeds: int,
                 lo = jnp.where(upd & right, mid + 1, lo)
                 hi = jnp.where(upd & ~right, mid, hi)
             loc = lo
+            # the bucket pins the top tbits (>= 2k-32), so a low-bits
+            # match at the converged lower_bound is an exact key match;
+            # one more u32 gather replaces the former u64 hash_keys[loc]
+            loc = jnp.minimum(loc, nk - 1)
+            found = ((lo < hi0)
+                     & ((keys_lo[loc] & smask) == ql) & mz_valid)
         else:
             ib = max(1, (Mtot - 1).bit_length())
+            nk = hash_keys.shape[0]
             if (2 * k + 1 + ib <= 64
                     and os.environ.get("CHROMAP_TPU_PROBE") != "sortss"):
-                loc = _probe_merge_sort(hash_keys, mz_h, Mtot, ib)
+                lf = _probe_merge_sort(hash_keys, mz_h, Mtot, ib)
+                loc = jnp.minimum(lf & np.int32(0x7FFFFFFF), nk - 1)
+                found = ((lf & np.int32(-0x80000000)) != 0) & mz_valid
             else:
                 # hash too wide to pack with the query index (k > 22):
                 # jnp's generic sort-method searchsorted
                 loc = jnp.searchsorted(hash_keys, mz_h, side="left",
                                        method="sort")
-        loc = jnp.minimum(loc, hash_keys.shape[0] - 1)
-        found = (hash_keys[loc] == mz_h) & mz_valid
+                loc = jnp.minimum(loc, nk - 1)
+                found = (hash_keys[loc] == mz_h) & mz_valid
         oc = offcnt[loc]
-        off = (oc >> U64(12)).astype(jnp.int64)
-        cnt = jnp.where(found, (oc & U64(0xFFF)).astype(jnp.int32), 0)
+        if offcnt.dtype == jnp.uint32:
+            # u32 offcnt tier (offsets < 2^20): ~2.4x cheaper gather
+            off = (oc >> U32(12)).astype(jnp.int64)
+            cnt = jnp.where(found, (oc & U32(0xFFF)).astype(jnp.int32), 0)
+        else:
+            off = (oc >> U64(12)).astype(jnp.int64)
+            cnt = jnp.where(found, (oc & U64(0xFFF)).astype(jnp.int32), 0)
         if stop == "probe":
             return _stage_out(off, cnt, found)
 
-        # round-1 frequency cap (candidate_processor.cc:24-32); the two
-        # per-read aggregates ride one packed scatter-add (cnt sums stay
-        # below 2^20, escalation counts below 2^9)
-        cnt_eff = jnp.where(cnt < f0, cnt, 0)
-        esc_flag = ((cnt > 0) & (cnt < f1)).astype(jnp.int32)
-        agg = jnp.zeros((B,), jnp.int32).at[mz_row].add(
-            cnt_eff | (esc_flag << 20), mode="drop")
-        total_rd = agg & 0xFFFFF
+        # round-1 frequency cap (candidate_processor.cc:24-32); the
+        # per-read aggregates are axis-0 sums over the (MZ, B) planes
+        # (the former scatter-adds are free column reductions here)
+        cnt2 = cnt.reshape(MZ, B)
+        cnt_eff2 = jnp.where(cnt2 < f0, cnt2, 0)
+        total_rd = jnp.sum(cnt_eff2, axis=0, dtype=jnp.int32)
         # empty round 1 with a round-2 cap that would admit hits:
         # frequency escalation -> exact host path
-        round2 = (total_rd == 0) & ((agg >> 20) > 0)
+        esc_any = ((cnt2 > 0) & (cnt2 < f1)).any(axis=0)
+        round2 = (total_rd == 0) & esc_any
         overflow_rd = total_rd > HCAP
         if stop == "agg":
             return _stage_out(total_rd, round2, overflow_rd)
 
         # ---- repetitive-seed stats (index.cc:507-523) -------------------
-        # segmented scan-free form: for each repetitive minimizer, find the
-        # previous repetitive one in the same read via cummax, then add
-        # min(gap, k) (positions ascend within a read, so prev <= pos);
-        # rep length and count share one packed scatter-add
-        rep_mask = found & (cnt >= f0)
-        slot_idx = jnp.arange(Mtot, dtype=jnp.int32)
-        prev_incl = _cummax1d(jnp.where(rep_mask, slot_idx, -1))
-        prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32),
-                                prev_incl[:-1]])
-        prev_c = jnp.maximum(prev, 0)
-        prev_meta = mz_packmeta[prev_c]
-        same_row = (prev >= 0) & ((prev_meta >> U32(9))
-                                  == (mz_packmeta >> U32(9)))
-        prev_pos = (prev_meta >> U32(1)) & U32(0xFF)
-        gap = mz_pos - prev_pos
-        inc = jnp.where(~same_row, np.uint32(k),
+        # per-column form: for each repetitive minimizer, the previous
+        # repetitive one in the same read is an axis-0 cummax over masked
+        # positions (positions ascend within a column); add min(gap, k)
+        rep_mask = found.reshape(MZ, B) & (cnt2 >= f0)
+        pos_i2 = c_pos.astype(jnp.int32)
+        prev_incl = lax.cummax(jnp.where(rep_mask, pos_i2, -1), axis=0)
+        prev_pos = jnp.concatenate(
+            [jnp.full((1, B), -1, jnp.int32), prev_incl[:-1]], axis=0)
+        gap = (pos_i2 - prev_pos).astype(jnp.uint32)
+        inc = jnp.where(prev_pos < 0, np.uint32(k),
                         jnp.where(gap < np.uint32(k + w - 1), gap,
                                   np.uint32(k)))
-        rep_agg = jnp.zeros((B,), jnp.uint32).at[mz_row].add(
-            jnp.where(rep_mask, inc | U32(1 << 16), 0), mode="drop")
-        rep_len = rep_agg & U32(0xFFFF)
-        rep_count = (rep_agg >> U32(16)).astype(jnp.int32)
+        rep_len = jnp.sum(jnp.where(rep_mask, inc, U32(0)), axis=0,
+                          dtype=jnp.uint32)
+        rep_count = jnp.sum(rep_mask, axis=0, dtype=jnp.int32)
         num_required = jnp.clip(mm_count - rep_count, 1, min_seeds)
         if stop == "repstats":
             return _stage_out(rep_len, num_required)
 
         # ---- flat occurrence expansion (index.cc:237-349) ---------------
+        cnt_eff = cnt_eff2.reshape(-1)                 # slot-major flat
         hcum = _cumsum1d(cnt_eff)                      # inclusive, (Mtot,)
         total_hits = hcum[-1]
         hbase = hcum - cnt_eff                         # exclusive
@@ -692,9 +734,16 @@ def _build_step(k: int, w: int, e: int, f0: int, f1: int, min_seeds: int,
         read_pos = (meta_i >> U32(1)) & U32(0xFF)
         m_strand = meta_i & U32(1)
 
-        rid = (occ >> U64(33)).astype(jnp.uint32)
-        ref_pos = (occ >> U64(1)).astype(jnp.uint32)
-        same = (occ & U64(1)).astype(jnp.uint32) == m_strand
+        if occurrences.dtype == jnp.uint32:
+            # u32 occurrence tier (genome < 2^24 bases, < 128 sequences):
+            # rid<<25 | pos<<1 | strand; same uint32 candidate arithmetic
+            rid = occ >> U32(25)
+            ref_pos = (occ >> U32(1)) & U32(0xFFFFFF)
+            same = (occ & U32(1)) == m_strand
+        else:
+            rid = (occ >> U64(33)).astype(jnp.uint32)
+            ref_pos = (occ >> U64(1)).astype(jnp.uint32)
+            same = (occ & U64(1)).astype(jnp.uint32) == m_strand
         start = jnp.where(same, ref_pos - read_pos,
                           ref_pos + read_pos - U32(k - 1))
         hit_hi = jnp.where(same, rid, rid | U32(1 << 31))
@@ -717,40 +766,42 @@ def _build_step(k: int, w: int, e: int, f0: int, f1: int, min_seeds: int,
             UMAX64)
         skey = lax.sort(key1)
         srow_raw = (skey >> U64(47)).astype(jnp.int32)
-        inval = srow_raw >= B
-        s_lo = (skey & U64(0xFFFFFFFF)).astype(jnp.uint32)
-        s_hi = jnp.where(
-            inval, UMAX32,
-            (((skey >> U64(46)) & U64(1)).astype(jnp.uint32) << U32(31))
-            | ((skey >> U64(32)).astype(jnp.uint32) & U32(0x3FFF)))
         s_row = jnp.minimum(srow_raw, B - 1)
         if stop == "sort":
-            return _stage_out(s_hi, s_lo, s_row)
+            return _stage_out(skey)
         # hits per read are contiguous after the stable flat sort; the
         # in-read rank is the slot index minus the read's first slot
         read_base = jnp.zeros((B,), jnp.int32).at[hit_row].add(
             jnp.where(slot_ok, 1, 0), mode="drop")
         read_start = jnp.cumsum(read_base) - read_base  # exclusive per read
         dest_in = slots - read_start[s_row]
-        # scatter straight into the slot-major (H+1, B) cluster tile; the
-        # never-written last row doubles as the all-UMAX sentinel that
-        # closes each read's final cluster
-        okd = slot_ok & (dest_in >= 0) & (dest_in < HCAP)
+        # scatter the packed sorted keys straight into the slot-major
+        # (H+1, B) cluster tile as two u32 planes (TPU scatters of u64
+        # values run ~4x slower than two u32 scatters, measured on v5e),
+        # recombined elementwise for the scan; row bits stay in the word
+        # -- they are constant within a column, so the scan's
+        # full-top-word compares are equivalent. The never-written last
+        # row doubles as the all-UMAX sentinel that closes each read's
+        # final cluster.
+        okd = slot_ok & (dest_in >= 0) & (dest_in < HCAP) \
+            & (srow_raw < B)
         flatd = jnp.where(okd, dest_in * B + s_row, (HCAP + 1) * B)
-        dense_hi = jnp.full(((HCAP + 1) * B,), UMAX32).at[flatd].set(
-            s_hi, mode="drop").reshape(HCAP + 1, B)
-        dense_lo = jnp.full(((HCAP + 1) * B,), UMAX32).at[flatd].set(
-            s_lo, mode="drop").reshape(HCAP + 1, B)
+        d_hi32 = jnp.full(((HCAP + 1) * B,), UMAX32).at[flatd].set(
+            (skey >> U64(32)).astype(jnp.uint32), mode="drop")
+        d_lo32 = jnp.full(((HCAP + 1) * B,), UMAX32).at[flatd].set(
+            skey.astype(jnp.uint32), mode="drop")
+        dense_w = (d_hi32.astype(jnp.uint64) << U64(32)
+                   | d_lo32.astype(jnp.uint64)).reshape(HCAP + 1, B)
         if stop == "scatter":
-            return _stage_out(dense_hi, dense_lo)
+            return _stage_out(dense_w)
 
         # ---- cluster (exact sequential semantics) ------------------------
-        cl_emit, cl_hi, cl_lo, cl_cnt = _cluster_scan_T(
-            dense_hi, dense_lo, mm_count, num_required, e)
+        cl_emit, cl_w = _cluster_scan_W(dense_w, mm_count, num_required, e)
+        # cl_w: start(32) | rid(14) | strand(1) | count<<47
 
-        cl_neg = (cl_hi >> 31).astype(jnp.uint8)
-        n_pos = (cl_emit & (cl_neg == 0)).sum(axis=0).astype(jnp.int32)
-        n_neg = (cl_emit & (cl_neg == 1)).sum(axis=0).astype(jnp.int32)
+        neg_w = ((cl_w >> U64(46)) & U64(1)).astype(jnp.int32)
+        n_pos = (cl_emit & (neg_w == 0)).sum(axis=0).astype(jnp.int32)
+        n_neg = (cl_emit & (neg_w == 1)).sum(axis=0).astype(jnp.int32)
         cand_over = (n_pos > CCAP) | (n_neg > CCAP)
 
         fallback = bad_mz | round2 | overflow_rd | cand_over
@@ -760,26 +811,39 @@ def _build_step(k: int, w: int, e: int, f0: int, f1: int, min_seeds: int,
         # augment trigger (candidate_processor.cc:86-103): no candidate
         # supported by >= half the minimizers
         half = (mm_count // 2).astype(jnp.uint32)
-        supported = (cl_emit
-                     & (cl_cnt.astype(jnp.uint32) >= half[None, :]))
+        cnt_w = (cl_w >> U64(47)).astype(jnp.uint32) & U32(0xFF)
+        supported = cl_emit & (cnt_w >= half[None, :])
         augment = ~supported.any(axis=0)
         if stop == "cluster":
-            return _stage_out(cl_hi, cl_lo, n_pos, n_neg, augment)
+            return _stage_out(cl_w, n_pos, n_neg, augment)
 
-        # ---- flat candidate compaction ----------------------------------
-        csrc, total_cands = _flat_compact_T(
-            cl_emit & ~fallback[None, :], captot)
+        # ---- per-read candidate compaction (one-hot sums) ---------------
+        # emitted candidates per non-fallback read are <= 2*CCAP (the
+        # cand_over gate), so 2*CCAP masked reductions compact the
+        # (H+1, B) emission plane to (2*CCAP, B) with no scatter; the
+        # remaining flat compaction scatters only the small plane
+        emit_sel = cl_emit & ~fallback[None, :]
+        crank = jnp.cumsum(emit_sel.astype(jnp.int32), axis=0) - 1
+        pre_acc = []
+        for d in range(2 * CCAP):
+            seld = emit_sel & (crank == d)
+            pre_acc.append(jnp.sum(jnp.where(seld, cl_w, U64(0)), axis=0))
+        pre_w = jnp.stack(pre_acc)                    # (2*CCAP, B) u64
+        n_emit = n_pos + n_neg
+        pre_valid = (jnp.arange(2 * CCAP, dtype=jnp.int32)[:, None]
+                     < n_emit[None, :])
+        csrc, total_cands = _flat_compact_T(pre_valid, captot)
         sel_real = jnp.arange(captot, dtype=jnp.int32) < total_cands
-        sc_hi = cl_hi.reshape(-1)[csrc]
-        sc_lo = cl_lo.reshape(-1)[csrc]
-        sc_cnt = cl_cnt.reshape(-1)[csrc]
+        sc_w = pre_w.reshape(-1)[csrc]
+        sc_lo = sc_w.astype(jnp.uint32)
+        sc_cnt = (sc_w >> U64(47)) & U64(0xFF)
         sc_row = (csrc % U32(B)).astype(jnp.int32)
         if stop == "candcompact":
-            return _stage_out(sc_hi, sc_lo, sc_cnt, sc_row)
+            return _stage_out(sc_w, sc_row)
 
         # ---- verification (alignment.cc:141-192 per candidate) ----------
-        crid = sc_hi & U32(0x7FFFFFFF)
-        cneg = (sc_hi >> 31).astype(jnp.uint8)
+        crid = ((sc_w >> U64(32)) & U64(0x3FFF)).astype(jnp.uint32)
+        cneg = ((sc_w >> U64(46)) & U64(1)).astype(jnp.uint8)
         position = jnp.where(cneg == 1, sc_lo - U32(L - 1), sc_lo)
         pos64 = position.astype(jnp.int64)
         rid_c = jnp.minimum(crid, num_refs - 1).astype(jnp.int32)
@@ -862,12 +926,11 @@ def _build_step(k: int, w: int, e: int, f0: int, f1: int, min_seeds: int,
                      | (n_neg.astype(jnp.uint32) << U32(24)))
         cand = (sc_lo.astype(jnp.uint64)
                 | (crid.astype(jnp.uint64) << U64(32))
-                | (sc_cnt.astype(jnp.uint64) << U64(46))
+                | (sc_cnt << U64(46))
                 | (err_p << U64(54))
                 | (endp_p << U64(59)))
         cand = jnp.where(sel_real, cand, U64(0))
-        batch_over = ((total_mz > Mtot) | (total_hits > Htot)
-                      | (total_cands > captot))
+        batch_over = (total_hits > Htot) | (total_cands > captot)
         # download: ONE stream [total, over, meta(B), cand32(2*dlcap)] whose
         # host copy starts asynchronously at submit time (each d2h transfer
         # costs ~40 ms fixed on the tunnel relay, and a transfer dispatched
@@ -1013,10 +1076,22 @@ class DeviceSeeder:
             jnp.asarray(index.hash_keys, dtype=jnp.uint64))
         off = np.asarray(index.offsets, dtype=np.uint64)
         cnt = np.asarray(index.counts, dtype=np.uint64)
-        self.offcnt = jax.device_put(jnp.asarray(
-            (off << np.uint64(12)) | np.minimum(cnt, 0xFFF)))
-        self.occurrences = jax.device_put(
-            jnp.asarray(index.occurrences, dtype=jnp.uint64))
+        offcnt = (off << np.uint64(12)) | np.minimum(cnt, 0xFFF)
+        if off.size == 0 or int(off.max()) < (1 << 20):
+            # u32 tier: offsets fit 20 bits -> the per-query offcnt gather
+            # moves half the bytes (the in-graph unpack branches on dtype)
+            offcnt = offcnt.astype(np.uint32)
+        self.offcnt = jax.device_put(jnp.asarray(offcnt))
+        occ = np.asarray(index.occurrences, dtype=np.uint64)
+        occ_rid = occ >> np.uint64(33)
+        occ_pos = (occ >> np.uint64(1)) & np.uint64(0xFFFFFFFF)
+        if (self.num_refs <= 128
+                and (occ.size == 0 or int(occ_pos.max()) < (1 << 24))):
+            # u32 tier (rid<<25 | pos<<1 | strand): halves the expansion
+            # stage's random-gather bytes on small genomes
+            occ = ((occ_rid << np.uint64(25)) | (occ_pos << np.uint64(1))
+                   | (occ & np.uint64(1))).astype(np.uint32)
+        self.occurrences = jax.device_put(jnp.asarray(occ))
         # bucket table for the probe stage: top tbits of the (uniform)
         # 2k-bit hash space -> lower_bound range, capping the in-graph
         # binary search at `depth` halvings (see _build_step).

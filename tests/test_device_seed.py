@@ -427,8 +427,9 @@ def test_gather_read_rows_matches_unpack():
 
 def test_probe_merge_sort_matches_searchsorted():
     """The packed single-sort probe (_probe_merge_sort) must reproduce
-    searchsorted-left exactly, including exact hits, misses, duplicate
-    queries, and UMAX64 invalid lanes (which must land at num_keys)."""
+    searchsorted-left (low 31 bits) and the key-present bit (bit 31)
+    exactly, including exact hits, misses, duplicate queries, and UMAX64
+    invalid lanes (whose loc must land at num_keys)."""
     from chromap_tpu.ops import device_seed as ds
     import jax.numpy as jnp
 
@@ -442,10 +443,14 @@ def test_probe_merge_sort_matches_searchsorted():
     q[-19:] = np.uint64(0xFFFFFFFFFFFFFFFF)       # invalid lanes
     ib = max(1, (M - 1).bit_length())
     assert 2 * k + 1 + ib <= 64
-    loc = np.asarray(ds._probe_merge_sort(jnp.asarray(keys),
-                                          jnp.asarray(q), M, ib))
+    lf = np.asarray(ds._probe_merge_sort(jnp.asarray(keys),
+                                         jnp.asarray(q), M, ib))
+    loc = lf & 0x7FFFFFFF
+    found = lf < 0
     want = np.searchsorted(keys, q, side="left")
+    want_found = (want < nk) & (keys[np.minimum(want, nk - 1)] == q)
     assert np.array_equal(loc[:-19], want[:-19])
+    assert np.array_equal(found[:-19], want_found[:-19])
     assert (loc[-19:] == nk).all()
 
 
