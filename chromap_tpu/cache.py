@@ -57,6 +57,7 @@ class MMCache:
         self.head_mm = np.zeros(HEAD_MM_ARRAY_SIZE, dtype=np.uint64)
         self.saturate_count = 100
         self.debug = False  # --debug-cache (mmcache.hpp:300-330)
+        self.disabled = False  # --device / --no-cache (see pipeline)
 
     def set_kmer_length(self, k: int) -> None:
         self.kmer_length = k
@@ -104,7 +105,7 @@ class MMCache:
         """Returns (slot_index or -1, pos_candidates, neg_candidates,
         repetitive_seed_length)."""
         msize = len(hashes)
-        if msize == 0:
+        if self.disabled or msize == 0:
             return -1, None, None, 0
         h0 = int(hashes[0])
         if (int(self.head_mm[(h0 >> 6) & HEAD_MM_ARRAY_MASK])
@@ -147,7 +148,7 @@ class MMCache:
                neg_candidates: List[Candidate],
                repetitive_seed_length: int) -> None:
         msize = len(hashes)
-        if msize == 0:
+        if self.disabled or msize == 0:
             return
         h0 = int(hashes[0])
         if msize == 1:

@@ -84,6 +84,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cache-size", type=int, default=None)
     p.add_argument("--cache-update-param", type=float, default=None)
     p.add_argument("--debug-cache", action="store_true")
+    # extension: disable the candidate cache (forced on by --device; a
+    # host --no-cache run byte-matches a --device run on any data)
+    p.add_argument("--no-cache", action="store_true")
     p.add_argument("--k-for-minhash", type=int, default=None)
     # Peak / feature-matrix options (dormant in the reference; functional here)
     p.add_argument("--matrix-output-prefix", type=str, default=None)
@@ -294,6 +297,8 @@ def parse_args_and_run(argv: Optional[List[str]] = None) -> int:
         cfg.cache_update_param = args.cache_update_param
     if args.debug_cache:
         cfg.debug_cache = True
+    if args.no_cache:
+        cfg.cache_off = True
     if args.k_for_minhash is not None:
         cfg.k_for_minhash = args.k_for_minhash
     if args.matrix_output_prefix:

@@ -27,6 +27,12 @@ class MappingConfig:
     max_seed_frequencies: List[int] = field(default_factory=lambda: [500, 1000])
 
     cache_size: int = 4000003
+    # --no-cache (extension): disable the candidate cache. Forced on by
+    # --device: mmcache hits are only approximately equal to fresh
+    # candidate generation (mmcache.hpp:119-185 shifts cached candidates),
+    # so a cache-free run is the configuration whose output is invariant
+    # to which engine (CPU or TPU) maps each chunk.
+    cache_off: bool = False
     cache_update_param: float = 0.01
     debug_cache: bool = False
     frip_est_params: str = "-1.0996;4.2391;3.0164e-05;-2.1087e-04;-5.5825e-05"
@@ -80,7 +86,7 @@ class MappingConfig:
 
     # TPU execution knobs (no analog in the reference)
     use_device: bool = False          # route hot kernels through JAX/Pallas
-    device_batch_size: int = 8192     # read pairs per device dispatch
+    device_batch_size: int = 16384    # read pairs per device dispatch
     # hybrid scheduling: the device maps the last chunk of every group of
     # G while the CPU fuse-maps the other G-1 (selections stay in chunk
     # order). The default balances one device chunk (~0.19 s wall on a

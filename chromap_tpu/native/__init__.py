@@ -179,6 +179,7 @@ def load_library():
     lib.cn_set_sam_params.argtypes = [ctypes.c_void_p] + [ctypes.c_int] * 6
     lib.cn_set_split_mode.argtypes = [ctypes.c_void_p]
     lib.cn_set_debug_cache.argtypes = [ctypes.c_void_p]
+    lib.cn_set_cache_off.argtypes = [ctypes.c_void_p]
     lib.cn_cache_print_stats.argtypes = [ctypes.c_void_p]
     lib.cn_get_pair_flags.restype = ctypes.c_int64
     lib.cn_get_pair_flags.argtypes = [
@@ -663,6 +664,13 @@ class NativeEngine:
     def set_debug_cache(self):
         """--debug-cache verbose tracing (mmcache.hpp:300-330 analog)."""
         self.lib.cn_set_debug_cache(self.ctx)
+
+    def set_cache_off(self):
+        """Disable the candidate cache for this run (--device /
+        --no-cache): mmcache hits are only approximately equal to fresh
+        candidate generation, so a cache-free run is the configuration
+        whose output is invariant to which engine maps each chunk."""
+        self.lib.cn_set_cache_off(self.ctx)
 
     def cache_print_stats(self):
         """Per-slot cache stats dump (mmcache.hpp:371-386 format)."""

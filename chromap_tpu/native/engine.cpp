@@ -2463,6 +2463,12 @@ struct CnContext {
   std::vector<int32_t> wb_text_lengths;
   std::vector<uint8_t> wb_text_codes;
 
+  bool cache_off = false;  // --device / --no-cache: skip the candidate
+                           // cache so output is invariant to which
+                           // engine maps each chunk (mmcache hits are
+                           // only approximately equal to fresh
+                           // generation; see ARCHITECTURE.md)
+
   CnContext(int64_t cache_size, int k)
       : cache(cache_size, k), generator(11) {}
 };
@@ -2625,19 +2631,25 @@ static void SeedVerifyRest(
   const int l2 = sc.l2;
     if (!dev_pair) {
       uint64_t t1 = g_prof.on ? PhaseProf::Now() : 0;
-      int q1 = ctx->cache.Query(s1.minimizers, l1, s1.positive_candidates,
-                                s1.negative_candidates,
-                                s1.repetitive_seed_length);
+      int q1 = ctx->cache_off
+                   ? -1
+                   : ctx->cache.Query(s1.minimizers, l1,
+                                      s1.positive_candidates,
+                                      s1.negative_candidates,
+                                      s1.repetitive_seed_length);
       if (q1 == -1) GenerateCandidates(idx, mp, s1);
-      int q2 = ctx->cache.Query(s2.minimizers, l2, s2.positive_candidates,
-                                s2.negative_candidates,
-                                s2.repetitive_seed_length);
+      int q2 = ctx->cache_off
+                   ? -1
+                   : ctx->cache.Query(s2.minimizers, l2,
+                                      s2.positive_candidates,
+                                      s2.negative_candidates,
+                                      s2.repetitive_seed_length);
       if (q2 == -1) GenerateCandidates(idx, mp, s2);
       if (q1 >= 0 || q2 >= 0) sc.cache_hit = 1;
       if (g_prof.on) g_prof.cand += PhaseProf::Now() - t1;
     }
 
-    if (pi < cache_update_threshold && !collect_mode) {
+    if (pi < cache_update_threshold && !collect_mode && !ctx->cache_off) {
       auto& he = history_arr ? history_arr[pi] : ctx->history[pi];
       he.first.mzs = s1.minimizers;
       he.first.pos = s1.positive_candidates;
@@ -3141,7 +3153,8 @@ static int64_t MapPairsCore(
                                 pre->threshold)
                      : std::min((int64_t)ctx->history.size(),
                                 cache_update_threshold);
-    for (int64_t pi = 0; !collect_mode && pi < hn; ++pi) {
+    for (int64_t pi = 0; !collect_mode && !ctx->cache_off && pi < hn;
+         ++pi) {
       if (!hv[pi]) continue;
       auto& he = hist[pi];
       ctx->cache.Update(he.first.mzs, he.first.pos, he.first.neg,
@@ -3275,6 +3288,8 @@ void cn_set_split_mode(CnContext* ctx) { ctx->mp.split_mode = true; }
 
 // --debug-cache: verbose candidate-cache tracing (mmcache.hpp:300-330).
 void cn_set_debug_cache(CnContext* ctx) { ctx->cache.debug = true; }
+
+void cn_set_cache_off(CnContext* ctx) { ctx->cache_off = true; }
 
 // End-of-run per-slot cache stats (mmcache.hpp:371-386; chromap.h:1402).
 void cn_cache_print_stats(CnContext* ctx) { ctx->cache.PrintStats(); }

@@ -85,7 +85,7 @@ HCAP = 128          # per-read hits (both strands)
 CCAP = 16           # per-read candidates per strand
 MZ_PER_READ = 26    # flat minimizer budget per read
 HITS_PER_READ = 30  # flat hit budget per read
-CANDS_PER_READ = 3  # flat candidate budget per read
+CANDS_PER_READ = 2  # flat candidate budget per read (~1.2 measured)
 # download budget: candidates per read included in the single async
 # download stream (~1.2/read measured on realistic data; exceeding this is
 # NOT a fallback -- the remainder rides a second exact-size transfer)
@@ -500,10 +500,19 @@ def _gather_read_rows(packed, nmask, rows, L: int):
 
 def _stage_out(*arrs):
     """Profiling checkpoint: a cheap reduction over a stage's live outputs
-    (keeps XLA from dead-code-eliminating the truncated program). Only
-    tools/device_stage_profile.py builds steps with `stop` set."""
-    vals = [jnp.asarray(a).astype(jnp.uint64).sum() for a in arrs]
-    return jnp.stack(vals), jnp.zeros((1,), jnp.uint32)
+    (keeps XLA from dead-code-eliminating the truncated program). Sums run
+    in 32-bit lanes (wrapping): a u64 reduction is ~10 emulated ops per
+    element on the 32-bit VPU and would bill the checkpoint itself to the
+    stage. Only tools/device_*_profile tools build steps with `stop`."""
+    vals = []
+    for a in arrs:
+        a = jnp.asarray(a)
+        if a.dtype in (jnp.uint64, jnp.int64):
+            a = lax.bitcast_convert_type(a, jnp.uint32)  # trailing dim 2
+        else:
+            a = a.astype(jnp.uint32)
+        vals.append(a.sum(dtype=jnp.uint32))
+    return jnp.stack(vals).astype(jnp.uint64), jnp.zeros((1,), jnp.uint32)
 
 
 def _build_step(k: int, w: int, e: int, f0: int, f1: int, min_seeds: int,
@@ -711,25 +720,33 @@ def _build_step(k: int, w: int, e: int, f0: int, f1: int, min_seeds: int,
         hcum = _cumsum1d(cnt_eff)                      # inclusive, (Mtot,)
         total_hits = hcum[-1]
         hbase = hcum - cnt_eff                         # exclusive
-        hist = jnp.zeros((Htot + 1,), jnp.int32)
-        hist = hist.at[jnp.minimum(hcum, Htot)].add(1, mode="drop")
-        mi = _cumsum1d(hist[:Htot])                    # owner minimizer/slot
-        mi = jnp.minimum(mi, Mtot - 1)
         slots = jnp.arange(Htot, dtype=jnp.int32)
         slot_ok = slots < jnp.minimum(total_hits, Htot)
-        # per-minimizer occurrence base and expansion metadata folded into
-        # ONE gathered u64 (occ index of hit slot s = (off - hbase)[mi] + s;
-        # base biased by Htot to stay non-negative, < 2^33; meta is 23
-        # bits), halving the Mtot-indexed gather traffic
-        occ_base = off - hbase.astype(jnp.int64) + np.int64(Htot)
-        base_meta = (occ_base.astype(jnp.uint64)
-                     | (mz_packmeta.astype(jnp.uint64) << U64(33)))
-        bm_i = base_meta[mi]
-        occ_idx = ((bm_i & U64((1 << 33) - 1)).astype(jnp.int64)
-                   - np.int64(Htot) + slots.astype(jnp.int64))
-        occ_idx = jnp.clip(occ_idx, 0, occurrences.shape[0] - 1)
+        # per-hit-slot owner metadata and occurrence index WITHOUT an
+        # owner gather: hit segments are contiguous, so the owner's meta
+        # (segment-constant) and occ index base (segment-affine in the
+        # slot) reconstruct from per-minimizer DELTAS scatter-added at
+        # segment starts and prefix-summed over hit slots. Empty segments
+        # share their start slot with the next nonzero segment and their
+        # deltas telescope away; i32 wraparound in the deltas cancels in
+        # the mod-2^32 prefix sum (true values fit i32: occurrence tables
+        # are < 2^31 entries, meta is 23 bits). This replaces the former
+        # (Mtot,)-element u64 owner gather (~8 ms at B=16k on v5e) with
+        # two i32 scatter-adds + two i32 prefix sums (~3 ms).
+        meta_s = lax.bitcast_convert_type(mz_packmeta, jnp.int32)
+        dval = off.astype(jnp.int32) - hbase
+        dm = meta_s - jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), meta_s[:-1]])
+        dd = dval - jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), dval[:-1]])
+        starts = jnp.minimum(hbase, Htot)
+        metaH = _cumsum1d(jnp.zeros((Htot + 1,), jnp.int32)
+                          .at[starts].add(dm, mode="drop")[:Htot])
+        dH = _cumsum1d(jnp.zeros((Htot + 1,), jnp.int32)
+                       .at[starts].add(dd, mode="drop")[:Htot])
+        occ_idx = jnp.clip(dH + slots, 0, occurrences.shape[0] - 1)
         occ = occurrences[occ_idx]
-        meta_i = (bm_i >> U64(33)).astype(jnp.uint32)
+        meta_i = lax.bitcast_convert_type(metaH, jnp.uint32)
         hit_row = (meta_i >> U32(9)).astype(jnp.int32)
         read_pos = (meta_i >> U32(1)) & U32(0xFF)
         m_strand = meta_i & U32(1)
@@ -769,12 +786,13 @@ def _build_step(k: int, w: int, e: int, f0: int, f1: int, min_seeds: int,
         s_row = jnp.minimum(srow_raw, B - 1)
         if stop == "sort":
             return _stage_out(skey)
-        # hits per read are contiguous after the stable flat sort; the
-        # in-read rank is the slot index minus the read's first slot
-        read_base = jnp.zeros((B,), jnp.int32).at[hit_row].add(
-            jnp.where(slot_ok, 1, 0), mode="drop")
-        read_start = jnp.cumsum(read_base) - read_base  # exclusive per read
-        dest_in = slots - read_start[s_row]
+        # hits per read are contiguous after the flat sort; the in-read
+        # rank is the slot minus the first slot of the row's sorted run
+        # (a cummax over run starts -- no per-read base table, no gather)
+        row_change = srow_raw != jnp.concatenate(
+            [jnp.full((1,), -1, jnp.int32), srow_raw[:-1]])
+        run_start = _cummax1d(jnp.where(row_change, slots, -1))
+        dest_in = slots - run_start
         # scatter the packed sorted keys straight into the slot-major
         # (H+1, B) cluster tile as two u32 planes (TPU scatters of u64
         # values run ~4x slower than two u32 scatters, measured on v5e),

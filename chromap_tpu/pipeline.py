@@ -210,6 +210,20 @@ class MappingPipeline:
         if cfg.debug_cache:
             self.cache_paired.debug = True
             self.cache_single.debug = True
+        # --device forces the cache off: mmcache hits are only
+        # approximately equal to fresh candidate generation, so a
+        # cache-free run is the configuration whose output is invariant
+        # to which engine maps each chunk (and to the hybrid scheduler's
+        # adaptive chunk assignment). Reachable on the host via
+        # --no-cache for byte-comparison.
+        self._cache_off = bool(getattr(cfg, "cache_off", False)
+                               or cfg.use_device)
+        if self._cache_off:
+            self.cache_paired.disabled = True
+            self.cache_single.disabled = True
+            if cfg.use_device and not getattr(cfg, "cache_off", False):
+                log("TPU mode: candidate cache disabled "
+                    "(deterministic chunk scheduling).")
         self.cache_hits = 0
         self.draft_generator = DraftMappingGenerator(
             cfg.error_threshold, cfg.split_alignment, cfg.output_format)
@@ -229,6 +243,8 @@ class MappingPipeline:
                                                    self.ref_seqs)
                 if cfg.debug_cache:
                     self._native_engine.set_debug_cache()
+                if self._cache_off:
+                    self._native_engine.set_cache_off()
             except Exception as exc:
                 self._native_engine_err = exc
 
@@ -1019,7 +1035,7 @@ class MappingPipeline:
         """
         from concurrent.futures import ThreadPoolExecutor
 
-        return {"buffered": [], "pool": [], "pending": None,
+        return {"buffered": [], "pool": [], "pending": [],
                 "executor": ThreadPoolExecutor(max_workers=1)}
 
     def _hybrid_step(self, engine, hyb, b1, o1, b2, o2, n1: int,
@@ -1052,25 +1068,33 @@ class MappingPipeline:
             self._hybrid_flush(engine, hyb, account, final=False)
 
     def _hybrid_flush(self, engine, hyb, account, final: bool) -> None:
-        """Map the buffered group: submit its last chunk to the device,
-        finish the PREVIOUS group's device chunk (selection order), then
-        fuse-map this group's CPU chunks while the chip computes."""
+        """Map the buffered group: submit every chunk but the first to
+        the device (they pipeline back-to-back on the chip and their
+        transfers overlap the next group's host work), process the
+        PREVIOUS group's pending list in chunk order (device finishes
+        interleaved with any chunks that fell back to the CPU), then
+        fuse-map this group's first chunk on the CPU. Selection order --
+        and the single mt19937 stream -- is chunk order throughout:
+        group k's non-first chunks all select at flush k+1, before
+        group k+1's own first chunk."""
         import ctypes as _ct
 
         chunks = hyb["buffered"]
         hyb["buffered"] = []
-        pend = None
-        if len(chunks) >= 2:
-            slot, n1, base, thr = chunks[-1]
-            pend = self._hybrid_submit_device(engine, hyb, slot, n1, base,
-                                              thr)
-            if pend is not None:
-                chunks = chunks[:-1]
-        if hyb["pending"] is not None:
-            self._hybrid_finish_dev(engine, hyb, hyb["pending"], account)
-            hyb["pending"] = None
         tuner = self._hybrid_tuner()
-        for (slot, n1, base, thr) in chunks:
+        t_flush0 = time.time()
+        pend = []
+        if len(chunks) >= 2:
+            for entry in chunks[1:]:
+                slot, n1, base, thr = entry
+                p = self._hybrid_submit_device(engine, hyb, slot, n1,
+                                               base, thr)
+                pend.append(("dev", p) if p is not None
+                            else ("cpu", entry))
+            chunks = chunks[:1]
+
+        def _cpu_map(entry):
+            slot, n1, base, thr = entry
             r1p = _ct.cast(slot[0].ctypes.data, _ct.c_char_p)
             r2p = _ct.cast(slot[2].ctypes.data, _ct.c_char_p)
             o1p = slot[1].ctypes.data_as(_ct.c_void_p)
@@ -1080,10 +1104,24 @@ class MappingPipeline:
                                          thr))
             tuner.cpu(time.time() - t0)
             hyb["pool"].append(slot)
-        if final and pend is not None:
-            self._hybrid_finish_dev(engine, hyb, pend, account)
-            pend = None
+
+        for kind, item in hyb["pending"]:
+            if kind == "dev":
+                self._hybrid_finish_dev(engine, hyb, item, account)
+            else:
+                _cpu_map(item)
+        hyb["pending"] = []
+        for entry in chunks:
+            _cpu_map(entry)
+        if final:
+            for kind, item in pend:
+                if kind == "dev":
+                    self._hybrid_finish_dev(engine, hyb, item, account)
+                else:
+                    _cpu_map(item)
+            pend = []
         hyb["pending"] = pend
+        tuner.flush_done(time.time() - t_flush0)
 
     def _hybrid_submit_device(self, engine, hyb, slot, n1: int,
                               base_read_id: int, threshold: int):
@@ -1141,9 +1179,14 @@ class MappingPipeline:
         return (fut, slot, n1, base_read_id, threshold, t_sub)
 
     class _HybridTuner:
-        """Adapts the hybrid group size G so (G-1) CPU chunks cover one
-        device chunk's service time: G = ceil(dev/cpu) + 1, clamped to
-        [2, 16]. Mapping output is invariant to which chunks the device
+        """Adapts the hybrid group size G: each group maps its FIRST
+        chunk on the CPU and sends the other G-1 to the device, so the
+        device:CPU chunk ratio is (G-1):1. Control is AIMD on the
+        fraction of each flush spent blocked waiting for device results:
+        near-zero blocking means the chip (and its transfers) kept up --
+        grow G to shift more chunks onto it; heavy blocking means the
+        device pipeline is saturated -- shrink G so the CPU absorbs
+        more. Mapping output is invariant to which chunks the device
         maps (device chunks are byte-identical to CPU chunks), so G may
         change freely between groups; only the summary CSV's
         cachehit/fric columns can shift (device chunks skip the host
@@ -1154,27 +1197,32 @@ class MappingPipeline:
             self.cpu_t = None
             self.dev_t = None
             self._dev_samples = 0
+            self._blocked = 0.0
+            self._flushes = 0
 
         def cpu(self, dt: float) -> None:
             self.cpu_t = dt if self.cpu_t is None \
                 else 0.7 * self.cpu_t + 0.3 * dt
-            self._update()
 
         def dev(self, dt: float) -> None:
-            # the first device chunk pays trace/compile/warmup; skip it
             self._dev_samples += 1
-            if self._dev_samples == 1:
-                return
             self.dev_t = dt if self.dev_t is None \
                 else 0.7 * self.dev_t + 0.3 * dt
-            self._update()
 
-        def _update(self) -> None:
-            if not self.cpu_t or self.dev_t is None:
+        def dev_wait(self, dt: float) -> None:
+            self._blocked += dt
+
+        def flush_done(self, wall: float) -> None:
+            blocked, self._blocked = self._blocked, 0.0
+            self._flushes += 1
+            # the first flush pays trace/compile/warmup on its waits
+            if self._flushes <= 1 or wall <= 0:
                 return
-            import math
-            self.g = min(16, max(2, 1 + math.ceil(
-                self.dev_t / max(self.cpu_t, 1e-6))))
+            frac = blocked / wall
+            if frac > 0.15:
+                self.g = max(2, self.g - 1)
+            elif frac < 0.03:
+                self.g = min(12, self.g + 1)
 
     def _hybrid_tuner(self) -> "_HybridTuner":
         t = getattr(self, "_hybrid_tuner_obj", None)
@@ -1196,13 +1244,16 @@ class MappingPipeline:
         self._device_seeder = False
 
     def _hybrid_finish_dev(self, engine, hyb, pend, account) -> None:
-        """Finish the in-flight device chunk (last of its cycle)."""
+        """Finish one in-flight device chunk (pending-list entry)."""
         import ctypes as _ct
 
         fut, slot, n1, base, threshold, t_sub = pend
         try:
+            t_wait0 = time.time()
             (meta, cand_pos, cand_meta, overflow), t_end = fut.result()
-            self._hybrid_tuner().dev(t_end - t_sub)
+            tuner = self._hybrid_tuner()
+            tuner.dev(t_end - t_sub)
+            tuner.dev_wait(time.time() - t_wait0)
         except Exception as exc:
             self._disable_device(exc)
             meta = cand_pos = cand_meta = None
@@ -1557,18 +1608,23 @@ class MappingPipeline:
             self._dev_executor_obj = ex
         return ex
 
+    # pack-buffer ring depth: must exceed the maximum number of device
+    # chunks in flight (the tuner caps G at 12, so up to 11 submissions
+    # wait for their group-later resolve) plus the one being packed --
+    # a buffer handed to jnp.asarray may still be mid-h2d (or zero-copy
+    # aliased on the CPU backend) until its chunk resolves, and reusing
+    # it early corrupts the in-flight upload (seen as rare wrong-mapping
+    # flakes in test_device_parity_cache_active, 2026-08-19)
+    _PACK_RING = 16
+
     def _next_pack_buf(self, need: int) -> np.ndarray:
-        """Rotating pack buffers: the scheduler submits group k+1's device
-        chunk BEFORE finishing group k's, so the buffer fed to the
-        previous jnp.asarray may still be in flight (h2d transfer on TPU;
-        possibly zero-copy aliased on the CPU backend). Two buffers cover
-        the one-in-flight pipeline depth."""
+        """Rotating pack buffers (see _PACK_RING)."""
         bufs = getattr(self, "_dev_pack_bufs", None)
         if bufs is None:
-            bufs = [None, None]
+            bufs = [None] * self._PACK_RING
             self._dev_pack_bufs = bufs
             self._dev_pack_idx = 0
-        self._dev_pack_idx ^= 1
+        self._dev_pack_idx = (self._dev_pack_idx + 1) % self._PACK_RING
         buf = bufs[self._dev_pack_idx]
         if buf is None or buf.size < need:
             buf = np.zeros(need, dtype=np.uint32)
