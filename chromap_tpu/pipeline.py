@@ -1424,8 +1424,10 @@ class MappingPipeline:
         def finish_dev(pend):
             fut, ci, t_sub = pend
             try:
+                t_wait0 = time.time()
                 (meta, cp, cm, overflow), t_end = fut.result()
                 tuner.dev(t_end - t_sub)
+                tuner.dev_wait(time.time() - t_wait0)
             except Exception as exc:
                 self._disable_device(exc)
                 overflow = True
@@ -1448,19 +1450,37 @@ class MappingPipeline:
             stats_sum[:] += st
             side_channels(ci)
 
-        pend = None
+        # multi-chunk pipelining (same scheme as _hybrid_flush): the
+        # group's FIRST chunk maps on the CPU, the rest submit to the
+        # device and finish -- in chunk order -- at the next group
+        pend = []
         gi = 0
         while gi < nb:
             group = list(range(gi, min(gi + tuner.g, nb)))
-            newpend = submit_dev(group[-1]) if len(group) >= 2 else None
-            if pend is not None:
-                finish_dev(pend)
-            for ci in group[:-1] if newpend is not None else group:
+            t_flush0 = time.time()
+            newpend = []
+            cpu_list = group
+            if len(group) >= 2:
+                for ci in group[1:]:
+                    pdc = submit_dev(ci)
+                    newpend.append(("dev", pdc) if pdc is not None
+                                   else ("cpu", ci))
+                cpu_list = group[:1]
+            for kind, item in pend:
+                if kind == "dev":
+                    finish_dev(item)
+                else:
+                    run_cpu(item)
+            for ci in cpu_list:
                 run_cpu(ci)
             pend = newpend
             gi += len(group)
-        if pend is not None:
-            finish_dev(pend)
+            tuner.flush_done(time.time() - t_flush0)
+        for kind, item in pend:
+            if kind == "dev":
+                finish_dev(item)
+            else:
+                run_cpu(item)
 
         out = {key: np.concatenate([o[key] for o in outs])
                for key in outs[0]}
@@ -1562,10 +1582,12 @@ class MappingPipeline:
         def finish_dev(pend):
             fut, ci, t_sub = pend
             try:
+                t_wait0 = time.time()
                 (meta, cp, cm, overflow), t_end = fut.result()
                 # SE device chunks carry half a pair chunk's reads;
                 # normalize like run_cpu so G stays comparable
                 tuner.dev(2 * (t_end - t_sub))
+                tuner.dev_wait(time.time() - t_wait0)
             except Exception as exc:
                 self._disable_device(exc)
                 overflow = True
@@ -1580,19 +1602,37 @@ class MappingPipeline:
             if auxes is not None:
                 auxes[ci] = engine.get_sam_aux()
 
-        pend = None
+        # multi-chunk pipelining (same scheme as _hybrid_flush): the
+        # group's FIRST chunk maps on the CPU, the rest submit to the
+        # device and finish -- in chunk order -- at the next group
+        pend = []
         gi = 0
         while gi < nb:
             group = list(range(gi, min(gi + tuner.g, nb)))
-            newpend = submit_dev(group[-1]) if len(group) >= 2 else None
-            if pend is not None:
-                finish_dev(pend)
-            for ci in group[:-1] if newpend is not None else group:
+            t_flush0 = time.time()
+            newpend = []
+            cpu_list = group
+            if len(group) >= 2:
+                for ci in group[1:]:
+                    pdc = submit_dev(ci)
+                    newpend.append(("dev", pdc) if pdc is not None
+                                   else ("cpu", ci))
+                cpu_list = group[:1]
+            for kind, item in pend:
+                if kind == "dev":
+                    finish_dev(item)
+                else:
+                    run_cpu(item)
+            for ci in cpu_list:
                 run_cpu(ci)
             pend = newpend
             gi += len(group)
-        if pend is not None:
-            finish_dev(pend)
+            tuner.flush_done(time.time() - t_flush0)
+        for kind, item in pend:
+            if kind == "dev":
+                finish_dev(item)
+            else:
+                run_cpu(item)
 
         out = {key: np.concatenate([o[key] for o in outs])
                for key in outs[0]}
