@@ -2388,6 +2388,29 @@ struct PairScratch {
   uint8_t cache_hit = 0;
   uint8_t prep = 0;  // 0 skip, 1 host-seeded, 2 device-seeded
   int64_t n_cand = 0;
+  // selection-phase state (see select_prep/select_draw/select_emit):
+  // pair enumeration result, reservoir-sampled tied-best indices, and
+  // the per-pair report plan, so emission can run on any thread
+  PairedState ps;
+  std::vector<int> best_idx;
+  int to_report = 0;
+  int force_mapq = -1;
+  int is_unique = 0;
+};
+
+// output cursor for one selection-emit range (global arrays on the
+// sequential path; per-range local buffers on the parallel path)
+struct SelSink {
+  int32_t* rid;
+  uint32_t* read_id;
+  uint32_t* start;
+  uint16_t* flen;
+  uint8_t* mapq;
+  uint8_t* dir;
+  uint8_t* uniq;
+  uint16_t* posalen;
+  uint16_t* negalen;
+  int64_t n = 0;
 };
 
 // candidate-cache update record for one read end (mm_history analog)
@@ -2428,6 +2451,18 @@ struct CnContext {
   // SAM-mode per-record alignment outputs (cigar/NM/MD), end1 then end2
   // per emitted row
   std::vector<uint32_t> sam_cigar_buf;
+  // native SAM text assembly (cn_sam_text): reference names, rendered
+  // line buffer + offsets, and the per-record key fields the Python
+  // postprocess (sort/dedup) consumes
+  std::vector<char> samref_bytes;
+  std::vector<int64_t> samref_off;
+  std::vector<char> samtx_text;
+  std::vector<int64_t> samtx_off;
+  std::vector<int32_t> samtx_rid;
+  std::vector<uint32_t> samtx_pos, samtx_mpos, samtx_read_id,
+      samtx_refend;
+  std::vector<uint16_t> samtx_flag;
+  std::vector<uint8_t> samtx_mapq, samtx_uniq;
   std::vector<int64_t> sam_cigar_offsets;
   std::string sam_md_buf;
   std::vector<int64_t> sam_md_offsets;
@@ -2885,20 +2920,31 @@ static int64_t MapPairsCore(
     for (auto& th : threads) th.join();
   }
 
-  auto select_one = [&](int64_t pi, PairScratch& sc) {
-    st_hits += sc.cache_hit;
+  // Selection runs as three phases so record emission can fan out over
+  // threads while the reservoir draws stay ONE ordered mt19937 stream
+  // (the reference's sampling semantics, mapping_generator.h:124-139,
+  // 199-214):
+  //   prep: pair enumeration -> sc.ps        (parallel-safe)
+  //   draw: stats + reservoir -> sc.best_idx (sequential, pair order;
+  //         draws only happen for pairs with more than max_num_best
+  //         tied-best mappings, so this pass is cheap)
+  //   emit: traceback + MAPQ + record writes (independent per pair;
+  //         parallel over contiguous pair ranges into ordered sinks)
+  auto select_prep = [&](int64_t pi, PairScratch& sc) {
+    sc.to_report = 0;
     ctx->pair_flags[pi] = sc.cache_hit;
     if (sc.status != 1) return;
     ctx->pair_tl1[pi] = (uint16_t)sc.l1;
     ctx->pair_tl2[pi] = (uint16_t)sc.l2;
-    st_cand += sc.n_cand;
-    uint64_t tsel = g_prof.on ? PhaseProf::Now() : 0;
-
-    PairedState ps;
+    PairedState& ps = sc.ps;
     ps.min_sum_errors = 2 * e + 1;
     ps.second_min_sum_errors = 2 * e + 1;
     ps.num_best_mappings = 0;
     ps.num_second_best_mappings = 0;
+    ps.f1r2.clear();
+    ps.f2r1.clear();
+    ps.f1f2.clear();
+    ps.r1r2.clear();
     if (mp.split_mode) {
       // split pairs: best1 x best2 over four strand combinations
       // (mapping_generator.h:174-188,389-415)
@@ -2918,11 +2964,29 @@ static int64_t MapPairsCore(
     }
 
     if (ps.num_best_mappings > mp.drop_repetitive_reads) return;
+    if (ps.num_best_mappings == 0) return;
+    sc.to_report =
+        std::min(mp.max_num_best_mappings, ps.num_best_mappings);
+    sc.force_mapq = sc.supplement_result != 0 ? 0 : -1;
+    sc.is_unique = (ps.num_best_mappings == 1 ||
+                    sc.vs1.num_best_mappings == 1 ||
+                    sc.vs2.num_best_mappings == 1)
+                       ? 1
+                       : 0;
+  };
+
+  auto select_draw = [&](int64_t pi, PairScratch& sc) {
+    st_hits += sc.cache_hit;
+    if (sc.status != 1) return;
+    st_cand += sc.n_cand;
+    PairedState& ps = sc.ps;
+    if (ps.num_best_mappings > mp.drop_repetitive_reads) return;
     if (ps.num_best_mappings == 1) st_uniq += 2;
     st_map += 2 * std::min(ps.num_best_mappings, mp.max_num_best_mappings);
     if (ps.num_best_mappings > 0) st_mapped += 2;
-    if (ps.num_best_mappings == 0) return;
-
+    if (sc.to_report == 0) return;
+    std::vector<int>& best_indices = sc.best_idx;
+    best_indices.resize(mp.max_num_best_mappings);
     for (int i = 0; i < mp.max_num_best_mappings; ++i) best_indices[i] = i;
     if (ps.num_best_mappings > mp.max_num_best_mappings) {
       for (int i = mp.max_num_best_mappings; i < ps.num_best_mappings; ++i) {
@@ -2932,15 +2996,16 @@ static int64_t MapPairsCore(
       std::sort(best_indices.begin(),
                 best_indices.begin() + mp.max_num_best_mappings);
     }
-    int to_report =
-        std::min(mp.max_num_best_mappings, ps.num_best_mappings);
-    int force_mapq = sc.supplement_result != 0 ? 0 : -1;
-    int is_unique = (ps.num_best_mappings == 1 ||
-                     sc.vs1.num_best_mappings == 1 ||
-                     sc.vs2.num_best_mappings == 1)
-                        ? 1
-                        : 0;
+  };
 
+  auto select_emit = [&](int64_t pi, PairScratch& sc, SelSink& sink) {
+    if (sc.to_report == 0) return;
+    uint64_t tsel = g_prof.on ? PhaseProf::Now() : 0;
+    PairedState& ps = sc.ps;
+    const std::vector<int>& best_indices = sc.best_idx;
+    const int to_report = sc.to_report;
+    const int force_mapq = sc.force_mapq;
+    const int is_unique = sc.is_unique;
     int best_mapping_index = 0, num_reported = 0;
     const int num_directions = mp.split_mode ? 4 : 2;
     static const bool kDirF[4] = {false, true, false, true};
@@ -3076,30 +3141,30 @@ static int64_t MapPairsCore(
                         sc.s1.repetitive_seed_length, sc.s2.repetitive_seed_length,
                         &mapq, &mq1, &mq2, nc1, nc2);
           if (xout) {
-            xout->rs1[out_n] = rs1;
-            xout->re1[out_n] = re1;
-            xout->rs2[out_n] = rs2;
-            xout->re2[out_n] = re2;
-            xout->err1[out_n] = (uint8_t)d1.num_errors;
-            xout->err2[out_n] = (uint8_t)d2.num_errors;
-            xout->mapq1[out_n] = mq1;
-            xout->mapq2[out_n] = mq2;
-            xout->rid2[out_n] = (int32_t)(d2.position >> 32);
-            xout->dir2[out_n] = s_neg ? 0 : 1;
+            xout->rs1[sink.n] = rs1;
+            xout->re1[sink.n] = re1;
+            xout->rs2[sink.n] = rs2;
+            xout->re2[sink.n] = re2;
+            xout->err1[sink.n] = (uint8_t)d1.num_errors;
+            xout->err2[sink.n] = (uint8_t)d2.num_errors;
+            xout->mapq1[sink.n] = mq1;
+            xout->mapq2[sink.n] = mq2;
+            xout->rid2[sink.n] = (int32_t)(d2.position >> 32);
+            xout->dir2[sink.n] = s_neg ? 0 : 1;
           }
           uint32_t frag_start = f_neg ? rs2 : rs1;
           uint16_t frag_len = f_neg ? (uint16_t)(re1 - rs2 + 1)
                                     : (uint16_t)(re2 - rs1 + 1);
-          out_rid[out_n] = (int32_t)(d1.position >> 32);
-          out_read_id[out_n] = (uint32_t)(base_read_id + pi);
-          out_start[out_n] = frag_start;
-          out_flen[out_n] = frag_len;
-          out_mapq[out_n] = mapq & 0x3F;
-          out_dir[out_n] = f_neg ? 0 : 1;
-          out_uniq[out_n] = (uint8_t)is_unique;
-          out_posalen[out_n] = f_neg ? al2 : al1;
-          out_negalen[out_n] = f_neg ? al1 : al2;
-          ++out_n;
+          sink.rid[sink.n] = (int32_t)(d1.position >> 32);
+          sink.read_id[sink.n] = (uint32_t)(base_read_id + pi);
+          sink.start[sink.n] = frag_start;
+          sink.flen[sink.n] = frag_len;
+          sink.mapq[sink.n] = mapq & 0x3F;
+          sink.dir[sink.n] = f_neg ? 0 : 1;
+          sink.uniq[sink.n] = (uint8_t)is_unique;
+          sink.posalen[sink.n] = f_neg ? al2 : al1;
+          sink.negalen[sink.n] = f_neg ? al1 : al2;
+          ++sink.n;
           ++num_reported;
           if (num_reported ==
               std::min(mp.max_num_best_mappings, ps.num_best_mappings))
@@ -3111,9 +3176,92 @@ static int64_t MapPairsCore(
     if (g_prof.on) g_prof.select += PhaseProf::Now() - tsel;
   };
 
+  SelSink gsink{out_rid, out_read_id, out_start, out_flen, out_mapq,
+                out_dir,  out_uniq,    out_posalen, out_negalen, 0};
   if (mt || pre) {
-    for (int64_t pi = 0; pi < num_pairs; ++pi)
-      select_one(pi, pre ? pre->work[pi] : ctx->mt_work[pi]);
+    auto& W = pre ? pre->work : ctx->mt_work;
+    const int T = ctx->num_threads;
+    // emit is parallel-safe except for the paths that append to shared
+    // ctx streams (SAM CIGAR/MD) or write caller side-arrays indexed by
+    // the global record counter (xout)
+    const bool par_sel = T > 1 && !mp.sam_mode && xout == nullptr;
+    if (par_sel) {
+      {
+        std::vector<std::thread> threads;
+        auto prep_range = [&](int64_t lo, int64_t hi) {
+          for (int64_t pi = lo; pi < hi; ++pi) select_prep(pi, W[pi]);
+        };
+        for (int t = 1; t < T; ++t)
+          threads.emplace_back(prep_range, num_pairs * t / T,
+                               num_pairs * (t + 1) / T);
+        prep_range(0, num_pairs / T);
+        for (auto& th : threads) th.join();
+      }
+      for (int64_t pi = 0; pi < num_pairs; ++pi) select_draw(pi, W[pi]);
+      // per-range local sinks, merged in range order so records land in
+      // pair order exactly as the sequential path emits them
+      struct RangeBuf {
+        std::vector<int32_t> rid;
+        std::vector<uint32_t> read_id, start;
+        std::vector<uint16_t> flen, posalen, negalen;
+        std::vector<uint8_t> mapq, dir, uniq;
+        int64_t n = 0;
+      };
+      std::vector<RangeBuf> bufs(T);
+      auto emit_range = [&](int r, int64_t lo, int64_t hi) {
+        RangeBuf& b = bufs[r];
+        int64_t cap = 0;
+        for (int64_t pi = lo; pi < hi; ++pi) cap += W[pi].to_report;
+        b.rid.resize(cap);
+        b.read_id.resize(cap);
+        b.start.resize(cap);
+        b.flen.resize(cap);
+        b.posalen.resize(cap);
+        b.negalen.resize(cap);
+        b.mapq.resize(cap);
+        b.dir.resize(cap);
+        b.uniq.resize(cap);
+        SelSink sink{b.rid.data(), b.read_id.data(), b.start.data(),
+                     b.flen.data(), b.mapq.data(),   b.dir.data(),
+                     b.uniq.data(), b.posalen.data(), b.negalen.data(),
+                     0};
+        for (int64_t pi = lo; pi < hi; ++pi)
+          select_emit(pi, W[pi], sink);
+        b.n = sink.n;
+      };
+      {
+        std::vector<std::thread> threads;
+        for (int t = 1; t < T; ++t)
+          threads.emplace_back(emit_range, t, num_pairs * t / T,
+                               num_pairs * (t + 1) / T);
+        emit_range(0, 0, num_pairs / T);
+        for (auto& th : threads) th.join();
+      }
+      for (int r = 0; r < T; ++r) {
+        RangeBuf& b = bufs[r];
+        if (!b.n) continue;
+        memcpy(gsink.rid + gsink.n, b.rid.data(), b.n * sizeof(int32_t));
+        memcpy(gsink.read_id + gsink.n, b.read_id.data(),
+               b.n * sizeof(uint32_t));
+        memcpy(gsink.start + gsink.n, b.start.data(),
+               b.n * sizeof(uint32_t));
+        memcpy(gsink.flen + gsink.n, b.flen.data(), b.n * sizeof(uint16_t));
+        memcpy(gsink.posalen + gsink.n, b.posalen.data(),
+               b.n * sizeof(uint16_t));
+        memcpy(gsink.negalen + gsink.n, b.negalen.data(),
+               b.n * sizeof(uint16_t));
+        memcpy(gsink.mapq + gsink.n, b.mapq.data(), b.n);
+        memcpy(gsink.dir + gsink.n, b.dir.data(), b.n);
+        memcpy(gsink.uniq + gsink.n, b.uniq.data(), b.n);
+        gsink.n += b.n;
+      }
+    } else {
+      for (int64_t pi = 0; pi < num_pairs; ++pi) {
+        select_prep(pi, W[pi]);
+        select_draw(pi, W[pi]);
+        select_emit(pi, W[pi], gsink);
+      }
+    }
   } else {
     // plain path: run each phase over a window of pairs back-to-back
     // (identical per-pair order; see SeedPairPrep)
@@ -3132,10 +3280,15 @@ static int64_t MapPairsCore(
       for (int64_t pi = base; pi < hi; ++pi)
         SeedVerifyRest(ctx, pi, cache_update_threshold, hist_valid.data(),
                        dev, collect_mode, ext, ctx->win_work[pi - base]);
-      for (int64_t pi = base; pi < hi; ++pi)
-        select_one(pi, ctx->win_work[pi - base]);
+      for (int64_t pi = base; pi < hi; ++pi) {
+        PairScratch& sc = ctx->win_work[pi - base];
+        select_prep(pi, sc);
+        select_draw(pi, sc);
+        select_emit(pi, sc, gsink);
+      }
     }
   }
+  out_n = gsink.n;
 
   // cache updates in pair order, end1 then end2
   if (g_prof.on) {
@@ -3307,6 +3460,220 @@ int64_t cn_get_sam_aux(CnContext* ctx, const uint32_t** cigar_buf,
   *nm = ctx->sam_nm.data();
   *md_len = (int64_t)ctx->sam_md_buf.size();
   return (int64_t)ctx->sam_nm.size();
+}
+
+// ---- native SAM text assembly ------------------------------------------
+// The per-record layer of the SAM flow (flags, mate fields, strand
+// orientation, CIGAR text, consumed-length trimming, line rendering --
+// mapping_writer.cc:310-379 plus the flag logic of the Python
+// _map_batch_native_sam loop it replaces). Produces one rendered line per
+// end-record (no CB tag, no newline: the writer appends those) plus the
+// integer key fields the Python sort/dedup consumes (sam_mapping.h:
+// 201-216 orders).
+
+void cn_set_sam_refnames(CnContext* ctx, const char* bytes,
+                         const int64_t* offsets, int32_t n) {
+  ctx->samref_off.assign(offsets, offsets + n + 1);
+  ctx->samref_bytes.assign(bytes, bytes + offsets[n]);
+}
+
+static inline void AppendInt(std::vector<char>& out, int64_t v) {
+  char tmp[24];
+  int len = 0;
+  bool neg = v < 0;
+  uint64_t u = neg ? (uint64_t)(-v) : (uint64_t)v;
+  do {
+    tmp[len++] = (char)('0' + (u % 10));
+    u /= 10;
+  } while (u);
+  if (neg) out.push_back('-');
+  for (int i = len - 1; i >= 0; --i) out.push_back(tmp[i]);
+}
+
+static const char kCigarOpChar[16] = {'M', 'I', 'D', 'N', 'S', 'H',
+                                      'P', '=', 'X', '?', '?', '?',
+                                      '?', '?', '?', '?'};
+
+int64_t cn_sam_text(
+    CnContext* ctx, int64_t n_rec, const uint32_t* rread,
+    const uint8_t* rdir, const int32_t* rrid, const uint32_t* rs1,
+    const uint32_t* re1, const uint32_t* rs2, const uint32_t* re2,
+    const uint8_t* rmapq, const uint8_t* runiq, const uint32_t* cig_buf,
+    const int64_t* cig_off, const char* md_buf, const int64_t* md_off,
+    const uint16_t* nm_arr, const char* names, const int64_t* name_off,
+    const char* s1, const int64_t* o1, const char* s2, const int64_t* o2,
+    const char* q1, const int64_t* qo1, const char* q2,
+    const int64_t* qo2, const uint16_t* tl1, const uint16_t* tl2,
+    const uint32_t* orig_read_id) {
+  auto& text = ctx->samtx_text;
+  auto& loff = ctx->samtx_off;
+  text.clear();
+  loff.assign(1, 0);
+  const int64_t n2 = 2 * n_rec;
+  ctx->samtx_rid.resize(n2);
+  ctx->samtx_pos.resize(n2);
+  ctx->samtx_mpos.resize(n2);
+  ctx->samtx_read_id.resize(n2);
+  ctx->samtx_refend.resize(n2);
+  ctx->samtx_flag.resize(n2);
+  ctx->samtx_mapq.resize(n2);
+  ctx->samtx_uniq.resize(n2);
+  text.reserve((size_t)n2 * 192);
+  std::vector<char> oriented;
+  uint32_t prev_read_id = 0;
+  bool have_prev = false;
+  int occurrence = 0;
+  for (int64_t i = 0; i < n_rec; ++i) {
+    const int64_t j = (int64_t)rread[i];
+    const uint32_t read_id = orig_read_id[j];
+    occurrence = (have_prev && read_id == prev_read_id) ? occurrence + 1
+                                                        : 0;
+    prev_read_id = read_id;
+    have_prev = true;
+    const bool first_neg = rdir[i] == 0;
+    const int64_t tlen = first_neg
+                             ? (int64_t)re1[i] - (int64_t)rs2[i] + 1
+                             : (int64_t)re2[i] - (int64_t)rs1[i] + 1;
+    int flag1 = 3 | 0x40, flag2 = 3 | 0x80;
+    if (first_neg) {
+      flag1 |= 0x10;
+      flag2 |= 0x20;
+    } else {
+      flag1 |= 0x20;
+      flag2 |= 0x10;
+    }
+    if (occurrence >= 1) {
+      flag1 |= 0x100;
+      flag2 |= 0x100;
+    }
+    const int32_t rid = rrid[i];
+    for (int end = 0; end < 2; ++end) {
+      const int64_t k = 2 * i + end;
+      const int flagv = end == 0 ? flag1 : flag2;
+      const uint32_t pos = end == 0 ? rs1[i] : rs2[i];
+      const uint32_t mpos = end == 0 ? rs2[i] : rs1[i];
+      const bool neg = end == 0 ? first_neg : !first_neg;
+      const char* seq = end == 0 ? s1 + o1[j] : s2 + o2[j];
+      int64_t slen = end == 0 ? o1[j + 1] - o1[j] : o2[j + 1] - o2[j];
+      const char* qv = end == 0 ? q1 + qo1[j] : q2 + qo2[j];
+      int64_t qlen = end == 0 ? qo1[j + 1] - qo1[j] : qo2[j + 1] - qo2[j];
+      if (end == 0 && tl1 && (int64_t)tl1[j] < slen) {
+        slen = tl1[j];
+        if (qlen > slen) qlen = slen;
+      }
+      if (end == 1 && tl2 && (int64_t)tl2[j] < slen) {
+        slen = tl2[j];
+        if (qlen > slen) qlen = slen;
+      }
+      const uint32_t* cig = cig_buf + cig_off[k];
+      const int64_t ncig = cig_off[k + 1] - cig_off[k];
+      int64_t ncons = 0, nref = 0;
+      for (int64_t c = 0; c < ncig; ++c) {
+        const uint32_t op = cig[c] & 0xF;
+        const uint32_t ln = cig[c] >> 4;
+        if (op == 0 || op == 1 || op == 4) ncons += ln;
+        if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8)
+          nref += ln;
+      }
+      // orient to the mapping strand, then truncate to the
+      // query-consumed length (SAMMapping::GetSequenceLength)
+      oriented.clear();
+      if (neg) {
+        oriented.reserve((size_t)(slen + qlen));
+        for (int64_t b = slen - 1; b >= 0; --b) {
+          const char ch = seq[b];
+          char rc;
+          switch (ch) {
+            case 'A': rc = 'T'; break;
+            case 'C': rc = 'G'; break;
+            case 'G': rc = 'C'; break;
+            case 'T': rc = 'A'; break;
+            case 'a': rc = 't'; break;
+            case 'c': rc = 'g'; break;
+            case 'g': rc = 'c'; break;
+            case 't': rc = 'a'; break;
+            default: rc = ch;
+          }
+          oriented.push_back(rc);
+        }
+        for (int64_t b = qlen - 1; b >= 0; --b) oriented.push_back(qv[b]);
+      } else {
+        oriented.assign(seq, seq + slen);
+        oriented.insert(oriented.end(), qv, qv + qlen);
+      }
+      const int64_t out_slen = ncons < slen ? ncons : slen;
+      const int64_t out_qlen = ncons < qlen ? ncons : qlen;
+
+      // line: name flag refname pos+1 mapq cigar = mpos+1 tlen seq qual
+      //       NM:i:x MD:Z:md   (tab-separated; no CB tag, no newline)
+      text.insert(text.end(), names + name_off[j], names + name_off[j + 1]);
+      text.push_back('\t');
+      AppendInt(text, flagv);
+      text.push_back('\t');
+      text.insert(text.end(),
+                  ctx->samref_bytes.data() + ctx->samref_off[rid],
+                  ctx->samref_bytes.data() + ctx->samref_off[rid + 1]);
+      text.push_back('\t');
+      AppendInt(text, (int64_t)pos + 1);
+      text.push_back('\t');
+      AppendInt(text, rmapq[i]);
+      text.push_back('\t');
+      if (ncig == 0) {
+        text.push_back('*');
+      } else {
+        for (int64_t c = 0; c < ncig; ++c) {
+          AppendInt(text, cig[c] >> 4);
+          text.push_back(kCigarOpChar[cig[c] & 0xF]);
+        }
+      }
+      text.push_back('\t');
+      text.push_back('=');
+      text.push_back('\t');
+      AppendInt(text, (int64_t)mpos + 1);
+      text.push_back('\t');
+      AppendInt(text, neg ? -tlen : tlen);
+      text.push_back('\t');
+      text.insert(text.end(), oriented.data(), oriented.data() + out_slen);
+      text.push_back('\t');
+      text.insert(text.end(), oriented.data() + slen,
+                  oriented.data() + slen + out_qlen);
+      text.insert(text.end(), {'\t', 'N', 'M', ':', 'i', ':'});
+      AppendInt(text, nm_arr[k]);
+      text.insert(text.end(), {'\t', 'M', 'D', ':', 'Z', ':'});
+      text.insert(text.end(), md_buf + md_off[k], md_buf + md_off[k + 1]);
+      loff.push_back((int64_t)text.size());
+
+      ctx->samtx_rid[k] = rid;
+      ctx->samtx_pos[k] = pos;
+      ctx->samtx_mpos[k] = mpos;
+      ctx->samtx_read_id[k] = read_id;
+      ctx->samtx_refend[k] = pos + (uint32_t)(nref ? nref - 1 : 0) + 1;
+      ctx->samtx_flag[k] = (uint16_t)flagv;
+      ctx->samtx_mapq[k] = rmapq[i];
+      ctx->samtx_uniq[k] = runiq[i];
+    }
+  }
+  return n2;
+}
+
+int64_t cn_get_sam_text(CnContext* ctx, const char** text,
+                        const int64_t** line_off, const int32_t** rid,
+                        const uint32_t** pos, const uint32_t** mpos,
+                        const uint32_t** read_id, const uint32_t** refend,
+                        const uint16_t** flag, const uint8_t** mapq,
+                        const uint8_t** uniq, int64_t* text_len) {
+  *text = ctx->samtx_text.data();
+  *line_off = ctx->samtx_off.data();
+  *rid = ctx->samtx_rid.data();
+  *pos = ctx->samtx_pos.data();
+  *mpos = ctx->samtx_mpos.data();
+  *read_id = ctx->samtx_read_id.data();
+  *refend = ctx->samtx_refend.data();
+  *flag = ctx->samtx_flag.data();
+  *mapq = ctx->samtx_mapq.data();
+  *uniq = ctx->samtx_uniq.data();
+  *text_len = (int64_t)ctx->samtx_text.size();
+  return (int64_t)ctx->samtx_rid.size();
 }
 
 // Extended variant: also emits per-end reference start/end, per-end error

@@ -219,6 +219,26 @@ def test_device_sharded_run_parity(sim_data, golden_dir, tmp_path):
     assert out.read_bytes() == (golden_dir / "sim_default.bed").read_bytes()
 
 
+def test_device_threads_parity(sim_data, golden_dir, tmp_path):
+    """-t N with --device: the device-seeded finish stage fans record
+    emission out over threads (engine.cpp select_prep/draw/emit) while
+    the reservoir stream stays ordered, so output must stay
+    byte-identical to -t 1 --device -- and to the host golden."""
+    outs = {}
+    for t in ("1", "3"):
+        out = tmp_path / f"t{t}.bed"
+        args = [sys.executable, "-m", "chromap_tpu.cli", "-t", t,
+                "-n", "4",
+                "-x", f"{sim_data}/index", "-r", f"{sim_data}/ref.fa",
+                "-1", f"{sim_data}/r1.fq", "-2", f"{sim_data}/r2.fq",
+                "-o", str(out)] + DEVICE_ARGS
+        result = subprocess.run(args, capture_output=True, text=True)
+        assert result.returncode == 0, result.stderr
+        outs[t] = out.read_bytes()
+    assert outs["1"] == outs["3"]
+    assert outs["1"], "no mappings produced"
+
+
 def test_device_failure_falls_back(sim_data, tmp_path, monkeypatch):
     """A device dispatch failure mid-run (kernel compile error, relay
     drop) must degrade to host-only mapping with byte-identical output,

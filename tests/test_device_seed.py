@@ -201,8 +201,12 @@ def test_dev_engine_byte_parity(small_world, tmp_path):
 
 
 def test_mt_engine_byte_parity(small_world):
-    """cn_map_pairs output is byte-identical at any thread count (phase-1
-    fan-out, sequential selection preserves the RNG stream)."""
+    """cn_map_pairs output is byte-identical at any thread count: phase 1
+    (seed+verify) and selection-emit fan out over threads while the
+    reservoir draws stay one ordered mt19937 stream (select_draw). The
+    small_world genome embeds 3x repeats and max_num_best_mappings=3
+    admits multi-mappings, so reservoir sampling genuinely draws here --
+    a thread-count-dependent stream would fail this byte compare."""
     from chromap_tpu.native import NativeEngine, load_library
 
     if load_library() is None:
@@ -221,12 +225,18 @@ def test_mt_engine_byte_parity(small_world):
             a[rng.integers(0, L)] = rng.integers(0, 4)
         reads1.append(_to_seq(a % 4))
         reads2.append(_to_seq(b))
+    # reads straight from the repeat region: tied best pairs
+    rep = ref_codes[0][12000:12200]
+    for st in range(0, 100, 5):
+        reads1.append(_to_seq(rep[st:st + L]))
+        mate = rep[st + 40:st + 40 + L]
+        reads2.append(_to_seq((mate[::-1] ^ 3) % 4))
 
     class Cfg:
         error_threshold = E
         min_num_seeds_required_for_mapping = MIN_SEEDS
         max_seed_frequencies = F
-        max_num_best_mappings = 1
+        max_num_best_mappings = 3
         max_insert_size = 1000
         min_read_length = 30
         drop_repetitive_reads = 500000
@@ -239,8 +249,10 @@ def test_mt_engine_byte_parity(small_world):
         cfg = Cfg()
         cfg.num_threads = t
         engine = NativeEngine(cfg, index, ref_seqs)
-        out, _ = engine.map_pairs(reads1, reads2, 0, B)  # cache updates on
+        out, _ = engine.map_pairs(reads1, reads2, 0,
+                                  len(reads1))  # cache updates on
         outs.append(out)
+    assert len(outs[0]["read_id"]) > 0
     for out in outs[1:]:
         for key in outs[0]:
             np.testing.assert_array_equal(outs[0][key], out[key],
