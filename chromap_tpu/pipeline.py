@@ -914,6 +914,11 @@ class MappingPipeline:
         if hyb is not None:
             self._hybrid_flush(engine, hyb, account, final=True)
             hyb["executor"].shutdown(wait=True)
+            if hyb["prof"] is not None:
+                import json as _json
+                log("HYBRID_PROFILE " + _json.dumps(
+                    {k: (round(v, 4) if isinstance(v, float) else v)
+                     for k, v in hyb["prof"].items()}))
         log(f"Mapped all reads in {_time.time() - t_map:.2f}s.")
         self._output_stats()
 
@@ -1035,7 +1040,14 @@ class MappingPipeline:
         """
         from concurrent.futures import ThreadPoolExecutor
 
-        return {"buffered": [], "pool": [], "pending": [],
+        import os as _os
+        prof = None
+        if _os.environ.get("CHROMAP_TPU_HYBRID_PROFILE"):
+            prof = {"cpu_chunks": 0, "dev_chunks": 0, "cpu_map_s": 0.0,
+                    "pack_s": 0.0, "submit_s": 0.0, "finish_s": 0.0,
+                    "blocked_s": 0.0, "resolve_s": 0.0, "dl_bytes": 0,
+                    "fallback_chunks": 0, "copy_s": 0.0, "flush_wall_s": 0.0}
+        return {"buffered": [], "pool": [], "pending": [], "prof": prof,
                 "executor": ThreadPoolExecutor(max_workers=1)}
 
     def _hybrid_step(self, engine, hyb, b1, o1, b2, o2, n1: int,
@@ -1059,10 +1071,13 @@ class MappingPipeline:
         slot = hyb["pool"].pop() if hyb["pool"] else \
             [np.empty(0, np.uint8), np.empty(0, np.int64),
              np.empty(0, np.uint8), np.empty(0, np.int64)]
+        t_copy0 = time.time() if hyb["prof"] is not None else 0.0
         for i, src in enumerate((raw1, offs1, raw2, offs2)):
             if slot[i].size < src.size:
                 slot[i] = np.empty(src.size, src.dtype)
             np.copyto(slot[i][:src.size], src)
+        if hyb["prof"] is not None:
+            hyb["prof"]["copy_s"] += time.time() - t_copy0
         hyb["buffered"].append((slot, n1, base_read_id, threshold))
         if len(hyb["buffered"]) >= P:
             self._hybrid_flush(engine, hyb, account, final=False)
@@ -1103,6 +1118,9 @@ class MappingPipeline:
             account(engine.map_pairs_raw(r1p, o1p, r2p, o2p, n1, base,
                                          thr))
             tuner.cpu(time.time() - t0)
+            if hyb["prof"] is not None:
+                hyb["prof"]["cpu_chunks"] += 1
+                hyb["prof"]["cpu_map_s"] += time.time() - t0
             hyb["pool"].append(slot)
 
         for kind, item in hyb["pending"]:
@@ -1121,6 +1139,8 @@ class MappingPipeline:
                     _cpu_map(item)
             pend = []
         hyb["pending"] = pend
+        if hyb["prof"] is not None:
+            hyb["prof"]["flush_wall_s"] += time.time() - t_flush0
         tuner.flush_done(time.time() - t_flush0)
 
     def _hybrid_submit_device(self, engine, hyb, slot, n1: int,
@@ -1150,6 +1170,8 @@ class MappingPipeline:
         chunk = max(n1, min(cfg.device_batch_size, cfg.read_batch_size))
         W = (L + 15) // 16 + (L + 31) // 32
         need = 2 * chunk * W
+        prof = hyb["prof"]
+        t_pack0 = time.time() if prof is not None else 0.0
         buf = self._next_pack_buf(need)
         r1p = _ct.cast(slot[0].ctypes.data, _ct.c_char_p)
         r2p = _ct.cast(slot[2].ctypes.data, _ct.c_char_p)
@@ -1162,16 +1184,26 @@ class MappingPipeline:
         buf2d = buf[:need].reshape(2 * chunk, W)
         if n1 < chunk:
             buf2d[2 * n1:] = 0xFFFFFFFF
+        if prof is not None:
+            prof["pack_s"] += time.time() - t_pack0
 
+        t_sub0 = time.time() if prof is not None else 0.0
         try:
             handle = self._device_seeder.submit_packed(buf2d, 2 * chunk, L)
         except Exception as exc:
             self._disable_device(exc)
             return None
         seeder = self._device_seeder
+        if prof is not None:
+            prof["submit_s"] += time.time() - t_sub0
 
         def _resolve():
+            t0 = time.time()
             r = seeder.resolve(handle)
+            if prof is not None:
+                prof["resolve_s"] += time.time() - t0
+                dl = handle[0][0]
+                prof["dl_bytes"] += int(dl.size) * dl.dtype.itemsize
             return r, time.time()
 
         t_sub = time.time()
@@ -1248,12 +1280,15 @@ class MappingPipeline:
         import ctypes as _ct
 
         fut, slot, n1, base, threshold, t_sub = pend
+        prof = hyb["prof"]
         try:
             t_wait0 = time.time()
             (meta, cand_pos, cand_meta, overflow), t_end = fut.result()
             tuner = self._hybrid_tuner()
             tuner.dev(t_end - t_sub)
             tuner.dev_wait(time.time() - t_wait0)
+            if prof is not None:
+                prof["blocked_s"] += time.time() - t_wait0
         except Exception as exc:
             self._disable_device(exc)
             meta = cand_pos = cand_meta = None
@@ -1262,13 +1297,19 @@ class MappingPipeline:
         r2p = _ct.cast(slot[2].ctypes.data, _ct.c_char_p)
         o1p = slot[1].ctypes.data_as(_ct.c_void_p)
         o2p = slot[3].ctypes.data_as(_ct.c_void_p)
+        t_fin0 = time.time() if prof is not None else 0.0
         if overflow:
             account(engine.map_pairs_raw(r1p, o1p, r2p, o2p, n1, base,
                                          threshold))
+            if prof is not None:
+                prof["fallback_chunks"] += 1
         else:
             account(engine.map_pairs_dev_seeded(r1p, o1p, r2p, o2p, n1,
                                                 base, meta, cand_pos,
                                                 cand_meta))
+        if prof is not None:
+            prof["dev_chunks"] += 1
+            prof["finish_s"] += time.time() - t_fin0
         hyb["pool"].append(slot)
 
     class _HybridInfo:
