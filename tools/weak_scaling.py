@@ -31,6 +31,18 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
+# Self-set the virtual-mesh platform: this image's sitecustomize
+# pre-imports jax with JAX_PLATFORMS=axon pinned, so env vars set here (or
+# even JAX_PLATFORMS in the caller's shell) are too late/ignored; only
+# jax.config.update before backend init wins. Without this the tool
+# silently captures a 1-device TPU artifact instead of the 1/2/4/8 curve.
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8")
+import jax  # noqa: E402  (sitecustomize imported it already anyway)
+
+jax.config.update("jax_platform_name", "cpu")
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 
